@@ -1,0 +1,856 @@
+"""JSON-LD 1.1 active-context processing.
+
+From-scratch implementation of the W3C JSON-LD 1.1 API "Context
+Processing" / "Create Term Definition" / "IRI Expansion" / "Value
+Expansion" algorithms (https://www.w3.org/TR/json-ld11-api/).
+
+Capability parity with the reference's ``Context`` class
+(/root/reference/lib/json/ld/context.rb:243-451 parse,
+512-855 create_term_definition, 1301-1384 expand_iri,
+1612-1647 expand_value) but written Spark-first: a ``Context`` is an
+immutable-after-parse pure-Python object built on the driver and
+shipped to executors inside a broadcast variable; remote contexts are
+resolved ONLY against an offline cache dict (executors never touch the
+network — see pipeline.py).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Mapping
+
+from . import errors as err
+from .iri import (
+    KEYWORDS,
+    has_keyword_form,
+    is_absolute_iri,
+    is_blank_node_id,
+    is_iri,
+    is_keyword,
+    is_well_formed_language,
+    resolve_iri,
+)
+
+# Cap on remote contexts dereferenced while resolving one document
+# (reference: MAX_CONTEXTS_LOADED, lib/json/ld.rb:111).
+MAX_CONTEXTS_LOADED = 50
+
+# Sentinel distinguishing "not set" from "explicitly null".
+UNSET = object()
+
+JSON_LD_1_0 = "json-ld-1.0"
+JSON_LD_1_1 = "json-ld-1.1"
+
+_CONTAINER_VALUES = frozenset(
+    {"@graph", "@id", "@index", "@language", "@list", "@set", "@type"}
+)
+
+
+def canon_context_url(url: str) -> str:
+    """Cache-key canonicalization: https→http (reference does the same for
+    cache hits, context.rb:297-298)."""
+    if url.startswith("https://"):
+        return "http://" + url[len("https://") :]
+    return url
+
+
+class ContextCache:
+    """Offline remote-context store.
+
+    Plain dict of canonical URL → JSON text (or parsed dict).  Built on
+    the driver from fixtures / preloaded vocabularies; broadcast to
+    executors.  ``version`` is recorded in pipeline lineage rows.
+    """
+
+    def __init__(self, entries: Mapping[str, Any] | None = None, version: str = "v0"):
+        self.version = version
+        self._entries: dict[str, Any] = {}
+        if entries:
+            for url, body in entries.items():
+                self.add(url, body)
+
+    def add(self, url: str, body: Any) -> None:
+        if isinstance(body, (bytes, bytearray)):
+            body = body.decode("utf-8")
+        if isinstance(body, str):
+            body = json.loads(body)
+        self._entries[canon_context_url(url)] = body
+
+    def get(self, url: str):
+        return self._entries.get(canon_context_url(url))
+
+    def __contains__(self, url: str) -> bool:
+        return canon_context_url(url) in self._entries
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+
+EMPTY_CACHE = ContextCache()
+
+
+class TermDefinition:
+    """One term's mappings (reference: context.rb:2103-2357)."""
+
+    __slots__ = (
+        "term",
+        "iri_mapping",
+        "prefix",
+        "protected",
+        "reverse_property",
+        "base_url",
+        "local_context",
+        "container_mapping",
+        "direction_mapping",
+        "index_mapping",
+        "language_mapping",
+        "nest_value",
+        "type_mapping",
+    )
+
+    def __init__(self, term: str):
+        self.term = term
+        self.iri_mapping: str | None = None
+        self.prefix = False
+        self.protected = False
+        self.reverse_property = False
+        self.base_url: str | None = None
+        self.local_context: Any = UNSET  # scoped @context (kept raw, parsed lazily)
+        self.container_mapping: frozenset[str] = frozenset()
+        self.direction_mapping: Any = UNSET  # UNSET | None | "ltr" | "rtl"
+        self.index_mapping: str | None = None
+        self.language_mapping: Any = UNSET  # UNSET | None | str
+        self.nest_value: str | None = None
+        self.type_mapping: str | None = None
+
+    def same_mappings(self, other: "TermDefinition") -> bool:
+        """Equality ignoring ``protected`` — used by the protected-term
+        redefinition check."""
+        return all(
+            getattr(self, s) == getattr(other, s)
+            for s in self.__slots__
+            if s not in ("protected",)
+        )
+
+    def clone(self) -> "TermDefinition":
+        td = TermDefinition(self.term)
+        for s in self.__slots__:
+            if s != "term":
+                setattr(td, s, getattr(self, s))
+        return td
+
+    def __eq__(self, other):
+        return isinstance(other, TermDefinition) and all(
+            getattr(self, s) == getattr(other, s) for s in self.__slots__
+        )
+
+    def __repr__(self):  # pragma: no cover
+        return f"<TermDefinition {self.term!r} -> {self.iri_mapping!r}>"
+
+
+class Context:
+    """Active context. Treat as immutable once parsed; ``parse`` returns a
+    new Context."""
+
+    __slots__ = (
+        "term_definitions",
+        "base",
+        "original_base",
+        "vocab",
+        "default_language",
+        "default_direction",
+        "previous_context",
+        "processing_mode",
+        "cache",
+        "_inverse",
+    )
+
+    def __init__(
+        self,
+        base: str | None = None,
+        processing_mode: str = JSON_LD_1_1,
+        cache: ContextCache | None = None,
+    ):
+        self.term_definitions: dict[str, TermDefinition] = {}
+        self.base = base
+        self.original_base = base
+        self.vocab: str | None = None
+        self.default_language: str | None = None
+        self.default_direction: str | None = None
+        self.previous_context: Context | None = None
+        self.processing_mode = processing_mode
+        self.cache = cache if cache is not None else EMPTY_CACHE
+        self._inverse: dict | None = None
+
+    # -- plumbing ------------------------------------------------------------
+
+    def clone(self) -> "Context":
+        c = Context(self.base, self.processing_mode, self.cache)
+        c.term_definitions = dict(self.term_definitions)
+        c.original_base = self.original_base
+        c.vocab = self.vocab
+        c.default_language = self.default_language
+        c.default_direction = self.default_direction
+        c.previous_context = self.previous_context
+        return c
+
+    def term(self, name) -> TermDefinition | None:
+        if isinstance(name, str):
+            return self.term_definitions.get(name)
+        return None
+
+    def has_terms(self) -> bool:
+        return bool(
+            self.term_definitions
+            or self.vocab
+            or self.default_language
+            or self.default_direction
+        )
+
+    def _key(self):
+        """Hashable identity for memoization (inverse context etc.)."""
+        return id(self)
+
+    # -- 4.1 Context Processing ----------------------------------------------
+
+    def parse(
+        self,
+        local_context,
+        base_url: str | None = None,
+        remote_contexts: tuple[str, ...] = (),
+        override_protected: bool = False,
+        propagate: bool = True,
+        validate_scoped: bool = True,
+    ) -> "Context":
+        result = self.clone()
+        result._inverse = None
+
+        if (
+            isinstance(local_context, dict)
+            and "@propagate" in local_context
+        ):
+            prop = local_context["@propagate"]
+            if not isinstance(prop, bool):
+                raise err.InvalidPropagateValue(repr(prop))
+            propagate = prop
+
+        if not propagate and result.previous_context is None:
+            prev = self.clone()
+            result.previous_context = prev
+
+        items = local_context if isinstance(local_context, list) else [local_context]
+        if not items:
+            return result
+
+        for context in items:
+            if context is None:
+                # null → reset (keep base per API option; spec resets to a
+                # context with only original base)
+                if not override_protected and any(
+                    td.protected for td in result.term_definitions.values()
+                ):
+                    raise err.InvalidContextNullification(
+                        "attempt to clear a context with protected terms"
+                    )
+                fresh = Context(
+                    self.original_base, self.processing_mode, self.cache
+                )
+                if not propagate:
+                    fresh.previous_context = result.previous_context
+                result = fresh
+                continue
+
+            if isinstance(context, str):
+                # remote context
+                ctx_url = resolve_iri(base_url, context)
+                if len(remote_contexts) >= MAX_CONTEXTS_LOADED:
+                    raise err.ContextOverflow(ctx_url)
+                if canon_context_url(ctx_url) in {
+                    canon_context_url(u) for u in remote_contexts
+                }:
+                    # already being processed → cycle; spec says error unless
+                    # validate_scoped is False
+                    if validate_scoped:
+                        raise err.ContextOverflow(f"cyclic context {ctx_url}")
+                    continue
+                body = result.cache.get(ctx_url)
+                if body is None:
+                    raise err.LoadingRemoteContextFailed(ctx_url)
+                if not isinstance(body, dict) or "@context" not in body:
+                    # allow a bare context object in the cache
+                    if isinstance(body, dict):
+                        loaded = body
+                    else:
+                        raise err.InvalidRemoteContext(ctx_url)
+                else:
+                    loaded = body["@context"]
+                result = result.parse(
+                    loaded,
+                    base_url=ctx_url,
+                    remote_contexts=remote_contexts + (ctx_url,),
+                    override_protected=override_protected,
+                    validate_scoped=validate_scoped,
+                )
+                continue
+
+            if not isinstance(context, dict):
+                raise err.InvalidLocalContext(repr(context))
+
+            # @version
+            if "@version" in context:
+                v = context["@version"]
+                if v != 1.1:
+                    raise err.InvalidVersionValue(repr(v))
+                if self.processing_mode == JSON_LD_1_0:
+                    raise err.ProcessingModeConflict("@version: 1.1 in 1.0 mode")
+
+            # @import
+            if "@import" in context:
+                if result.processing_mode == JSON_LD_1_0:
+                    raise err.InvalidContextEntry("@import in 1.0 mode")
+                imp = context["@import"]
+                if not isinstance(imp, str):
+                    raise err.InvalidImportValue(repr(imp))
+                imp_url = resolve_iri(base_url, imp)
+                body = result.cache.get(imp_url)
+                if body is None:
+                    raise err.LoadingRemoteContextFailed(imp_url)
+                imported = body.get("@context", body) if isinstance(body, dict) else None
+                if not isinstance(imported, dict):
+                    raise err.InvalidRemoteContext(imp_url)
+                if "@import" in imported:
+                    raise err.InvalidContextEntry("@import inside imported context")
+                merged = dict(imported)
+                merged.update(context)
+                context = merged
+
+            # @base (ignored for remote contexts per spec — remote signalled
+            # by non-empty remote_contexts)
+            if "@base" in context and not remote_contexts:
+                value = context["@base"]
+                if value is None:
+                    result.base = None
+                elif isinstance(value, str) and is_absolute_iri(value):
+                    result.base = value
+                elif isinstance(value, str) and result.base is not None:
+                    result.base = resolve_iri(result.base, value)
+                else:
+                    raise err.InvalidBaseIRI(repr(value))
+
+            # @direction
+            if "@direction" in context:
+                if result.processing_mode == JSON_LD_1_0:
+                    raise err.InvalidContextEntry("@direction in 1.0 mode")
+                value = context["@direction"]
+                if value is None:
+                    result.default_direction = None
+                elif value in ("ltr", "rtl"):
+                    result.default_direction = value
+                else:
+                    raise err.InvalidBaseDirection(repr(value))
+
+            # @vocab
+            if "@vocab" in context:
+                value = context["@vocab"]
+                if value is None:
+                    result.vocab = None
+                elif isinstance(value, str):
+                    if value == "":
+                        result.vocab = result.base
+                    elif is_blank_node_id(value):
+                        result.vocab = value
+                    elif is_absolute_iri(value):
+                        result.vocab = value
+                    elif result.processing_mode != JSON_LD_1_0:
+                        # 1.1: relative @vocab resolved against vocab/base
+                        if result.vocab:
+                            result.vocab = result.vocab + value
+                        elif result.base is not None:
+                            result.vocab = resolve_iri(result.base, value)
+                        else:
+                            raise err.InvalidVocabMapping(repr(value))
+                    else:
+                        raise err.InvalidVocabMapping(repr(value))
+                else:
+                    raise err.InvalidVocabMapping(repr(value))
+
+            # @language
+            if "@language" in context:
+                value = context["@language"]
+                if value is None:
+                    result.default_language = None
+                elif isinstance(value, str):
+                    result.default_language = value.lower()
+                else:
+                    raise err.InvalidDefaultLanguage(repr(value))
+
+            protected = context.get("@protected", False)
+            if not isinstance(protected, bool):
+                raise err.InvalidProtectedValue(repr(context.get("@protected")))
+            if protected and result.processing_mode == JSON_LD_1_0:
+                raise err.InvalidContextEntry("@protected in 1.0 mode")
+
+            defined: dict[str, bool] = {}
+            for key in context:
+                if key in (
+                    "@base",
+                    "@direction",
+                    "@import",
+                    "@language",
+                    "@propagate",
+                    "@protected",
+                    "@version",
+                    "@vocab",
+                ):
+                    continue
+                create_term_definition(
+                    result,
+                    context,
+                    key,
+                    defined,
+                    base_url=base_url,
+                    protected=protected,
+                    override_protected=override_protected,
+                    remote_contexts=remote_contexts,
+                    validate_scoped=validate_scoped,
+                )
+        return result
+
+    # -- 4.2 invoked per term ------------------------------------------------
+
+    # (module-level function below; method alias for convenience)
+
+    # -- 5.2 IRI Expansion -----------------------------------------------------
+
+    def expand_iri(
+        self,
+        value,
+        document_relative: bool = False,
+        vocab: bool = False,
+        local_context: dict | None = None,
+        defined: dict | None = None,
+        base: str | None = None,
+    ):
+        if not isinstance(value, str) or is_keyword(value):
+            return value
+        if has_keyword_form(value):
+            # looks like a keyword but isn't → warn & return None (dropped)
+            return None
+        if local_context is not None and value in local_context and not defined.get(value):
+            create_term_definition(self, local_context, value, defined)
+        td = self.term_definitions.get(value)
+        if td is not None and (is_keyword(td.iri_mapping) or vocab):
+            return td.iri_mapping
+        if len(value) > 1 and ":" in value[1:]:
+            prefix, suffix = value.split(":", 1)
+            if prefix == "_" or suffix.startswith("//"):
+                return value  # bnode or already-absolute w/ authority
+            if local_context is not None and prefix in local_context and not defined.get(prefix):
+                create_term_definition(self, local_context, prefix, defined)
+            ptd = self.term_definitions.get(prefix)
+            if ptd is not None and ptd.iri_mapping and ptd.prefix:
+                return ptd.iri_mapping + suffix
+            if is_absolute_iri(value):
+                return value
+        if vocab and self.vocab is not None:
+            return self.vocab + value
+        if document_relative:
+            b = base if base is not None else self.base
+            if b is not None:
+                return resolve_iri(b, value)
+        return value
+
+    # -- 5.3 Value Expansion ---------------------------------------------------
+
+    def expand_value(self, active_property, value, base: str | None = None):
+        td = self.term_definitions.get(active_property)
+        type_mapping = td.type_mapping if td else None
+        if type_mapping == "@id" and isinstance(value, str):
+            return {"@id": self.expand_iri(value, document_relative=True, base=base)}
+        if type_mapping == "@vocab" and isinstance(value, str):
+            return {
+                "@id": self.expand_iri(
+                    value, vocab=True, document_relative=True, base=base
+                )
+            }
+        result: dict[str, Any] = {"@value": value}
+        if type_mapping not in (None, "@id", "@vocab", "@none"):
+            result["@type"] = type_mapping
+        elif isinstance(value, str):
+            language = (
+                td.language_mapping
+                if td is not None and td.language_mapping is not UNSET
+                else self.default_language
+            )
+            direction = (
+                td.direction_mapping
+                if td is not None and td.direction_mapping is not UNSET
+                else self.default_direction
+            )
+            if language is not None:
+                result["@language"] = language
+            if direction is not None:
+                result["@direction"] = direction
+        return result
+
+    # -- inverse context (compaction) — built lazily -------------------------
+
+    def inverse(self) -> dict:
+        if self._inverse is None:
+            self._inverse = _create_inverse_context(self)
+        return self._inverse
+
+
+def _validate_container(container, processing_mode: str) -> frozenset:
+    """Validate @container per 1.1 rules; returns the normalized set."""
+    vals = container if isinstance(container, list) else [container]
+    if any(not isinstance(v, str) for v in vals):
+        raise err.InvalidContainerMapping(repr(container))
+    s = frozenset(vals)
+    if not s <= _CONTAINER_VALUES:
+        raise err.InvalidContainerMapping(repr(container))
+    if processing_mode == JSON_LD_1_0:
+        if isinstance(container, list) or s & {"@graph", "@id", "@type"}:
+            raise err.InvalidContainerMapping(f"{container!r} not allowed in 1.0")
+        return s
+    if "@list" in s:
+        if s != {"@list"}:
+            raise err.InvalidContainerMapping(repr(container))
+    elif "@graph" in s:
+        if not s <= {"@graph", "@id", "@index", "@set"} or (
+            "@id" in s and "@index" in s
+        ):
+            raise err.InvalidContainerMapping(repr(container))
+    elif len(s - {"@set"}) > 1:
+        raise err.InvalidContainerMapping(repr(container))
+    return s
+
+
+def create_term_definition(
+    active: Context,
+    local_context: dict,
+    term: str,
+    defined: dict,
+    base_url: str | None = None,
+    protected: bool = False,
+    override_protected: bool = False,
+    remote_contexts: tuple[str, ...] = (),
+    validate_scoped: bool = True,
+) -> None:
+    """W3C 4.2 Create Term Definition (reference: context.rb:512-855)."""
+    state = defined.get(term)
+    if state is True:
+        return
+    if state is False:
+        raise err.CyclicIRIMapping(term)
+    if term == "":
+        raise err.InvalidTermDefinition("empty term")
+    defined[term] = False
+
+    value = local_context.get(term)
+    mode11 = active.processing_mode != JSON_LD_1_0
+
+    if term == "@type":
+        if not mode11:
+            raise err.KeywordRedefinition("@type")
+        if not isinstance(value, dict):
+            raise err.KeywordRedefinition("@type")
+        ok_keys = {"@container", "@protected"}
+        if not set(value) <= ok_keys or value.get("@container", "@set") != "@set":
+            raise err.KeywordRedefinition(f"@type: {value!r}")
+    elif is_keyword(term):
+        raise err.KeywordRedefinition(term)
+    elif has_keyword_form(term):
+        # looks like a keyword → ignored with warning
+        defined[term] = True
+        return
+
+    previous = active.term_definitions.get(term)
+    active.term_definitions.pop(term, None)
+
+    simple_term = isinstance(value, str) or value is None
+    if value is None or (isinstance(value, dict) and set(value) == {"@id"} and value["@id"] is None):
+        value = {"@id": None}
+    elif isinstance(value, str):
+        value = {"@id": value}
+    elif not isinstance(value, dict):
+        raise err.InvalidTermDefinition(f"{term}: {value!r}")
+
+    definition = TermDefinition(term)
+    definition.prefix = False
+    if "@protected" in value:
+        if not isinstance(value["@protected"], bool):
+            raise err.InvalidProtectedValue(repr(value["@protected"]))
+        if not mode11:
+            raise err.InvalidTermDefinition("@protected in 1.0 mode")
+        definition.protected = value["@protected"]
+    else:
+        definition.protected = protected
+
+    allowed = {
+        "@id",
+        "@reverse",
+        "@type",
+        "@language",
+        "@container",
+        "@context",
+        "@direction",
+        "@index",
+        "@nest",
+        "@prefix",
+        "@protected",
+    }
+    if not mode11:
+        allowed = {"@id", "@reverse", "@type", "@language", "@container"}
+    extra = set(value) - allowed
+    if extra:
+        raise err.InvalidTermDefinition(f"{term}: unexpected keys {sorted(extra)}")
+
+    # @type mapping
+    if "@type" in value:
+        t = value["@type"]
+        if not isinstance(t, str):
+            raise err.InvalidTypeMapping(repr(t))
+        t_exp = active.expand_iri(
+            t, vocab=True, local_context=local_context, defined=defined
+        )
+        if t_exp in ("@json", "@none"):
+            if not mode11:
+                raise err.InvalidTypeMapping(f"{t_exp} in 1.0 mode")
+        elif t_exp not in ("@id", "@vocab") and not (
+            isinstance(t_exp, str) and is_absolute_iri(t_exp)
+        ):
+            raise err.InvalidTypeMapping(repr(t))
+        definition.type_mapping = t_exp
+
+    # @reverse
+    if "@reverse" in value:
+        if "@id" in value or "@nest" in value:
+            raise err.InvalidReverseProperty(term)
+        rev = value["@reverse"]
+        if not isinstance(rev, str):
+            raise err.InvalidIRIMapping(repr(rev))
+        if has_keyword_form(rev) and not is_keyword(rev):
+            defined[term] = True
+            return
+        mapped = active.expand_iri(
+            rev, vocab=True, local_context=local_context, defined=defined
+        )
+        if not is_iri(mapped):
+            raise err.InvalidIRIMapping(repr(rev))
+        definition.iri_mapping = mapped
+        if "@container" in value:
+            c = value["@container"]
+            if c not in ("@set", "@index", None):
+                raise err.InvalidReverseProperty(term)
+            if c is not None:
+                definition.container_mapping = frozenset({c})
+        definition.reverse_property = True
+        active.term_definitions[term] = definition
+        defined[term] = True
+        return
+
+    # @id / derived IRI mapping
+    if "@id" in value and value["@id"] != term:
+        idv = value["@id"]
+        if idv is None:
+            definition.iri_mapping = None  # explicitly decouples term
+        else:
+            if not isinstance(idv, str):
+                raise err.InvalidIRIMapping(repr(idv))
+            if not is_keyword(idv) and has_keyword_form(idv):
+                defined[term] = True
+                return
+            mapped = active.expand_iri(
+                idv, vocab=True, local_context=local_context, defined=defined
+            )
+            if not (is_keyword(mapped) or is_iri(mapped)):
+                raise err.InvalidIRIMapping(f"{term} -> {idv!r}")
+            if mapped == "@context":
+                raise err.InvalidKeywordAlias("@context")
+            definition.iri_mapping = mapped
+            if (term[1:-1].find(":") >= 0) or ("/" in term):
+                # compound term must round-trip
+                defined[term] = True
+                reexp = active.expand_iri(
+                    term, vocab=True, local_context=local_context, defined=defined
+                )
+                if reexp != definition.iri_mapping:
+                    raise err.InvalidIRIMapping(f"{term} inconsistent with {idv!r}")
+            if ":" not in term and "/" not in term and simple_term and (
+                isinstance(mapped, str)
+                and (mapped[-1:] in (":", "/", "?", "#", "[", "]", "@") or is_blank_node_id(mapped))
+            ):
+                definition.prefix = True
+    elif len(term) > 1 and ":" in term[1:]:
+        prefix, suffix = term.split(":", 1)
+        if prefix in local_context and not defined.get(prefix):
+            create_term_definition(active, local_context, prefix, defined)
+        ptd = active.term_definitions.get(prefix)
+        if ptd is not None and ptd.iri_mapping and not suffix.startswith("//"):
+            definition.iri_mapping = ptd.iri_mapping + suffix
+        elif is_absolute_iri(term) or is_blank_node_id(term):
+            definition.iri_mapping = term
+        else:
+            raise err.InvalidIRIMapping(term)
+    elif "/" in term:
+        mapped = active.expand_iri(term, vocab=True)
+        definition.iri_mapping = mapped
+        if not is_absolute_iri(definition.iri_mapping or ""):
+            raise err.InvalidIRIMapping(term)
+    elif term == "@type":
+        definition.iri_mapping = "@type"
+    else:
+        if active.vocab is None:
+            raise err.InvalidIRIMapping(f"{term}: no @vocab and no @id")
+        definition.iri_mapping = active.vocab + term
+
+    # @container
+    if "@container" in value:
+        definition.container_mapping = _validate_container(
+            value["@container"], active.processing_mode
+        )
+        if "@type" in definition.container_mapping:
+            if definition.type_mapping is None:
+                definition.type_mapping = "@id"
+            elif definition.type_mapping not in ("@id", "@vocab"):
+                raise err.InvalidTypeMapping(
+                    f"@container: @type with @type: {definition.type_mapping}"
+                )
+
+    # @index
+    if "@index" in value:
+        if not mode11 or "@index" not in definition.container_mapping:
+            raise err.InvalidTermDefinition(
+                f"{term}: @index requires @container: @index"
+            )
+        idx = value["@index"]
+        if not isinstance(idx, str) or idx.startswith("@"):
+            raise err.InvalidTermDefinition(f"{term}: bad @index {idx!r}")
+        definition.index_mapping = idx
+
+    # scoped @context
+    if "@context" in value:
+        if not mode11:
+            raise err.InvalidTermDefinition("@context in 1.0 mode")
+        ctx = value["@context"]
+        if validate_scoped:
+            # validate now, but store raw for lazy use
+            try:
+                active.parse(
+                    ctx,
+                    base_url=base_url,
+                    remote_contexts=remote_contexts,
+                    override_protected=True,
+                    validate_scoped=False,
+                )
+            except err.JsonLdError as e:
+                raise err.InvalidScopedContext(f"{term}: {e}") from e
+        definition.local_context = ctx
+        definition.base_url = base_url
+
+    # @language
+    if "@language" in value and "@type" not in value:
+        lang = value["@language"]
+        if lang is None:
+            definition.language_mapping = None
+        elif isinstance(lang, str):
+            definition.language_mapping = lang.lower()
+        else:
+            raise err.InvalidLanguageMapping(repr(lang))
+
+    # @direction
+    if "@direction" in value and "@type" not in value:
+        d = value["@direction"]
+        if d is None:
+            definition.direction_mapping = None
+        elif d in ("ltr", "rtl"):
+            definition.direction_mapping = d
+        else:
+            raise err.InvalidBaseDirection(repr(d))
+
+    # @nest
+    if "@nest" in value:
+        if not mode11:
+            raise err.InvalidTermDefinition("@nest in 1.0 mode")
+        nest = value["@nest"]
+        if not isinstance(nest, str) or (nest != "@nest" and is_keyword(nest)) or (
+            has_keyword_form(nest) and nest != "@nest"
+        ):
+            raise err.InvalidNestValue(repr(nest))
+        definition.nest_value = nest
+
+    # @prefix
+    if "@prefix" in value:
+        if not mode11 or ":" in term or "/" in term:
+            raise err.InvalidTermDefinition(f"{term}: @prefix not allowed")
+        p = value["@prefix"]
+        if not isinstance(p, bool):
+            raise err.InvalidPrefixValue(repr(p))
+        definition.prefix = p
+        if definition.prefix and is_keyword(definition.iri_mapping):
+            raise err.InvalidTermDefinition(f"{term}: keyword cannot be prefix")
+
+    # protected-term redefinition check
+    if (
+        previous is not None
+        and previous.protected
+        and not override_protected
+        and not definition.same_mappings(previous)
+    ):
+        raise err.ProtectedTermRedefinition(term)
+    if previous is not None and previous.protected and not override_protected:
+        definition.protected = True  # keep protection
+
+    active.term_definitions[term] = definition
+    defined[term] = True
+
+
+def _create_inverse_context(ctx: Context) -> dict:
+    """W3C 4.3 Inverse Context Creation (reference: context.rb:1878-1935)."""
+    result: dict = {}
+    default_language = (ctx.default_language or "@none").lower()
+    for term in sorted(ctx.term_definitions, key=lambda t: (len(t), t)):
+        td = ctx.term_definitions[term]
+        if td is None or td.iri_mapping is None:
+            continue
+        container = "".join(sorted(td.container_mapping)) or "@none"
+        container_map = result.setdefault(td.iri_mapping, {})
+        type_lang_map = container_map.setdefault(
+            container, {"@language": {}, "@type": {}, "@any": {}}
+        )
+        type_lang_map["@any"].setdefault("@none", term)
+        if td.reverse_property:
+            type_lang_map["@type"].setdefault("@reverse", term)
+        elif td.type_mapping == "@none":
+            type_lang_map["@language"].setdefault("@any", term)
+            type_lang_map["@type"].setdefault("@any", term)
+        elif td.type_mapping is not None:
+            type_lang_map["@type"].setdefault(td.type_mapping, term)
+        elif td.language_mapping is not UNSET and td.direction_mapping is not UNSET:
+            if td.language_mapping and td.direction_mapping:
+                key = f"{td.language_mapping}_{td.direction_mapping}".lower()
+            elif td.language_mapping:
+                key = td.language_mapping.lower()
+            elif td.direction_mapping:
+                key = f"_{td.direction_mapping}"
+            else:
+                key = "@null"
+            type_lang_map["@language"].setdefault(key, term)
+        elif td.language_mapping is not UNSET:
+            key = (td.language_mapping or "@null").lower() if isinstance(td.language_mapping, str) else "@null"
+            type_lang_map["@language"].setdefault(key, term)
+        elif td.direction_mapping is not UNSET:
+            key = f"_{td.direction_mapping}" if td.direction_mapping else "@none"
+            type_lang_map["@language"].setdefault(key, term)
+        elif ctx.default_direction:
+            type_lang_map["@language"].setdefault(
+                f"{default_language}_{ctx.default_direction}".lstrip("@none"), term
+            )
+            type_lang_map["@language"].setdefault("@none", term)
+            type_lang_map["@type"].setdefault("@none", term)
+        else:
+            type_lang_map["@language"].setdefault(default_language, term)
+            type_lang_map["@language"].setdefault("@none", term)
+            type_lang_map["@type"].setdefault("@none", term)
+    return result

@@ -1,0 +1,623 @@
+"""JSON-LD 1.1 Expansion.
+
+From-scratch implementation of the W3C JSON-LD 1.1 Expansion Algorithm
+(https://www.w3.org/TR/json-ld11-api/#expansion-algorithm), capability
+parity with /root/reference/lib/json/ld/expand.rb (dispatch at
+expand.rb:31-241, keyword handling expand.rb:246-838).
+
+Pure Python, no Spark imports — runs per-document inside pandas UDFs
+(see udfs.py).  Array recursion here is the intra-document analog of
+``flatMap``; the drop rules are the analog of ``filter``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from . import errors as err
+from .context import UNSET, Context
+from .iri import (
+    has_keyword_form,
+    is_absolute_iri,
+    is_iri,
+    is_keyword,
+    is_well_formed_language,
+)
+
+_VALUE_KEYS = frozenset({"@value", "@language", "@type", "@index", "@direction"})
+
+
+class ExpandOptions:
+    __slots__ = ("ordered", "frame_expansion", "warnings", "base")
+
+    def __init__(self, ordered: bool = False, frame_expansion: bool = False, base: str | None = None):
+        self.ordered = ordered
+        self.frame_expansion = frame_expansion
+        self.warnings: list[str] = []
+        self.base = base  # documentUrl override for @base resolution
+
+
+def _keys(element: dict, ordered: bool):
+    return sorted(element) if ordered else list(element)
+
+
+def _add_value(obj: dict, key: str, value, as_array=True):
+    if as_array and key not in obj:
+        obj[key] = []
+    existing = obj.get(key)
+    vals = value if isinstance(value, list) else [value]
+    if isinstance(existing, list):
+        existing.extend(vals)
+    elif key in obj:
+        obj[key] = [existing, *vals]
+    else:
+        obj[key] = vals if as_array else value
+
+
+def expand(
+    element,
+    active_property: str | None,
+    active_context: Context,
+    options: ExpandOptions | None = None,
+    from_map: bool = False,
+):
+    """Expand ``element``; returns expanded value (None means dropped)."""
+    if options is None:
+        options = ExpandOptions()
+
+    if element is None:
+        return None
+
+    if active_property == "@default":
+        options = ExpandOptions(options.ordered, False, options.base)
+
+    td = active_context.term(active_property)
+
+    # property-scoped context is applied inside dict branch AND for scalars
+    if not isinstance(element, (dict, list)):
+        # scalar
+        if active_property is None or active_property == "@graph":
+            return None  # free-floating scalar
+        if td is not None and td.local_context is not UNSET:
+            active_context = active_context.parse(
+                td.local_context, base_url=td.base_url, override_protected=True
+            )
+        return active_context.expand_value(active_property, element, base=options.base)
+
+    if isinstance(element, list):
+        result = []
+        container = td.container_mapping if td else frozenset()
+        for item in element:
+            expanded_item = expand(
+                item, active_property, active_context, options, from_map=from_map
+            )
+            if "@list" in container and (
+                isinstance(expanded_item, list)
+            ):
+                expanded_item = {"@list": expanded_item}
+            if isinstance(expanded_item, list):
+                result.extend(expanded_item)
+            elif expanded_item is not None:
+                result.append(expanded_item)
+        return result
+
+    # --- dict ---------------------------------------------------------------
+    assert isinstance(element, dict)
+
+    # 8: revert to previous context unless this is a value object / sub-map item
+    if active_context.previous_context is not None and not from_map:
+        expanded_keys = [
+            active_context.expand_iri(k, vocab=True) for k in element
+        ]
+        if "@value" not in expanded_keys and expanded_keys != ["@id"]:
+            active_context = active_context.previous_context
+
+    # 9: property-scoped context
+    if td is not None and td.local_context is not UNSET:
+        active_context = active_context.parse(
+            td.local_context,
+            base_url=td.base_url,
+            override_protected=True,
+        )
+
+    # 10: inline @context
+    if "@context" in element:
+        active_context = active_context.parse(
+            element["@context"], base_url=options.base
+        )
+
+    # 11-12: type-scoped contexts — find @type keys, apply scoped contexts in
+    # lexicographic order of type values
+    type_key = None
+    for key in sorted(element):
+        if active_context.expand_iri(key, vocab=True) == "@type":
+            if type_key is None:
+                type_key = key
+            tv = element[key]
+            tvals = tv if isinstance(tv, list) else [tv]
+            for t in sorted(v for v in tvals if isinstance(v, str)):
+                ttd = active_context.term(t)
+                if ttd is not None and ttd.local_context is not UNSET:
+                    active_context = active_context.parse(
+                        ttd.local_context,
+                        base_url=ttd.base_url,
+                        propagate=False,
+                        override_protected=False,
+                    )
+
+    input_type = None
+    if type_key is not None:
+        tv = element[type_key]
+        last = tv[-1] if isinstance(tv, list) and tv else tv
+        if isinstance(last, str):
+            input_type = active_context.expand_iri(last, vocab=True)
+
+    result: dict[str, Any] = {}
+    nests: list[str] = []
+
+    _expand_object(
+        element,
+        active_property,
+        active_context,
+        result,
+        nests,
+        input_type,
+        options,
+    )
+
+    return _finalize(result, active_property, active_context, options)
+
+
+def _finalize(result, active_property, active_context, options):
+    """Post-key-loop validation & normalization (spec steps 14-19)."""
+    if result is None:
+        return None
+
+    if "@value" in result:
+        keys = set(result)
+        if not keys <= _VALUE_KEYS:
+            raise err.InvalidValueObject(repr(sorted(keys)))
+        if "@type" in result and ("@language" in result or "@direction" in result):
+            raise err.InvalidValueObject("@type with @language/@direction")
+        if result.get("@type") == "@json":
+            pass  # any JSON value ok
+        else:
+            value = result["@value"]
+            if value is None or value == []:
+                return None
+            if "@language" in result and not isinstance(value, str):
+                raise err.InvalidLanguageTaggedValue(repr(value))
+            if "@type" in result:
+                t = result["@type"]
+                if not (isinstance(t, str) and is_absolute_iri(t)) and not (
+                    options.frame_expansion
+                    and (
+                        t == []
+                        or (isinstance(t, list) and all(is_absolute_iri(x) for x in t))
+                        or t == {}
+                    )
+                ):
+                    raise err.InvalidTypedValue(f"{value!r} has @type {t!r}")
+        if active_property in (None, "@graph"):
+            return None  # free-floating value object
+        return result
+
+    if "@type" in result and not isinstance(result["@type"], list):
+        result["@type"] = [result["@type"]]
+
+    if "@set" in result or "@list" in result:
+        keys = set(result)
+        if not keys <= {"@set", "@list", "@index"}:
+            raise err.InvalidSetOrListObject(repr(sorted(keys)))
+        if "@set" in result:
+            inner = result["@set"]
+            if "@index" in result:
+                # @set object w/ @index collapses, dropping @index
+                return inner
+            return inner
+
+    if list(result) == ["@language"]:
+        return None
+
+    if active_property in (None, "@graph"):
+        # free-floating node handling
+        if not result or "@value" in result or "@list" in result:
+            return None
+        if list(result) == ["@id"] and not options.frame_expansion:
+            return None
+    return result
+
+
+def _expand_object(
+    element: dict,
+    active_property,
+    active_context: Context,
+    result: dict,
+    nests: list,
+    input_type,
+    options: ExpandOptions,
+):
+    """Key loop (spec step 13) + nested-value post-pass (step 14)."""
+    frame = options.frame_expansion
+
+    for key in _keys(element, options.ordered):
+        if key == "@context":
+            continue
+        value = element[key]
+        expanded_property = active_context.expand_iri(
+            key, vocab=True, base=options.base
+        )
+        if expanded_property is None or (
+            ":" not in expanded_property and not is_keyword(expanded_property)
+        ):
+            # drop keys that don't expand to keyword or IRI (expand.rb:265)
+            options.warnings.append(f"dropped key {key!r}")
+            continue
+
+        if is_keyword(expanded_property):
+            if active_property == "@reverse":
+                raise err.InvalidReversePropertyMap(key)
+            if expanded_property in result and expanded_property not in (
+                "@included",
+                "@type",
+            ):
+                raise err.CollidingKeywords(expanded_property)
+
+            if expanded_property == "@id":
+                if isinstance(value, str):
+                    exp = active_context.expand_iri(
+                        value, document_relative=True, base=options.base
+                    )
+                    result["@id"] = exp if exp is not None else value
+                elif frame and (
+                    value == {}
+                    or isinstance(value, list)
+                    and all(isinstance(v, str) for v in value)
+                ):
+                    result["@id"] = (
+                        [
+                            active_context.expand_iri(
+                                v, document_relative=True, base=options.base
+                            )
+                            for v in value
+                        ]
+                        if isinstance(value, list)
+                        else value
+                    )
+                else:
+                    raise err.InvalidIdValue(repr(value))
+                continue
+
+            if expanded_property == "@type":
+                vals = value if isinstance(value, list) else [value]
+                expanded_types = []
+                for v in vals:
+                    if isinstance(v, str):
+                        ev = active_context.expand_iri(
+                            v, vocab=True, document_relative=True, base=options.base
+                        )
+                        if ev is not None:
+                            expanded_types.append(ev)
+                    elif frame and v == {}:
+                        continue
+                    elif frame and isinstance(v, dict) and set(v) == {"@default"}:
+                        expanded_types.append(v)
+                    else:
+                        raise err.InvalidTypeValue(repr(v))
+                if not isinstance(value, list) and len(expanded_types) == 1:
+                    tval = expanded_types[0]
+                else:
+                    tval = expanded_types
+                if "@type" in result:
+                    prev = result["@type"]
+                    prev = prev if isinstance(prev, list) else [prev]
+                    tval2 = tval if isinstance(tval, list) else [tval]
+                    tval = prev + tval2
+                result["@type"] = tval
+                continue
+
+            if expanded_property == "@included":
+                if active_context.processing_mode == "json-ld-1.0":
+                    continue
+                included = expand(value, None, active_context, options)
+                included = included if isinstance(included, list) else [included]
+                included = [v for v in included if v is not None]
+                if any(not _is_node_object(v) for v in included):
+                    raise err.InvalidIncludedValue(repr(value))
+                _add_value(result, "@included", included)
+                continue
+
+            if expanded_property == "@value":
+                if input_type == "@json" and active_context.processing_mode != "json-ld-1.0":
+                    result["@value"] = value
+                elif value is None or isinstance(value, (str, int, float, bool)):
+                    result["@value"] = value
+                elif frame and (
+                    value == {} or (isinstance(value, list))
+                ):
+                    result["@value"] = value
+                else:
+                    raise err.InvalidValueObjectValue(repr(value))
+                continue
+
+            if expanded_property == "@language":
+                if isinstance(value, str):
+                    if not is_well_formed_language(value):
+                        options.warnings.append(f"malformed language tag {value!r}")
+                    result["@language"] = value.lower()
+                elif frame and (value == {} or isinstance(value, list)):
+                    result["@language"] = value
+                else:
+                    raise err.InvalidLanguageTaggedString(repr(value))
+                continue
+
+            if expanded_property == "@direction":
+                if value in ("ltr", "rtl"):
+                    result["@direction"] = value
+                elif frame and (value == {} or isinstance(value, list)):
+                    result["@direction"] = value
+                else:
+                    raise err.InvalidBaseDirection(repr(value))
+                continue
+
+            if expanded_property == "@index":
+                if not isinstance(value, str):
+                    raise err.InvalidIndexValue(repr(value))
+                result["@index"] = value
+                continue
+
+            if expanded_property == "@list":
+                if active_property in (None, "@graph"):
+                    continue  # free-floating list dropped
+                lst = expand(value, active_property, active_context, options)
+                lst = lst if isinstance(lst, list) else [lst]
+                result["@list"] = [v for v in lst if v is not None]
+                continue
+
+            if expanded_property == "@set":
+                exp = expand(value, active_property, active_context, options)
+                result["@set"] = exp if isinstance(exp, list) else (
+                    [] if exp is None else [exp]
+                )
+                continue
+
+            if expanded_property == "@graph":
+                exp = expand(value, "@graph", active_context, options)
+                exp = exp if isinstance(exp, list) else [exp]
+                result["@graph"] = [v for v in exp if v is not None]
+                continue
+
+            if expanded_property == "@reverse":
+                if not isinstance(value, dict):
+                    raise err.InvalidReverseValue(repr(value))
+                expanded = expand(value, "@reverse", active_context, options)
+                if isinstance(expanded, dict) and "@reverse" in expanded:
+                    # double reverse → forward
+                    for prop, items in expanded["@reverse"].items():
+                        _add_value(result, prop, items)
+                if isinstance(expanded, dict):
+                    rev = result.setdefault("@reverse", {})
+                    for prop, items in expanded.items():
+                        if prop == "@reverse":
+                            continue
+                        for item in items:
+                            if isinstance(item, dict) and (
+                                "@value" in item or "@list" in item
+                            ):
+                                raise err.InvalidReversePropertyValue(prop)
+                            _add_value(rev, prop, item)
+                continue
+
+            if expanded_property == "@nest":
+                nests.append(key)
+                continue
+
+            if expanded_property == "@annotation":
+                # RDF-star; out of MVP scope (reference gates on rdfstar flag)
+                raise err.InvalidAnnotation(key)
+
+            if frame and expanded_property in (
+                "@default",
+                "@embed",
+                "@explicit",
+                "@omitDefault",
+                "@requireAll",
+                "@preserve",
+            ):
+                exp = expand(value, expanded_property, active_context, options)
+                result[expanded_property] = exp
+                continue
+
+            # other keywords with unrecognized placement are ignored
+            continue
+
+        # --- non-keyword property -------------------------------------------
+        key_td = active_context.term(key)
+        container = key_td.container_mapping if key_td else frozenset()
+
+        if key_td is not None and key_td.type_mapping == "@json":
+            expanded_value = {"@value": value, "@type": "@json"}
+        elif "@language" in container and isinstance(value, dict):
+            expanded_value = _expand_language_map(
+                value, key_td, active_context, options
+            )
+        elif (
+            container & {"@index", "@type", "@id"}
+            and isinstance(value, dict)
+        ):
+            expanded_value = _expand_index_map(
+                key, value, key_td, container, active_context, options
+            )
+        else:
+            expanded_value = expand(value, key, active_context, options)
+
+        if expanded_value is None:
+            continue
+
+        if "@list" in container and not (
+            isinstance(expanded_value, dict) and "@list" in expanded_value
+        ):
+            ev = (
+                expanded_value
+                if isinstance(expanded_value, list)
+                else [expanded_value]
+            )
+            expanded_value = {"@list": ev}
+
+        if "@graph" in container and not (container & {"@id", "@index"}):
+            ev = expanded_value if isinstance(expanded_value, list) else [expanded_value]
+            expanded_value = [
+                v if isinstance(v, dict) and set(v) <= {"@graph", "@index"} and "@graph" in v
+                else {"@graph": v if isinstance(v, list) else [v]}
+                for v in ev
+            ]
+
+        if key_td is not None and key_td.reverse_property:
+            rev = result.setdefault("@reverse", {})
+            ev = expanded_value if isinstance(expanded_value, list) else [expanded_value]
+            for item in ev:
+                if isinstance(item, dict) and ("@value" in item or "@list" in item):
+                    raise err.InvalidReversePropertyValue(key)
+                _add_value(rev, expanded_property, item)
+        else:
+            _add_value(result, expanded_property, expanded_value)
+
+    # step 14: process nested values
+    for nest_key in nests:
+        nested_values = element[nest_key]
+        nvs = nested_values if isinstance(nested_values, list) else [nested_values]
+        for nv in nvs:
+            if not isinstance(nv, dict) or any(
+                active_context.expand_iri(k, vocab=True) == "@value" for k in nv
+            ):
+                raise err.InvalidNestValue(repr(nv))
+            _expand_object(
+                nv,
+                active_property,
+                active_context,
+                result,
+                [],
+                input_type,
+                options,
+            )
+
+
+def _is_node_object(v) -> bool:
+    return isinstance(v, dict) and "@value" not in v and "@list" not in v and "@set" not in v
+
+
+def _expand_language_map(value: dict, td, active_context: Context, options):
+    """@container: @language (expand.rb:642-672)."""
+    result = []
+    direction = (
+        td.direction_mapping
+        if td is not None and td.direction_mapping is not UNSET
+        else active_context.default_direction
+    )
+    for lang in _keys(value, options.ordered):
+        items = value[lang]
+        items = items if isinstance(items, list) else [items]
+        exp_lang = active_context.expand_iri(lang, vocab=True)
+        for item in items:
+            if item is None:
+                continue
+            if not isinstance(item, str):
+                raise err.InvalidLanguageMapValue(repr(item))
+            if not is_well_formed_language(lang) and exp_lang != "@none":
+                options.warnings.append(f"malformed language tag {lang!r}")
+            v: dict[str, Any] = {"@value": item}
+            if exp_lang != "@none":
+                v["@language"] = lang.lower()
+            if direction:
+                v["@direction"] = direction
+            result.append(v)
+    return result
+
+
+def _expand_index_map(key, value, td, container, active_context: Context, options):
+    """@container ∩ {@index,@id,@type} maps (expand.rb:673-753)."""
+    result = []
+    index_key = (td.index_mapping if td else None) or "@index"
+    as_graph = "@graph" in container
+    for index in _keys(value, options.ordered):
+        items = value[index]
+        map_context = active_context
+        if container & {"@id", "@type"}:
+            # id/type maps may revert to previous context per item handled by
+            # from_map; for @type, the index term's scoped context applies
+            if "@type" in container:
+                itd = active_context.term(index)
+                if itd is not None and itd.local_context is not UNSET:
+                    map_context = active_context.parse(
+                        itd.local_context, base_url=itd.base_url
+                    )
+        expanded_index = active_context.expand_iri(index, vocab=True)
+        items = items if isinstance(items, list) else [items]
+        expanded_items = expand(items, key, map_context, options, from_map=True)
+        expanded_items = (
+            expanded_items if isinstance(expanded_items, list) else [expanded_items]
+        )
+        for item in expanded_items:
+            if item is None:
+                continue
+            if as_graph and not ("@graph" in item and set(item) <= {"@graph", "@index"}):
+                item = {"@graph": item if isinstance(item, list) else [item]}
+            if "@index" in container and expanded_index != "@none":
+                if index_key != "@index":
+                    # property-valued index (@index: prop)
+                    idx_prop = active_context.expand_iri(index_key, vocab=True)
+                    reexp = active_context.expand_value(index_key, index)
+                    item = dict(item)
+                    prev = item.get(idx_prop, [])
+                    item[idx_prop] = [reexp] + (
+                        prev if isinstance(prev, list) else [prev]
+                    )
+                elif isinstance(item, dict) and "@index" not in item:
+                    item = dict(item)
+                    item["@index"] = index
+            elif "@id" in container and expanded_index != "@none":
+                if "@id" not in item:
+                    item = dict(item)
+                    item["@id"] = active_context.expand_iri(
+                        index, document_relative=True, base=options.base
+                    )
+            elif "@type" in container and expanded_index != "@none":
+                item = dict(item)
+                prev = item.get("@type", [])
+                prev = prev if isinstance(prev, list) else [prev]
+                item["@type"] = [expanded_index] + prev
+            result.append(item)
+    return result
+
+
+def expand_document(
+    doc,
+    context=None,
+    base: str | None = None,
+    cache=None,
+    expand_context=None,
+    ordered: bool = False,
+    frame_expansion: bool = False,
+    processing_mode: str = "json-ld-1.1",
+) -> list:
+    """Top-level API.expand equivalent (reference api.rb:183-208).
+
+    ``doc`` is a parsed JSON value; returns the expanded array form.
+    """
+    from .context import Context, ContextCache
+
+    ctx = Context(base=base, processing_mode=processing_mode, cache=cache or ContextCache())
+    if expand_context is not None:
+        ec = expand_context
+        if isinstance(ec, dict) and "@context" in ec:
+            ec = ec["@context"]
+        ctx = ctx.parse(ec, base_url=base)
+    if context is not None:
+        ctx = ctx.parse(context, base_url=base)
+    options = ExpandOptions(ordered=ordered, frame_expansion=frame_expansion, base=base)
+    expanded = expand(doc, None, ctx, options)
+    if isinstance(expanded, dict) and list(expanded) == ["@graph"]:
+        expanded = expanded["@graph"]
+    if expanded is None:
+        return []
+    return expanded if isinstance(expanded, list) else [expanded]

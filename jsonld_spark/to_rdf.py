@@ -1,0 +1,235 @@
+"""JSON-LD 1.1 → RDF quads ("Deserialize JSON-LD to RDF").
+
+From-scratch implementation of the W3C algorithm
+(https://www.w3.org/TR/json-ld11-api/#deserialize-json-ld-to-rdf-algorithm);
+capability parity with /root/reference/lib/json/ld/to_rdf.rb:19-193 and
+api.rb:526-563 (statement filtering).
+
+Output is a flat list of :class:`~jsonld_spark.rdf_model.Quad` — the
+exact row shape of the Spark ``triples`` DataFrame.  The pipeline calls
+:func:`doc_to_quads` once per document inside a pandas UDF and explodes
+the result (SURVEY.md §2.5: the UDF→REL boundary).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .context import ContextCache
+from .expand import expand_document
+from .flatten import BlankNodeNamer, node_map_from_expanded
+from .iri import is_absolute_iri
+from .rdf_model import (
+    RDF_DIRECTION,
+    RDF_FIRST,
+    RDF_JSON,
+    RDF_LANGSTRING,
+    RDF_LANGUAGE,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    RDF_VALUE,
+    XSD_BOOLEAN,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    XSD_STRING,
+    I18N_NS,
+    Quad,
+    canonical_double,
+    canonical_integer,
+    is_bnode,
+    jcs_canonicalize,
+)
+
+
+def _valid_resource(term: str) -> bool:
+    return is_bnode(term) or is_absolute_iri(term)
+
+
+class _RdfEmitter:
+    def __init__(
+        self,
+        namer: BlankNodeNamer,
+        rdf_direction: str | None = None,
+        produce_generalized_rdf: bool = False,
+    ):
+        self.namer = namer
+        self.rdf_direction = rdf_direction
+        self.produce_generalized_rdf = produce_generalized_rdf
+        self.quads: list[Quad] = []
+
+    # -- Object to RDF Conversion -------------------------------------------
+
+    def object_to_term(self, item: dict, graph_name):
+        """Returns (obj, is_literal, datatype, lang) or None if invalid."""
+        if "@value" in item:
+            return self.value_to_literal(item, graph_name)
+        if "@list" in item:
+            head = self.parse_list(item["@list"], graph_name)
+            return (head, False, None, None)
+        id_ = item.get("@id")
+        if not isinstance(id_, str) or not _valid_resource(id_):
+            return None
+        return (id_, False, None, None)
+
+    def value_to_literal(self, item: dict, graph_name):
+        value = item["@value"]
+        datatype = item.get("@type")
+        if datatype == "@json":
+            datatype = RDF_JSON
+
+        if isinstance(value, bool):
+            lex = "true" if value else "false"
+            if datatype is None:
+                datatype = XSD_BOOLEAN
+            elif datatype == RDF_JSON:
+                lex = jcs_canonicalize(value)
+            return (lex, True, datatype, None)
+
+        if isinstance(value, (int, float)):
+            if datatype == RDF_JSON:
+                return (jcs_canonicalize(value), True, datatype, None)
+            # double iff fractional bits, ≥1e21, or forced (to_rdf.rb:42)
+            as_double = (
+                (isinstance(value, float) and (value != int(value)))
+                or abs(value) >= 1e21
+                or datatype == XSD_DOUBLE
+            )
+            if as_double:
+                lex = canonical_double(value)
+                if datatype is None:
+                    datatype = XSD_DOUBLE
+            else:
+                lex = canonical_integer(value)
+                if datatype is None:
+                    datatype = XSD_INTEGER
+            return (lex, True, datatype, None)
+
+        if isinstance(value, (list, dict)):
+            # only valid for rdf:JSON
+            return (jcs_canonicalize(value), True, RDF_JSON, None)
+
+        # string value
+        if "@direction" in item and self.rdf_direction:
+            if self.rdf_direction == "i18n-datatype":
+                dt = (
+                    I18N_NS
+                    + item.get("@language", "").lower()
+                    + "_"
+                    + item["@direction"]
+                )
+                return (str(value), True, dt, None)
+            if self.rdf_direction == "compound-literal":
+                cl = self.namer.get_name()
+                self.emit(cl, RDF_VALUE, str(value), True, XSD_STRING, None, graph_name)
+                if "@language" in item:
+                    self.emit(
+                        cl,
+                        RDF_LANGUAGE,
+                        item["@language"].lower(),
+                        True,
+                        XSD_STRING,
+                        None,
+                        graph_name,
+                    )
+                self.emit(
+                    cl, RDF_DIRECTION, item["@direction"], True, XSD_STRING, None, graph_name
+                )
+                return (cl, False, None, None)
+
+        if datatype == RDF_JSON:
+            return (jcs_canonicalize(value), True, datatype, None)
+        if datatype is None:
+            if "@language" in item:
+                return (str(value), True, RDF_LANGSTRING, item["@language"])
+            datatype = XSD_STRING
+        if datatype == RDF_LANGSTRING and "@language" in item:
+            return (str(value), True, datatype, item["@language"])
+        return (str(value), True, datatype, None)
+
+    # -- List Conversion (to_rdf.rb:167-187) --------------------------------
+
+    def parse_list(self, items: list, graph_name) -> str:
+        if not items:
+            return RDF_NIL
+        head = self.namer.get_name()
+        current = head
+        for i, entry in enumerate(items):
+            term = self.object_to_term(entry, graph_name)
+            if term is not None:
+                obj, lit, dt, lang = term
+                self.emit(current, RDF_FIRST, obj, lit, dt, lang, graph_name)
+            rest = self.namer.get_name() if i < len(items) - 1 else RDF_NIL
+            self.emit(current, RDF_REST, rest, False, None, None, graph_name)
+            current = rest
+        return head
+
+    def emit(self, s, p, o, lit, dt, lang, g):
+        self.quads.append(Quad(s, p, o, lit, dt, lang, g))
+
+    # -- node emission -------------------------------------------------------
+
+    def node_to_quads(self, id_: str, node: dict, graph_name) -> None:
+        if not _valid_resource(id_):
+            return
+        for prop in sorted(node):
+            values = node[prop]
+            if prop == "@type":
+                for t in values:
+                    if isinstance(t, str) and _valid_resource(t):
+                        self.emit(id_, RDF_TYPE, t, False, None, None, graph_name)
+                continue
+            if prop.startswith("@"):
+                continue
+            if is_bnode(prop) and not self.produce_generalized_rdf:
+                continue  # api.rb:551-553
+            if not _valid_resource(prop):
+                continue
+            for item in values:
+                term = self.object_to_term(item, graph_name)
+                if term is None:
+                    continue
+                obj, lit, dt, lang = term
+                self.emit(id_, prop, obj, lit, dt, lang, graph_name)
+
+
+def expanded_to_quads(
+    expanded,
+    rdf_direction: str | None = None,
+    produce_generalized_rdf: bool = False,
+) -> list[Quad]:
+    node_map, namer = node_map_from_expanded(expanded)
+    emitter = _RdfEmitter(namer, rdf_direction, produce_generalized_rdf)
+    for graph_name in sorted(node_map):
+        g = None if graph_name == "@default" else graph_name
+        if g is not None and not _valid_resource(g):
+            continue
+        graph = node_map[graph_name]
+        for id_ in sorted(graph):
+            emitter.node_to_quads(id_, graph[id_], g)
+    return emitter.quads
+
+
+def doc_to_quads(
+    doc,
+    base: str | None = None,
+    cache: ContextCache | None = None,
+    expand_context=None,
+    rdf_direction: str | None = None,
+    produce_generalized_rdf: bool = False,
+    processing_mode: str = "json-ld-1.1",
+) -> list[Quad]:
+    """Full toRdf path for one parsed JSON document
+    (reference api.rb:526-563)."""
+    expanded = expand_document(
+        doc,
+        base=base,
+        cache=cache,
+        expand_context=expand_context,
+        processing_mode=processing_mode,
+    )
+    return expanded_to_quads(
+        expanded,
+        rdf_direction=rdf_direction,
+        produce_generalized_rdf=produce_generalized_rdf,
+    )
