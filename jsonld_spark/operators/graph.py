@@ -1,0 +1,127 @@
+"""Distributed graph operators: connected components for sameAs merge.
+
+The reference has no cross-document operations at all; entity linking is
+new engineering required by the north rule (SURVEY.md §4 item 2).
+Hand-rolled (no GraphFrames dependency): min-label propagation with
+pointer jumping, which converges in O(log diameter) rounds, with
+``localCheckpoint`` per round to truncate lineage.  Mega-component skew
+on the ``groupBy(id)`` min is left to AQE skew handling plus the
+two-stage partial aggregation Spark already performs for ``min``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+OWL_SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
+SCHEMA_SAME_AS = "http://schema.org/sameAs"
+SAME_AS_PREDICATES = (OWL_SAME_AS, SCHEMA_SAME_AS, "https://schema.org/sameAs")
+
+
+def sameas_edges(triples: DataFrame) -> DataFrame:
+    """Alias edges from the triples table: (src, dst) where pred is a
+    sameAs predicate and the object is a resource."""
+    return (
+        triples.filter(
+            F.col("pred").isin(*SAME_AS_PREDICATES) & ~F.col("obj_is_literal")
+        )
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """→ DataFrame(id, comp): every vertex labeled with the lexicographic
+    minimum IRI of its component (the canonical representative)."""
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.repartition("a").localCheckpoint()
+
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # 1. neighbor-min message passing
+        msgs = sym.join(labels, sym.a == labels.id).select(
+            F.col("b").alias("id"), F.col("comp")
+        )
+        new_labels = (
+            labels.select("id", "comp")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # 2. pointer jumping: comp ← comp(comp), halves chain length
+        jump = new_labels.select(
+            F.col("id").alias("jid"), F.col("comp").alias("jcomp")
+        )
+        new_labels = (
+            new_labels.join(jump, new_labels.comp == jump.jid, "left")
+            .select(
+                "id", F.coalesce("jcomp", "comp").alias("comp")
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_mapping(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """→ DataFrame(iri, canon) for IRIs whose canonical form differs."""
+    labels = connected_components(edges, max_iter=max_iter)
+    return labels.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("iri"), F.col("comp").alias("canon")
+    )
+
+
+def link_entities(
+    triples: DataFrame,
+    mapping: DataFrame,
+    broadcast_threshold: int = 10_000_000,
+) -> DataFrame:
+    """Rewrite subj/obj through the canonical-IRI mapping.
+
+    The mapping (alias table) is small relative to the triples at crawl
+    scale → broadcast join (north-star requirement); falls back to a
+    shuffle join above the threshold.
+    """
+    n = mapping.count()
+    m = F.broadcast(mapping) if n <= broadcast_threshold else mapping
+
+    subj_map = m.select(
+        F.col("iri").alias("s_iri"), F.col("canon").alias("s_canon")
+    )
+    obj_map = m.select(F.col("iri").alias("o_iri"), F.col("canon").alias("o_canon"))
+
+    out = (
+        triples.join(subj_map, triples.subj == subj_map.s_iri, "left")
+        .join(
+            obj_map,
+            (~triples.obj_is_literal) & (triples.obj == obj_map.o_iri),
+            "left",
+        )
+        .withColumn("subj", F.coalesce("s_canon", "subj"))
+        .withColumn("obj", F.coalesce("o_canon", "obj"))
+        .drop("s_iri", "s_canon", "o_iri", "o_canon")
+    )
+    return out

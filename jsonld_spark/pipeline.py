@@ -1,0 +1,212 @@
+"""End-to-end KG-construction pipeline: pages → triples (north rule).
+
+Stages (SURVEY.md §3.1 re-trace):
+
+1. scan ``pages(url, warc_ts, html, text, lang)`` — column pruning means
+   only (url, html) are read for extraction;
+2. fused pandas stage (udfs.make_pages_to_triples): extract ld+json →
+   expand → node map → emit quads → salt bnodes; ONE Arrow crossing per
+   document;
+3. deterministic bucketing ``part_id = pmod(xxhash64(url), N)`` — the
+   salted shuffle key (url-hash, NOT subject) so mega-domain subject
+   skew cannot concentrate a partition;
+4. optional sameAs entity linking (broadcast alias join + connected
+   components, operators.graph);
+5. partitioned write + per-partition lineage rows → idempotent resume
+   (completed buckets are skipped; dynamic partition overwrite makes
+   bucket re-runs exactly-once).
+
+Executors never touch the network: remote contexts come only from the
+broadcast cache dict (north-star requirement).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .udfs import TRIPLES_SCHEMA, make_pages_to_triples
+
+LINEAGE_COLS = [
+    "run_id",
+    "part_id",
+    "url_min",
+    "url_max",
+    "context_cache_version",
+    "triple_count",
+    "error_count",
+    "status",
+]
+
+
+def default_session(
+    cores: int | str = "*",
+    shuffle_partitions: int = 32,
+    app_name: str = "jsonld_spark",
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class KGPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cache_entries: dict | None = None,
+        cache_version: str = "v1",
+        rdf_direction: str | None = None,
+        num_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.cache_version = cache_version
+        self.rdf_direction = rdf_direction
+        self.num_buckets = num_buckets
+        self.cache_bc = (
+            spark.sparkContext.broadcast(cache_entries) if cache_entries else None
+        )
+
+    # -- stage 2: fused extraction ------------------------------------------
+
+    def extract(self, pages: DataFrame) -> DataFrame:
+        """pages → (url, subj, …, graph, error) — triple rows + error rows."""
+        fn = make_pages_to_triples(
+            self.cache_bc, self.cache_version, self.rdf_direction
+        )
+        # column pruning: only url+html cross the Arrow boundary
+        return pages.select("url", "html").mapInPandas(fn, TRIPLES_SCHEMA)
+
+    def triples(self, pages: DataFrame) -> DataFrame:
+        return self.extract(pages).filter(F.col("error").isNull()).drop("error")
+
+    def errors(self, pages: DataFrame) -> DataFrame:
+        return (
+            self.extract(pages)
+            .filter(F.col("error").isNotNull())
+            .select("url", "error")
+        )
+
+    # -- stage 3: deterministic bucketing ------------------------------------
+
+    def with_bucket(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        return df.withColumn(
+            "part_id", F.pmod(F.xxhash64(F.col(url_col)), F.lit(self.num_buckets))
+        )
+
+    # -- stage 4: entity linking ---------------------------------------------
+
+    def linked_triples(self, triples: DataFrame, max_iter: int = 25) -> DataFrame:
+        from .operators.graph import canonical_mapping, link_entities, sameas_edges
+
+        edges = sameas_edges(triples)
+        mapping = canonical_mapping(edges, max_iter=max_iter)
+        return link_entities(triples, mapping)
+
+    # -- stage 5: partitioned write + lineage + resume -----------------------
+
+    def _lineage_path(self, out_dir: str) -> str:
+        return os.path.join(out_dir, "_lineage")
+
+    def completed_buckets(self, out_dir: str) -> set[int]:
+        path = self._lineage_path(out_dir)
+        try:
+            lin = self.spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — first run, no lineage yet
+            return set()
+        rows = (
+            lin.filter(
+                (F.col("status") == "complete")
+                & (F.col("context_cache_version") == self.cache_version)
+            )
+            .select("part_id")
+            .distinct()
+            .collect()
+        )
+        return {r.part_id for r in rows}
+
+    def run(
+        self,
+        pages: DataFrame,
+        out_dir: str,
+        run_id: str = "run-0",
+        resume: bool = True,
+        link_entities: bool = False,
+    ) -> dict:
+        """Execute the pipeline; returns run stats."""
+        t0 = time.time()
+        pages_b = self.with_bucket(pages)
+        skipped = 0
+        if resume:
+            done = self.completed_buckets(out_dir)
+            if done:
+                skipped = len(done)
+                pages_b = pages_b.filter(~F.col("part_id").isin(*done))
+
+        raw = self.extract(pages_b.drop("part_id"))
+        # re-derive bucket from url post-UDF (deterministic — avoids
+        # shipping part_id through the Arrow boundary)
+        raw = self.with_bucket(raw)
+
+        triples = raw.filter(F.col("error").isNull()).drop("error")
+        if link_entities:
+            triples = self.linked_triples(triples)
+            triples = self.with_bucket(triples.drop("part_id"))
+
+        triples_path = os.path.join(out_dir, "triples")
+        (
+            triples.repartition("part_id")
+            .sortWithinPartitions("subj", "pred")
+            .write.mode("overwrite")
+            .partitionBy("part_id")
+            .parquet(triples_path)
+        )
+
+        written = self.spark.read.parquet(triples_path)
+        err_rows = raw.filter(F.col("error").isNotNull())
+        lineage = (
+            raw.groupBy("part_id")
+            .agg(
+                F.min("url").alias("url_min"),
+                F.max("url").alias("url_max"),
+                F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias(
+                    "triple_count"
+                ),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                    "error_count"
+                ),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("context_cache_version", F.lit(self.cache_version))
+            .withColumn("status", F.lit("complete"))
+            .select(*LINEAGE_COLS)
+        )
+        lineage.write.mode("append").parquet(self._lineage_path(out_dir))
+
+        n_triples = written.count()
+        n_errors = err_rows.count()
+        return {
+            "run_id": run_id,
+            "seconds": time.time() - t0,
+            "triples": n_triples,
+            "errors": n_errors,
+            "skipped_buckets": skipped,
+            "out": triples_path,
+        }

@@ -1,0 +1,262 @@
+"""Deterministic synthetic Common-Crawl-style ``pages`` table.
+
+Shape fixed by BASELINE.json ``input_hint``:
+``pages(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)``.
+
+Generation follows FIXTURES.md §1-2: skew-realistic URLs (~30% of rows
+on a handful of mega-domains, exercising subject-key salting), 0-3
+embedded ld+json blocks per page drawn from the JSON-LD 1.1 feature
+templates, ``<base href>`` pages, ~2% malformed-JSON scripts, ~1%
+unresolvable remote contexts (executor must emit an error row, never
+fetch), plus cross-page sameAs links driving the entity-linking pass.
+
+Pure pyarrow writer (no Spark needed) so tests and bench can materialize
+any scale quickly and reproducibly (seeded RNG, no wall-clock reads).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import random
+
+FIXTURE_CTX_V1 = "https://fixture.example/ctx/v1"
+FIXTURE_CTX_PRODUCT = "https://fixture.example/ctx/product"
+FIXTURE_CTX_SCOPED = "https://fixture.example/ctx/scoped"
+ABSENT_CTX = "https://absent.example/ctx"
+
+VOCAB = "http://vocab.example/"
+SAME_AS = "http://schema.org/sameAs"
+
+MEGA_DOMAINS = [f"https://mega{i}.example.com" for i in range(5)]
+
+
+def build_context_cache_entries() -> dict[str, dict]:
+    """Fixture remote contexts (broadcast to executors; FIXTURES.md §4)."""
+    return {
+        FIXTURE_CTX_V1: {
+            "@context": {
+                "@vocab": VOCAB,
+                "name": VOCAB + "name",
+                "knows": {"@id": VOCAB + "knows", "@type": "@id"},
+                "age": {"@id": VOCAB + "age"},
+            }
+        },
+        FIXTURE_CTX_PRODUCT: {
+            "@context": {
+                "@vocab": "http://schema.org/",
+                "price": {
+                    "@id": "http://schema.org/price",
+                    "@type": "http://www.w3.org/2001/XMLSchema#double",
+                },
+                "sameAs": {"@id": "http://schema.org/sameAs", "@type": "@id"},
+            }
+        },
+        FIXTURE_CTX_SCOPED: {
+            "@context": {
+                "@protected": True,
+                "@vocab": VOCAB,
+                "Person": {
+                    "@id": VOCAB + "Person",
+                    "@context": {"name": "http://person.example/name"},
+                },
+            }
+        },
+    }
+
+
+def _person_inline(rng: random.Random, ent: str) -> dict:
+    return {
+        "@context": {
+            "@vocab": VOCAB,
+            "knows": {"@id": VOCAB + "knows", "@type": "@id"},
+        },
+        "@id": ent,
+        "@type": "Person",
+        "name": f"Person {rng.randrange(10_000)}",
+        "age": rng.randrange(18, 99),
+        "address": {"street": f"{rng.randrange(999)} Main St", "zip": str(rng.randrange(99999))},
+    }
+
+
+def _product_remote(rng: random.Random, ent: str) -> dict:
+    return {
+        "@context": FIXTURE_CTX_PRODUCT,
+        "@id": ent,
+        "@type": "Product",
+        "name": f"Widget {rng.randrange(10_000)}",
+        "price": round(rng.uniform(0.5, 500.0), 2),
+    }
+
+
+def _article_list(rng: random.Random, ent: str) -> dict:
+    return {
+        "@context": {
+            "@vocab": VOCAB,
+            "authors": {"@id": VOCAB + "authors", "@container": "@list"},
+        },
+        "@id": ent,
+        "@type": "Article",
+        "authors": [f"Author {rng.randrange(50)}" for _ in range(rng.randrange(1, 4))],
+    }
+
+
+def _lang_map(rng: random.Random, ent: str) -> dict:
+    return {
+        "@context": {
+            "@vocab": VOCAB,
+            "label": {"@id": VOCAB + "label", "@container": "@language"},
+        },
+        "@id": ent,
+        "label": {"en": "color", "de": "Farbe", "ja": "色"},
+    }
+
+
+def _index_map(rng: random.Random, ent: str) -> dict:
+    return {
+        "@context": {
+            "@vocab": VOCAB,
+            "posts": {"@id": VOCAB + "posts", "@container": "@index"},
+        },
+        "@id": ent,
+        "posts": {
+            "2024": {"title": f"Post {rng.randrange(100)}"},
+            "2025": {"title": f"Post {rng.randrange(100)}"},
+        },
+    }
+
+
+def _reverse(rng: random.Random, ent: str) -> dict:
+    return {
+        "@context": {
+            "@vocab": VOCAB,
+            "children": {"@reverse": VOCAB + "parent"},
+        },
+        "@id": ent,
+        "children": [{"@id": ent + "/child"}],
+    }
+
+
+def _named_graph(rng: random.Random, ent: str) -> dict:
+    return {
+        "@context": {"@vocab": VOCAB},
+        "@id": ent + "/graph",
+        "@graph": [{"@id": ent, "claim": f"c{rng.randrange(100)}"}],
+    }
+
+
+def _edge_values(rng: random.Random, ent: str) -> dict:
+    return {
+        "@context": {
+            "@vocab": VOCAB,
+            "meta": {"@id": VOCAB + "meta", "@type": "@json"},
+        },
+        "@id": ent,
+        "ratio": rng.random(),
+        "big": 10.0 ** rng.randrange(20, 24),
+        "count": rng.randrange(1_000_000),
+        "flag": rng.random() < 0.5,
+        "meta": {"b": 1, "a": [True, None]},
+    }
+
+
+def _same_as(rng: random.Random, ent: str) -> dict:
+    # link this entity to its canonical twin on another domain
+    twin = f"https://canonical.example/entity/{abs(hash(ent)) % 1000}"
+    return {
+        "@context": FIXTURE_CTX_PRODUCT,
+        "@id": ent,
+        "@type": "Product",
+        "name": "Linked product",
+        "sameAs": twin,
+    }
+
+
+_TEMPLATES = [
+    _person_inline,
+    _product_remote,
+    _article_list,
+    _lang_map,
+    _index_map,
+    _reverse,
+    _named_graph,
+    _edge_values,
+    _same_as,
+]
+
+_LANGS = ["en", "en", "en", "de", "ja", "fr", "x!!bad"]
+
+
+def gen_page(i: int, rng: random.Random) -> tuple[str, datetime.datetime, bytes, str, str]:
+    # URL skew: ~30% mega-domains
+    if rng.random() < 0.30:
+        domain = MEGA_DOMAINS[rng.randrange(len(MEGA_DOMAINS))]
+    else:
+        domain = f"https://site-{i}.example.org"
+    url = f"{domain}/page/{i}"
+    ent = f"{domain}/entity/{i}"
+    ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i)
+    n_scripts = rng.choices([0, 1, 2, 3], weights=[5, 55, 30, 10])[0]
+    scripts = []
+    for s in range(n_scripts):
+        r = rng.random()
+        if r < 0.02:
+            body = '{"@context": {"@vocab": "http://vocab.example/", "broken": '  # malformed
+        elif r < 0.03:
+            body = json.dumps({"@context": ABSENT_CTX, "@id": ent, "p": "v"})
+        else:
+            tmpl = _TEMPLATES[rng.randrange(len(_TEMPLATES))]
+            body = json.dumps(tmpl(rng, ent if s == 0 else f"{ent}/s{s}"))
+        scripts.append(f'<script type="application/ld+json">{body}</script>')
+    base_tag = (
+        f'<base href="{domain}/base/">' if rng.random() < 0.10 else ""
+    )
+    text = f"Extracted text of page {i} on {domain}."
+    html = (
+        f"<!DOCTYPE html><html><head>{base_tag}<title>Page {i}</title>"
+        + "".join(scripts)
+        + f"</head><body><p>{text}</p></body></html>"
+    ).encode("utf-8")
+    lang = _LANGS[i % len(_LANGS)]
+    return url, ts, html, text, lang
+
+
+def generate_pages(n_rows: int, seed: int = 42):
+    """Yield page tuples deterministically."""
+    rng = random.Random(seed)
+    for i in range(n_rows):
+        yield gen_page(i, rng)
+
+
+def write_pages_parquet(path: str, n_rows: int, seed: int = 42) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for url, ts, html, text, lang in generate_pages(n_rows, seed):
+        urls.append(url)
+        tss.append(ts)
+        htmls.append(html)
+        texts.append(text)
+        langs.append(lang)
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+    return path
+
+
+def ensure_pages(path: str, n_rows: int, seed: int = 42) -> str:
+    """Materialize once; reuse across test sessions."""
+    import os
+
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        write_pages_parquet(path, n_rows, seed)
+    return path

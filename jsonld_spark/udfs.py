@@ -1,0 +1,162 @@
+"""Arrow-batched UDFs: the JVM↔Python boundary of the engine.
+
+One fused ``mapInPandas`` stage takes Common-Crawl-style page rows and
+emits triple rows: extract ld+json scripts → parse → expand → node map →
+emit quads → salt blank-node labels.  Each document crosses the Arrow
+boundary exactly once (SURVEY.md §4 item 5); everything downstream of
+this stage is relational (JVM-side, whole-stage codegen).
+
+Blank-node identity at cluster scale: doc-local labels (``_:b0``…) are
+rewritten to ``_:h<sha256(url ‖ script_index ‖ label)>`` inside the UDF.
+Deterministic given the row, so re-running a partition after failure
+produces identical triples — the idempotence the resume path relies on
+(north rule).  Replaces the reference's global mutable namer
+(/root/reference/lib/json/ld/utils.rb:283-309), which cannot exist
+cluster-wide.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Iterator
+
+from pyspark.sql import types as T
+
+from .context import ContextCache
+from .errors import JsonLdError
+from .rdf_model import Quad
+from .sources.html_jsonld import extract_jsonld
+from .to_rdf import doc_to_quads
+
+# Output schema of the fused page→triples stage.  ``error`` is NULL on
+# triple rows; error rows carry NULL subj/pred/obj.
+TRIPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("subj", T.StringType(), True),
+        T.StructField("pred", T.StringType(), True),
+        T.StructField("obj", T.StringType(), True),
+        T.StructField("obj_is_literal", T.BooleanType(), True),
+        T.StructField("obj_datatype", T.StringType(), True),
+        T.StructField("obj_lang", T.StringType(), True),
+        T.StructField("graph", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+TRIPLE_COLS = [f.name for f in TRIPLES_SCHEMA.fields]
+
+# Per-executor cache singleton: rebuilding ContextCache from the
+# broadcast dict once per python worker, not once per batch.
+_CACHE_BY_ID: dict[int, ContextCache] = {}
+
+
+def _get_cache(entries: dict | None, version: str) -> ContextCache:
+    if entries is None:
+        return ContextCache()
+    key = id(entries)
+    cache = _CACHE_BY_ID.get(key)
+    if cache is None:
+        cache = ContextCache(entries, version=version)
+        _CACHE_BY_ID.clear()  # only ever one live broadcast per job
+        _CACHE_BY_ID[key] = cache
+    return cache
+
+
+def salt_bnode(url: str, script_index: int, label: str) -> str:
+    h = hashlib.sha256(f"{url}|{script_index}|{label}".encode()).hexdigest()
+    return "_:h" + h[:24]
+
+
+def page_to_rows(
+    url: str,
+    html,
+    cache: ContextCache,
+    rdf_direction: str | None = None,
+    max_quads_per_doc: int = 100_000,
+) -> list[tuple]:
+    """All triple/error rows for one page (pure Python — unit-testable
+    without Spark)."""
+    rows: list[tuple] = []
+    if html is None:
+        return rows
+    try:
+        docs = extract_jsonld(html, url)
+    except Exception as e:  # noqa: BLE001 — malformed page must not kill executor
+        return [(url, None, None, None, None, None, None, None, f"extract: {e}")]
+    for d in docs:
+        if d.error:
+            rows.append((url, None, None, None, None, None, None, None, d.error))
+            continue
+        try:
+            doc = json.loads(d.json_text)
+            quads = doc_to_quads(
+                doc, base=d.base or url, cache=cache, rdf_direction=rdf_direction
+            )
+        except JsonLdError as e:
+            rows.append((url, None, None, None, None, None, None, None, e.code))
+            continue
+        except RecursionError:
+            rows.append(
+                (url, None, None, None, None, None, None, None, "recursion limit")
+            )
+            continue
+        except Exception as e:  # noqa: BLE001
+            rows.append((url, None, None, None, None, None, None, None, f"internal: {e}"))
+            continue
+        if len(quads) > max_quads_per_doc:
+            rows.append(
+                (url, None, None, None, None, None, None, None, "document too large")
+            )
+            continue
+        si = d.script_index
+        for q in quads:
+            s = salt_bnode(url, si, q.subj) if q.subj.startswith("_:") else q.subj
+            p = salt_bnode(url, si, q.pred) if q.pred.startswith("_:") else q.pred
+            o = (
+                salt_bnode(url, si, q.obj)
+                if (not q.obj_is_literal and q.obj.startswith("_:"))
+                else q.obj
+            )
+            g = (
+                salt_bnode(url, si, q.graph)
+                if (q.graph is not None and q.graph.startswith("_:"))
+                else q.graph
+            )
+            rows.append(
+                (url, s, p, o, q.obj_is_literal, q.obj_datatype, q.obj_lang, g, None)
+            )
+    return rows
+
+
+def make_pages_to_triples(
+    cache_bc,
+    cache_version: str = "v0",
+    rdf_direction: str | None = None,
+):
+    """Build the mapInPandas function.  ``cache_bc`` is a Spark broadcast
+    of the raw context-cache dict (url → context JSON)."""
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        entries = cache_bc.value if cache_bc is not None else None
+        cache = _get_cache(entries, cache_version)
+        for pdf in batches:
+            out: list[tuple] = []
+            urls = pdf["url"].to_numpy()
+            htmls = pdf["html"].to_numpy()
+            for url, html in zip(urls, htmls):
+                out.extend(page_to_rows(url, html, cache, rdf_direction))
+            yield pd.DataFrame(out, columns=TRIPLE_COLS)
+
+    return fn
+
+
+def rows_to_quads(rows) -> list[Quad]:
+    """Triple rows (without url/error) back into Quad tuples — test helper."""
+    return [
+        Quad(r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_datatype, r.obj_lang, r.graph)
+        for r in rows
+        if r.subj is not None
+    ]

@@ -1,0 +1,86 @@
+"""Connected components + entity linking tests."""
+
+from pyspark.sql import functions as F
+
+from jsonld_spark.operators.graph import (
+    canonical_mapping,
+    connected_components,
+    link_entities,
+    sameas_edges,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def test_cc_two_components(spark):
+    e = _edges(spark, [("b", "a"), ("c", "b"), ("y", "x"), ("z", "y")])
+    labels = {r.id: r.comp for r in connected_components(e).collect()}
+    assert labels == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_cc_long_chain(spark):
+    # chain of 200 nodes → pointer jumping must converge << 200 iters
+    pairs = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(199)]
+    e = _edges(spark, pairs)
+    labels = connected_components(e, max_iter=12)
+    comps = labels.select("comp").distinct().collect()
+    assert len(comps) == 1
+    assert comps[0].comp == "n000"
+
+
+def test_canonical_mapping_excludes_roots(spark):
+    e = _edges(spark, [("b", "a")])
+    m = {r.iri: r.canon for r in canonical_mapping(e).collect()}
+    assert m == {"b": "a"}
+
+
+def test_link_entities_rewrites(spark):
+    triples = spark.createDataFrame(
+        [
+            ("http://x/b", "http://p/knows", "http://x/c", False, None, None, None),
+            ("http://x/a", "http://p/name", "Alice", True, "http://www.w3.org/2001/XMLSchema#string", None, None),
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean, obj_datatype string, obj_lang string, graph string",
+    )
+    mapping = spark.createDataFrame(
+        [("http://x/b", "http://x/a"), ("http://x/c", "http://x/a")],
+        ["iri", "canon"],
+    )
+    out = link_entities(triples, mapping)
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("http://x/a", "http://p/knows", "http://x/a") in rows
+    assert ("http://x/a", "http://p/name", "Alice") in rows
+    # literals never rewritten even if lexically equal to an alias IRI
+    assert all(r.obj == "Alice" for r in out.collect() if r.obj_is_literal)
+
+
+def test_sameas_edges_extraction(spark):
+    triples = spark.createDataFrame(
+        [
+            ("http://x/a", "http://schema.org/sameAs", "http://y/a", False, None, None, None),
+            ("http://x/a", "http://schema.org/sameAs", "lit", True, None, None, None),
+            ("http://x/a", "http://p/other", "http://y/b", False, None, None, None),
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean, obj_datatype string, obj_lang string, graph string",
+    )
+    e = sameas_edges(triples).collect()
+    assert [(r.src, r.dst) for r in e] == [("http://x/a", "http://y/a")]
+
+
+def test_end_to_end_sameas_merge(spark):
+    from jsonld_spark.pipeline import KGPipeline
+
+    pipe = KGPipeline(spark)
+    triples = spark.createDataFrame(
+        [
+            ("http://x/b", "http://schema.org/sameAs", "http://x/a", False, None, None, None),
+            ("http://x/c", "http://schema.org/sameAs", "http://x/b", False, None, None, None),
+            ("http://x/c", "http://p/name", "C", True, "http://www.w3.org/2001/XMLSchema#string", None, None),
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean, obj_datatype string, obj_lang string, graph string",
+    )
+    out = pipe.linked_triples(triples)
+    names = out.filter(F.col("pred") == "http://p/name").collect()
+    assert names[0].subj == "http://x/a"

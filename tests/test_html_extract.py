@@ -1,0 +1,88 @@
+"""HTML ld+json extraction tests (semantics per reference api.rb:767-887)."""
+
+import json
+
+from jsonld_spark.sources.html_jsonld import (
+    extract_jsonld,
+    find_jsonld_scripts,
+    html_base_href,
+    parse_all_scripts,
+)
+
+
+HTML = """<!DOCTYPE html><html><head>
+<base href="http://base.example/sub/">
+<script type="text/javascript">var x = 1;</script>
+<script type="application/ld+json">{"@id": "a", "p": 1}</script>
+<script type="application/ld+json" id="second">[{"@id": "b"}, {"@id": "c"}]</script>
+<script type="application/ld+json;profile=http://www.w3.org/ns/json-ld#flattened">{"@id": "flat"}</script>
+</head><body></body></html>"""
+
+
+def test_find_scripts():
+    blocks = find_jsonld_scripts(HTML)
+    assert len(blocks) == 3
+    assert blocks[1].script_id == "second"
+    assert blocks[2].profile == "http://www.w3.org/ns/json-ld#flattened"
+
+
+def test_base_href():
+    assert html_base_href(HTML, "http://doc.example/x") == "http://base.example/sub/"
+    assert html_base_href("<html></html>", "http://doc.example/x") == "http://doc.example/x"
+    # relative base resolved against document url
+    assert (
+        html_base_href('<base href="rel/">', "http://doc.example/dir/x")
+        == "http://doc.example/dir/rel/"
+    )
+
+
+def test_extract_all():
+    docs = extract_jsonld(HTML, "http://doc.example/x")
+    assert len(docs) == 3
+    assert all(d.base == "http://base.example/sub/" for d in docs)
+    assert json.loads(docs[0].json_text) == {"@id": "a", "p": 1}
+
+
+def test_extract_first_only():
+    docs = extract_jsonld(HTML, "http://doc.example/x", extract_all_scripts=False)
+    assert len(docs) == 1
+    assert json.loads(docs[0].json_text)["@id"] == "a"
+
+
+def test_fragment_selection():
+    docs = extract_jsonld(HTML, "http://doc.example/x#second")
+    assert len(docs) == 1
+    assert isinstance(json.loads(docs[0].json_text), list)
+
+
+def test_fragment_missing():
+    docs = extract_jsonld(HTML, "http://doc.example/x#nope")
+    assert docs[0].error is not None
+
+
+def test_malformed_json_is_error_row():
+    html = '<script type="application/ld+json">{"broken": </script>'
+    docs = extract_jsonld(html, "http://doc.example/x")
+    assert len(docs) == 1
+    assert docs[0].error == "invalid script element"
+
+
+def test_profile_preference():
+    docs = extract_jsonld(
+        HTML,
+        "http://doc.example/x",
+        extract_all_scripts=False,
+        profile="http://www.w3.org/ns/json-ld#flattened",
+    )
+    assert json.loads(docs[0].json_text)["@id"] == "flat"
+
+
+def test_parse_all_merges_arrays():
+    merged, errors = parse_all_scripts(HTML, "http://doc.example/x")
+    assert len(merged) == 4  # 1 + 2 (array flattened) + 1
+    assert errors == []
+
+
+def test_bytes_input():
+    docs = extract_jsonld(HTML.encode("utf-8"), "http://doc.example/x")
+    assert len(docs) == 3

@@ -1,0 +1,130 @@
+"""Spark pipeline tests: pages → triples, lineage/resume, entity linking."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonld_spark.context import ContextCache
+from jsonld_spark.pipeline import KGPipeline
+from jsonld_spark.sources.pages import build_context_cache_entries
+from jsonld_spark.udfs import page_to_rows
+
+from conftest import DATA_DIR
+
+
+@pytest.fixture(scope="module")
+def pipe(spark):
+    return KGPipeline(spark, build_context_cache_entries(), cache_version="v1")
+
+
+@pytest.fixture(scope="module")
+def pages(spark, pages_path):
+    return spark.read.parquet(pages_path)
+
+
+def test_page_to_rows_pure_python():
+    cache = ContextCache(build_context_cache_entries())
+    html = (
+        '<script type="application/ld+json">'
+        '{"@context": {"@vocab": "http://v.e/"}, "@id": "http://e.com/a", '
+        '"p": "x", "child": {"q": 1}}</script>'
+    ).encode()
+    rows = page_to_rows("http://page.example/1", html, cache)
+    assert all(r[8] is None for r in rows)
+    preds = {r[2] for r in rows}
+    assert preds == {"http://v.e/p", "http://v.e/child", "http://v.e/q"}
+    # bnode got salted deterministically
+    bnodes = [r[1] for r in rows if r[1].startswith("_:")]
+    assert bnodes and all(b.startswith("_:h") for b in bnodes)
+    assert page_to_rows("http://page.example/1", html, cache) == rows
+
+
+def test_bnode_salting_unique_across_scripts():
+    cache = ContextCache()
+    body = '{"@context": {"@vocab": "http://v.e/"}, "p": {"q": "x"}, "@id": "http://e.com/a"}'
+    html = (
+        f'<script type="application/ld+json">{body}</script>'
+        f'<script type="application/ld+json">{body}</script>'
+    ).encode()
+    rows = page_to_rows("http://page.example/1", html, cache)
+    bnodes = {r[1] for r in rows if r[1] and r[1].startswith("_:")}
+    assert len(bnodes) == 2  # same doc-local label, different script salt
+
+
+def test_extract_triples(spark, pipe, pages):
+    df = pipe.extract(pages).cache()
+    n_triples = df.filter(F.col("error").isNull()).count()
+    n_errors = df.filter(F.col("error").isNotNull()).count()
+    assert n_triples > 300  # ~300 pages, most with ≥1 script
+    assert n_errors > 0  # malformed + absent-context rows exist
+    codes = {r.error for r in df.filter(F.col("error").isNotNull()).select("error").distinct().collect()}
+    assert "invalid script element" in codes
+    assert "loading remote context failed" in codes
+    df.unpersist()
+
+
+def test_no_relative_iris_in_output(spark, pipe, pages):
+    tri = pipe.triples(pages)
+    bad = tri.filter(
+        ~F.col("subj").startswith("_:") & ~F.col("subj").contains(":")
+    ).count()
+    assert bad == 0
+
+
+def test_run_lineage_and_resume(spark, pipe, pages):
+    out = os.path.join(DATA_DIR, "kg_out_test")
+    shutil.rmtree(out, ignore_errors=True)
+    stats1 = pipe.run(pages, out, run_id="r1", resume=True)
+    assert stats1["triples"] > 0
+    assert stats1["skipped_buckets"] == 0
+
+    lineage = spark.read.parquet(os.path.join(out, "_lineage"))
+    assert lineage.filter(F.col("status") == "complete").count() > 0
+    total_from_lineage = lineage.agg(F.sum("triple_count")).collect()[0][0]
+    assert total_from_lineage == stats1["triples"]
+
+    # resume: all buckets complete → everything skipped, output unchanged
+    stats2 = pipe.run(pages, out, run_id="r2", resume=True)
+    assert stats2["skipped_buckets"] > 0
+    written = spark.read.parquet(os.path.join(out, "triples"))
+    assert written.count() == stats1["triples"]
+
+
+def test_resume_after_partial_failure(spark, pipe, pages):
+    """Simulate a mid-run crash: only half the buckets got lineage rows."""
+    out = os.path.join(DATA_DIR, "kg_out_partial")
+    shutil.rmtree(out, ignore_errors=True)
+    full = pipe.run(pages, out, run_id="full", resume=False)
+
+    # drop lineage for half the buckets → those count as incomplete
+    lineage_path = os.path.join(out, "_lineage")
+    lin = spark.read.parquet(lineage_path).cache()
+    lin.count()
+    keep = lin.filter(F.col("part_id") % 2 == 0)
+    tmp = lineage_path + "_tmp"
+    keep.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(lineage_path)
+    os.rename(tmp, lineage_path)
+
+    stats = pipe.run(pages, out, run_id="resumed", resume=True)
+    assert stats["skipped_buckets"] > 0
+    written = spark.read.parquet(os.path.join(out, "triples"))
+    # idempotent completion: exactly the full count, no dupes
+    assert written.count() == full["triples"]
+
+
+def test_text_byte_identical_invariant(spark, pages, pipe):
+    """Per-row invariant (BASELINE.json:15): pipeline never rewrites text."""
+    tri = pipe.triples(pages)
+    joined = pages.join(tri.select("url").distinct(), "url", "left_semi")
+    orig = {r.url: r.text for r in pages.select("url", "text").collect()}
+    for r in joined.select("url", "text").collect():
+        assert r.text == orig[r.url]
+
+
+def test_deterministic_across_runs(spark, pipe, pages):
+    a = sorted(map(tuple, pipe.triples(pages).collect()))
+    b = sorted(map(tuple, pipe.triples(pages).collect()))
+    assert a == b
