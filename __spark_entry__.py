@@ -1,38 +1,362 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``: flagship KG-construction path — documents →
+Common-Crawl-style pages → fused JSON-LD extract/expand/toRdf UDF →
+triples DataFrame.
+
+``queries()``/``oracle_sql()``: per-operator checks.  The JSON-LD spine
+is oracle-checkable because pages are derived from ``documents`` with a
+fixed ld+json template (sources/doc_pages.py) — DuckDB can predict the
+exact triples.  Text/dedup/similarity ops use integer-scaled arithmetic
+and md5-derived hashes that are bit-identical across Spark and DuckDB.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from jsonld_spark.pipeline import KGPipeline
+from jsonld_spark.sources.doc_pages import (
+    CANON_NS,
+    DOC_NS,
+    SAME_AS,
+    VOCAB,
+    pages_from_documents,
+)
+from jsonld_spark.functions import multimodal, similarity, text as textops
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    return KGPipeline(spark).triples(pages)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _doc_triples(spark, "/root/testdata/sf0.001")
+
+
+# --- JSON-LD spine queries (full UDF path, SQL-predictable output) ----------
+
+
+def _q_jsonld_lang(spark, sf_dir):
+    t = _doc_triples(spark, sf_dir)
+    return (
+        t.filter(F.col("pred") == VOCAB + "lang")
+        .select("subj", "obj", "obj_datatype")
+        .orderBy("subj")
+    )
+
+
+def _q_jsonld_nchars(spark, sf_dir):
+    t = _doc_triples(spark, sf_dir)
+    return (
+        t.filter(F.col("pred") == VOCAB + "n_chars")
+        .select("subj", "obj", "obj_datatype")
+        .orderBy("subj")
+    )
+
+
+def _q_jsonld_types(spark, sf_dir):
+    t = _doc_triples(spark, sf_dir)
+    return (
+        t.filter(F.col("pred") == RDF_TYPE)
+        .select("subj", "obj")
+        .orderBy("subj")
+    )
+
+
+def _q_jsonld_pred_counts(spark, sf_dir):
+    t = _doc_triples(spark, sf_dir)
+    return t.groupBy("pred").agg(F.count("*").alias("n")).orderBy("pred")
+
+
+def _q_jsonld_sameas_canonical(spark, sf_dir):
+    from jsonld_spark.operators.graph import canonical_mapping, sameas_edges
+
+    t = _doc_triples(spark, sf_dir)
+    return canonical_mapping(sameas_edges(t)).orderBy("iri")
+
+
+def _q_jsonld_nquads(spark, sf_dir):
+    from jsonld_spark.operators.nquads import nquad_col
+
+    t = _doc_triples(spark, sf_dir)
+    return (
+        t.filter(F.col("pred") == VOCAB + "source")
+        .select(nquad_col().alias("nquad"))
+        .orderBy("nquad")
+    )
+
+
+# --- relational operators over driver tables --------------------------------
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = lambda c: F.expr(f"cast(round({c} * 100) as bigint)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .withColumn("qty_c", cents("l_quantity"))
+        .withColumn("price_c", cents("l_extendedprice"))
+        .withColumn(
+            "disc_price_c",
+            F.expr(
+                "cast(round(l_extendedprice * 100) as bigint) * cast(round((1 - l_discount) * 100) as bigint)"
+            ),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty_c").alias("sum_qty_x100"),
+            F.sum("price_c").alias("sum_price_x100"),
+            F.sum("disc_price_c").alias("sum_disc_price_x10000"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_top_revenue_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        li.withColumn(
+            "rev_c",
+            F.expr(
+                "cast(round(l_extendedprice * 100) as bigint) * cast(round((1 - l_discount) * 100) as bigint)"
+            ),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev_c").alias("revenue_x10000"))
+    )
+    return (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("revenue_x10000").alias("segment_revenue_x10000"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _q_events_first_per_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    )
+
+
+def _q_events_json_props(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- text / dedup / similarity / multimodal ---------------------------------
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return textops.exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_token_stats(spark, sf_dir):
+    return textops.token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return textops.quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return textops.lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return textops.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_minhash(spark, sf_dir):
+    return textops.minhash_signature(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    return textops.simhash(_docs(spark, sf_dir))
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    return textops.jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _q_minhash_candidates(spark, sf_dir):
+    return textops.minhash_candidate_pairs(_docs(spark, sf_dir))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_emb(spark, sf_dir))
+
+
+def _q_near_dup_embeddings(spark, sf_dir):
+    return similarity.near_dup_embeddings(_emb(spark, sf_dir))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    return similarity.ann_topk_lsh(_emb(spark, sf_dir))
+
+
+def _q_payload_meta(spark, sf_dir):
+    return multimodal.payload_meta(_docs(spark, sf_dir))
+
+
+def _q_multimodal_features(spark, sf_dir):
+    return multimodal.extract_features(
+        multimodal.attach_payload(_docs(spark, sf_dir))
+    ).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # JSON-LD KG-construction spine (full pandas-UDF path)
+        "jsonld_lang_triples": _q_jsonld_lang,
+        "jsonld_nchars_triples": _q_jsonld_nchars,
+        "jsonld_type_triples": _q_jsonld_types,
+        "jsonld_pred_counts": _q_jsonld_pred_counts,
+        "jsonld_sameas_canonical": _q_jsonld_sameas_canonical,
+        "jsonld_nquads": _q_jsonld_nquads,
+        # relational operators
+        "tpch_q1": _q_tpch_q1,
+        "top_revenue_join": _q_top_revenue_join,
+        "events_first_per_user": _q_events_first_per_user,
+        "events_json_props": _q_events_json_props,
+        # dedup / text analysis
+        "dedup_exact": _q_dedup_exact,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "minhash_signature": _q_minhash,
+        "simhash": _q_simhash,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_candidate_pairs": _q_minhash_candidates,
+        # similarity search
+        "cosine_topk": _q_cosine_topk,
+        "near_dup_embeddings": _q_near_dup_embeddings,
+        "ann_topk_lsh": _q_ann_lsh,
+        # multimodal plumbing
+        "payload_meta": _q_payload_meta,
+        "multimodal_features": _q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    doc_subj = "'" + DOC_NS + "' || CAST(doc_id AS VARCHAR)"
+    return {
+        "jsonld_lang_triples": f"""
+            SELECT {doc_subj} AS subj, lang AS obj, '{XSD_STRING}' AS obj_datatype
+            FROM documents ORDER BY subj""",
+        "jsonld_nchars_triples": f"""
+            SELECT {doc_subj} AS subj, CAST(n_chars AS VARCHAR) AS obj,
+                   '{XSD_INTEGER}' AS obj_datatype
+            FROM documents ORDER BY subj""",
+        "jsonld_type_triples": f"""
+            SELECT {doc_subj} AS subj, '{VOCAB}Document' AS obj
+            FROM documents ORDER BY subj""",
+        "jsonld_pred_counts": f"""
+            WITH preds AS (
+              SELECT unnest(['{RDF_TYPE}', '{VOCAB}lang', '{VOCAB}source',
+                             '{VOCAB}n_chars', '{SAME_AS}']) AS pred)
+            SELECT pred, (SELECT count(*) FROM documents) AS n
+            FROM preds ORDER BY pred""",
+        "jsonld_sameas_canonical": f"""
+            SELECT {doc_subj} AS iri,
+                   '{CANON_NS}' || CAST(doc_id % 100 AS VARCHAR) AS canon
+            FROM documents ORDER BY iri""",
+        "jsonld_nquads": f"""
+            SELECT '<{DOC_NS}' || CAST(doc_id AS VARCHAR) || '> <{VOCAB}source> "'
+                   || source || '" .' AS nquad
+            FROM documents ORDER BY nquad""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_x100,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_x100,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_x10000,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "top_revenue_join": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS revenue_x10000
+              FROM lineitem GROUP BY 1)
+            SELECT c_mktsegment,
+                   sum(revenue_x10000) AS segment_revenue_x10000,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM rev
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "events_first_per_user": """
+            WITH r AS (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, event_id ASC) AS rn
+              FROM events)
+            SELECT user_id, event_id, event_type FROM r WHERE rn = 1
+            ORDER BY user_id""",
+        "events_json_props": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   count(*) AS n,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "dedup_exact": textops.EXACT_DEDUP_SQL,
+        "token_stats": textops.TOKEN_STATS_SQL,
+        "quality_score": textops.QUALITY_SCORE_SQL,
+        "lang_id": textops.LANG_ID_SQL,
+        "fingerprint": textops.FINGERPRINT_SQL,
+        "minhash_signature": textops.MINHASH_SQL,
+        "simhash": textops.SIMHASH_SQL,
+        "jaccard_pairs": textops.jaccard_pairs_sql(),
+        "cosine_topk": similarity.cosine_topk_sql(),
+        "near_dup_embeddings": similarity.near_dup_embeddings_sql(),
+        "payload_meta": multimodal.PAYLOAD_META_SQL,
+        # minhash_candidate_pairs, ann_topk_lsh, multimodal_features:
+        # rows-only (LSH bucketing / Python feature stage not SQL-mirrored)
+    }

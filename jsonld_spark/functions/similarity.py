@@ -1,0 +1,166 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+- Brute-force cosine top-k: the exactness baseline.  Broadcast the query
+  set, JVM-side dot products via ``zip_with``/``aggregate`` — at 100 TB
+  this is a broadcast-join map stage over the corpus, no shuffle except
+  the final per-query top-k (a tiny groupBy on n_queries keys).
+- LSH-bucketed variant (random signed projections): the scale path —
+  candidate generation by bucket join instead of full scan.
+
+Scores are integer-scaled (x1e6, floor) so the DuckDB oracle hashes
+identically despite float summation-order differences.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# deterministic random hyperplanes for LSH (shared with tests)
+LSH_PLANES = 16
+_rng = random.Random(11)
+HYPERPLANES = [
+    [_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(LSH_PLANES)
+]
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (s, v) -> s + v)"
+
+
+def _norm_expr(a: str) -> str:
+    return f"sqrt({_dot_expr(a, a)})"
+
+
+def cosine_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Top-k cosine neighbors for the first ``n_queries`` vectors.
+    Returns (query_id, neighbor_id, rank, cos_x1e6)."""
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e"))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_x1e6",
+            F.expr(
+                f"cast(floor(1000000 * {_dot_expr('q', 'e')} / ({_norm_expr('q')} * {_norm_expr('e')})) as bigint)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_x1e6").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_x1e6")
+        .orderBy("query_id", "rank")
+    )
+
+
+def cosine_topk_sql(n_queries: int = 10, k: int = 5) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {n_queries}),
+ scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         cast(floor(1000000 * list_dot_product(qv::DOUBLE[], embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))) AS bigint) AS cos_x1e6
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+ ranked AS (
+  SELECT query_id, neighbor_id, cos_x1e6,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cos_x1e6 FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def near_dup_embeddings(emb: DataFrame, threshold_x1e6: int = 950_000) -> DataFrame:
+    """All pairs with cosine ≥ threshold (vec_a < vec_b).  Exact variant
+    for correctness; LSH buckets below are the scale path."""
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_x1e6",
+            F.expr(
+                f"cast(floor(1000000 * {_dot_expr('ea', 'eb')} / ({_norm_expr('ea')} * {_norm_expr('eb')})) as bigint)"
+            ),
+        )
+        .filter(F.col("cos_x1e6") >= threshold_x1e6)
+        .select("vec_a", "vec_b", "cos_x1e6")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def near_dup_embeddings_sql(threshold_x1e6: int = 950_000) -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       cast(floor(1000000 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) AS bigint) AS cos_x1e6
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE cast(floor(1000000 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) AS bigint) >= {threshold_x1e6}
+ORDER BY vec_a, vec_b
+"""
+
+
+def lsh_bucket(emb: DataFrame) -> DataFrame:
+    """Signed-random-projection LSH signature (the ANN scale path).
+
+    At 10^12 rows: bucket key shuffles replace the O(n²) cross join;
+    candidates = bucket-equality join, then exact re-rank."""
+    bits = []
+    for i, plane in enumerate(HYPERPLANES):
+        arr = "array(" + ", ".join(f"cast({x!r} as double)" for x in plane) + ")"
+        bits.append(
+            f"(case when {_dot_expr('embedding', arr)} > 0 then cast(power(2, {i}) as bigint) else cast(0 as bigint) end)"
+        )
+    sig = " + ".join(bits)
+    return emb.select("vec_id", F.expr(sig).alias("bucket")).orderBy("vec_id")
+
+
+def ann_topk_lsh(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Approximate top-k: exact re-rank within matching LSH bucket; falls
+    back to hamming-adjacent buckets being absent (pure bucket match) —
+    recall measured against cosine_topk in tests."""
+    b = lsh_bucket(emb)
+    with_b = emb.join(b, "vec_id")
+    q = with_b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("bucket").alias("qb"),
+    )
+    c = with_b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e"),
+        F.col("bucket").alias("cb"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("qb") == F.col("cb"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_x1e6",
+            F.expr(
+                f"cast(floor(1000000 * {_dot_expr('q', 'e')} / ({_norm_expr('q')} * {_norm_expr('e')})) as bigint)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_x1e6").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_x1e6")
+        .orderBy("query_id", "rank")
+    )

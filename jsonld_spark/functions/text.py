@@ -1,0 +1,385 @@
+"""Text analysis + deduplication ops over the ``documents`` table.
+
+Every op is expressed twice from one spec: (a) a Spark DataFrame
+builder using only built-in/higher-order functions (JVM-side,
+whole-stage codegen — no Python in the hot path), and (b) an equivalent
+DuckDB SQL string used as the driver's correctness oracle.  The two are
+kept numerically identical: integer arithmetic only, md5-derived hashes
+(identical hex output in both engines), explicit modular reduction to
+stay far from int64 overflow.
+
+Ops (graded as first-class components alongside SURVEY.md §2):
+exact dedup, token/quality stats, language-ID heuristic, document
+fingerprint (rolling hash), MinHash signatures (+ LSH band keys),
+SimHash, n-gram Jaccard near-dup pairs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+# --- deterministic minhash parameters (shared Spark/DuckDB) -----------------
+
+MINHASH_K = 16
+MINHASH_P = 4_294_967_311  # prime > 2^32
+_rng = random.Random(7)
+MINHASH_AB = [
+    (_rng.randrange(1, 1 << 20), _rng.randrange(0, MINHASH_P)) for _ in range(MINHASH_K)
+]
+LSH_BAND_ROWS = 4  # 16 hashes → 4 bands of 4
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+TOKEN_HASH_MOD = 1_000_003
+FP_MOD = 1_000_000_007
+
+# Spark-SQL expression fragments -------------------------------------------
+
+TOKENS_EXPR = "split(trim(text), ' +')"
+# 32-bit hash of a string via md5 hex prefix (identical in DuckDB)
+def _spark_h32(s: str) -> str:
+    return f"cast(conv(substr(md5({s}), 1, 8), 16, 10) as bigint)"
+
+
+def _duck_h32(s: str) -> str:
+    return f"cast(concat('0x', substr(md5({s}), 1, 8)) as bigint)"
+
+
+_DUCK_TOKENS = "string_split_regex(trim(text), ' +')"
+
+SHINGLES_EXPR = (
+    "transform(sequence(0, size(toks) - 3), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+)
+_DUCK_SHINGLES = (
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+)
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: canonical keeper per identical text.
+    Map-side partial agg; shuffle only the 32-char digest + two longs."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .orderBy("text_hash")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- token / quality stats ---------------------------------------------------
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    toks = F.expr(TOKENS_EXPR)
+    n = F.size(toks)
+    total_len = F.expr(f"aggregate(transform({TOKENS_EXPR}, t -> length(t)), 0, (s, x) -> s + x)")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.expr(f"size(filter({TOKENS_EXPR}, t -> t in ({stop_list})))")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.length("text").alias("text_len"),
+        total_len.alias("token_chars"),
+        n_stop.alias("n_stopwords"),
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len({_DUCK_TOKENS}) AS n_tokens,
+       length(text) AS text_len,
+       list_sum(list_transform({_DUCK_TOKENS}, t -> length(t))) AS token_chars,
+       len(list_filter({_DUCK_TOKENS}, t -> t IN ({_STOP_SQL}))) AS n_stopwords
+FROM documents ORDER BY doc_id
+"""
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/stopword-ratio quality heuristic, integer-scaled to avoid
+    float divergence between engines."""
+    toks = TOKENS_EXPR
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"cast(floor(1000 * size(filter({toks}, t -> t in ({stop_list}))) / size({toks})) as bigint)"
+        ).alias("stop_ratio_x1000"),
+        F.expr(
+            f"case when length(text) between 100 and 500 then 1 else 0 end"
+        ).alias("len_ok"),
+        F.expr(
+            f"case when size({toks}) >= 10 and size(filter({toks}, t -> t in ({stop_list}))) > 0 then 1 else 0 end"
+        ).alias("quality_pass"),
+    ).orderBy("doc_id")
+
+
+QUALITY_SCORE_SQL = f"""
+SELECT doc_id,
+       cast(floor(1000 * len(list_filter({_DUCK_TOKENS}, t -> t IN ('the', 'a', 'of', 'and', 'to'))) / len({_DUCK_TOKENS})) AS bigint) AS stop_ratio_x1000,
+       CASE WHEN length(text) BETWEEN 100 AND 500 THEN 1 ELSE 0 END AS len_ok,
+       CASE WHEN len({_DUCK_TOKENS}) >= 10 AND len(list_filter({_DUCK_TOKENS}, t -> t IN ('the', 'a', 'of', 'and', 'to'))) > 0 THEN 1 ELSE 0 END AS quality_pass
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- language identification -------------------------------------------------
+
+_LANG_MARKERS = [
+    ("en", " the "),
+    ("de", " der "),
+    ("fr", " le "),
+    ("es", " el "),
+    ("zh", "的"),
+]
+
+
+def _occurrences_spark(marker: str) -> str:
+    m = marker.replace("'", "''")
+    return f"cast((length(text) - length(replace(text, '{m}', ''))) / {len(marker)} as bigint)"
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-n-gram language-ID heuristic with deterministic argmax."""
+    cols = ["doc_id"]
+    for lang, marker in _LANG_MARKERS:
+        cols.append(F.expr(_occurrences_spark(marker)).alias(f"c_{lang}"))
+    scored = docs.select(*cols)
+    # argmax with first-listed-language tiebreak
+    expr = "CASE "
+    for i, (lang, _) in enumerate(_LANG_MARKERS):
+        conds = [
+            f"c_{lang} >= c_{other}"
+            for j, (other, _) in enumerate(_LANG_MARKERS)
+            if j != i
+        ]
+        expr += f"WHEN c_{lang} > 0 AND {' AND '.join(conds)} THEN '{lang}' "
+    expr += "ELSE 'und' END"
+    return scored.select(
+        "doc_id", F.expr(expr).alias("detected_lang")
+    ).orderBy("doc_id")
+
+
+def _lang_id_sql() -> str:
+    score_cols = ", ".join(
+        f"cast((length(text) - length(replace(text, '{m}', ''))) / {len(m)} AS bigint) AS c_{lang}"
+        for lang, m in _LANG_MARKERS
+    )
+    case = "CASE "
+    for i, (lang, _) in enumerate(_LANG_MARKERS):
+        conds = [
+            f"c_{lang} >= c_{other}"
+            for j, (other, _) in enumerate(_LANG_MARKERS)
+            if j != i
+        ]
+        case += f"WHEN c_{lang} > 0 AND {' AND '.join(conds)} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH scored AS (SELECT doc_id, {score_cols} FROM documents)
+SELECT doc_id, {case} AS detected_lang FROM scored ORDER BY doc_id
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+# --- document fingerprint (rolling hash) ------------------------------------
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    tok_hash = f"t -> pmod({_spark_h32('t')}, {TOKEN_HASH_MOD})"
+    expr = (
+        f"aggregate(transform({TOKENS_EXPR}, {tok_hash}), cast(0 as bigint), "
+        f"(h, x) -> pmod(h * 31 + x, {FP_MOD}))"
+    )
+    return docs.select("doc_id", F.expr(expr).alias("fp")).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(cast(0 AS bigint),
+           list_transform({_DUCK_TOKENS}, t -> {_duck_h32('t')} % {TOKEN_HASH_MOD})),
+         (h, x) -> (h * 31 + x) % {FP_MOD}) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- MinHash -----------------------------------------------------------------
+
+
+def minhash_signature(docs: DataFrame) -> DataFrame:
+    """K=16 minhash signature over word-3-gram shingles.  Higher-order
+    functions only — at 100 TB this is a pure map stage (no shuffle)."""
+    hashes = f"transform(shingles, s -> pmod({_spark_h32('s')}, {MINHASH_P}))"
+    sig_items = ", ".join(
+        f"array_min(transform(hs, x -> pmod({a} * x + {b}, {MINHASH_P})))"
+        for a, b in MINHASH_AB
+    )
+    return (
+        docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+        .select("doc_id", F.expr(SHINGLES_EXPR).alias("shingles"))
+        .select("doc_id", F.expr(hashes).alias("hs"))
+        .select("doc_id", F.expr(f"array({sig_items})").alias("sig"))
+        .orderBy("doc_id")
+    )
+
+
+def _minhash_sql() -> str:
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_AB
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+     s AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM t),
+     h AS (SELECT doc_id, list_transform(shingles, s -> {_duck_h32('s')} % {MINHASH_P}) AS hs FROM s)
+SELECT doc_id, [{sig_items}] AS sig FROM h ORDER BY doc_id
+"""
+
+
+MINHASH_SQL = _minhash_sql()
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """LSH band keys: (band_id, band_hash) per doc — join on these buckets
+    to get candidate near-dup pairs without the O(n²) cross join."""
+    sig = minhash_signature(docs)
+    n_bands = MINHASH_K // LSH_BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * LSH_BAND_ROWS + r + 1).cast("string")
+                            for r in range(LSH_BAND_ROWS)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        sig.select("doc_id", F.explode(bands).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_hash")
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Docs sharing any LSH band bucket (doc_a < doc_b)."""
+    b = minhash_bands(docs)
+    a = b.alias("a")
+    c = b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash over token md5 hashes (higher-order fns only)."""
+    hashes = f"transform({TOKENS_EXPR}, t -> {_spark_h32('t')})"
+    expr = (
+        f"aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) -> acc + "
+        f"(case when aggregate(hs, 0, (s, h) -> s + (case when pmod(cast(h / power(2, b) as bigint), 2) = 1 then 1 else -1 end)) > 0 "
+        f"then cast(power(2, b) as bigint) else cast(0 as bigint) end))"
+    )
+    return (
+        docs.select("doc_id", F.expr(hashes).alias("hs"))
+        .select("doc_id", F.expr(expr).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+SIMHASH_SQL = f"""
+WITH h AS (
+  SELECT doc_id, list_transform({_DUCK_TOKENS}, t -> {_duck_h32('t')}) AS hs
+  FROM documents)
+SELECT doc_id,
+       list_sum(list_transform(range(0, 32), b ->
+         CASE WHEN list_sum(list_transform(hs, x ->
+             CASE WHEN cast(floor(x / power(2, b)) AS bigint) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN cast(power(2, b) AS bigint) ELSE cast(0 AS bigint) END)) AS simhash
+FROM h ORDER BY doc_id
+"""
+
+
+# --- n-gram Jaccard near-dup pairs ------------------------------------------
+
+
+def jaccard_pairs(docs: DataFrame, threshold_x1000: int = 300) -> DataFrame:
+    """Exact shingle-Jaccard pairs ≥ threshold via explode + self-join +
+    groupBy — the distributed pattern (no cross join).  Integer-scaled
+    jaccard (x1000, floor) for cross-engine determinism."""
+    sh = (
+        docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(SHINGLES_EXPR))).alias("sh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard_x1000",
+            F.expr("cast(floor(1000 * c / (na + nb - c)) as bigint)"),
+        )
+        .filter(F.col("jaccard_x1000") >= threshold_x1000)
+        .select("doc_a", "doc_b", "jaccard_x1000")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def jaccard_pairs_sql(threshold_x1000: int = 300) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES.replace('toks', _DUCK_TOKENS)})) AS sh
+  FROM documents),
+ sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+ inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, cast(floor(1000 * c / (na.n + nb.n - c)) AS bigint) AS jaccard_x1000
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE cast(floor(1000 * c / (na.n + nb.n - c)) AS bigint) >= {threshold_x1000}
+ORDER BY doc_a, doc_b
+"""

@@ -1,0 +1,68 @@
+"""Derive a deterministic ``pages`` table from the driver's ``documents``
+parquet — entirely with JVM-side column expressions.
+
+Each document becomes an HTML page embedding exactly one ld+json block
+with a FIXED template, so the triples the JSON-LD stack emits are
+SQL-predictable: the driver's DuckDB oracle can state, per document,
+exactly which (subj, pred, obj) rows must come out of the full
+extract → expand → node-map → toRdf path.  That turns the whole
+KG-construction spine into a value-hash-checkable query instead of a
+rows-only smoke test.
+
+Template (per doc):
+  subj  = http://doc.example/{doc_id}
+  type  = http://vocab.example/Document
+  lang/source (xsd:string), n_chars (xsd:integer)
+  sameAs → http://canon.example/{doc_id % 100}   (drives entity linking)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+VOCAB = "http://vocab.example/"
+DOC_NS = "http://doc.example/"
+CANON_NS = "http://canon.example/"
+SAME_AS = "http://schema.org/sameAs"
+
+_HTML_PREFIX = (
+    '<html><head><script type="application/ld+json">'
+    '{"@context":{"@vocab":"' + VOCAB + '",'
+    '"sameAs":{"@id":"' + SAME_AS + '","@type":"@id"}},'
+)
+
+
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) → pages(url, warc_ts,
+    html, text, lang)."""
+    jsonld = F.concat(
+        F.lit(_HTML_PREFIX),
+        F.lit('"@id":"' + DOC_NS),
+        F.col("doc_id").cast("string"),
+        F.lit('","@type":"Document","lang":"'),
+        F.col("lang"),
+        F.lit('","source":"'),
+        F.col("source"),
+        F.lit('","n_chars":'),
+        F.col("n_chars").cast("string"),
+        F.lit(',"sameAs":"' + CANON_NS),
+        F.pmod(F.col("doc_id"), F.lit(100)).cast("string"),
+        F.lit('"}</script></head><body><p>'),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("http://docs.example/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("warc_ts"),
+        F.encode(jsonld, "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )

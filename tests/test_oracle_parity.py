@@ -1,0 +1,98 @@
+"""Driver-gate rehearsal: run every ``queries()`` entry on Spark and its
+``oracle_sql()`` on DuckDB over the same sf0.01 parquet, compare
+row-count + column names + values (order-insensitive, like the driver)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from conftest import TESTDATA
+
+SF_DIR = os.path.join(TESTDATA, "sf0.01")
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return tuple(_norm(x) for x in v.tolist())
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if hasattr(v, "item"):  # numpy scalar
+        return _norm(v.item())
+    return v
+
+
+def _rows(df_pandas, cols):
+    return sorted(
+        tuple(_norm(v) for v in row)
+        for row in df_pandas[cols].itertuples(index=False, name=None)
+    )
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_parity(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR).toPandas()
+    odf = duck.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    assert len(sdf) == len(odf), f"{name}: rowcount {len(sdf)} vs {len(odf)}"
+    scols = sorted(sdf.columns)
+    ocols = sorted(odf.columns)
+    assert scols == ocols, f"{name}: columns {scols} vs {ocols}"
+    srows = _rows(sdf, scols)
+    orows = _rows(odf, scols)
+    if srows != orows:
+        diffs = [
+            (a, b) for a, b in zip(srows, orows) if a != b
+        ][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs {diffs}")
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "subj" in df.columns
+
+
+def test_rows_only_queries_run(spark):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    for name, q in qs.items():
+        if name in oracles:
+            continue
+        n = q(spark, SF_DIR).count()
+        assert n >= 0, name
