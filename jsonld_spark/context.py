@@ -65,6 +65,11 @@ class ContextCache:
     def __init__(self, entries: Mapping[str, Any] | None = None, version: str = "v0"):
         self.version = version
         self._entries: dict[str, Any] = {}
+        # memo of parsed base-independent contexts (json-serialized ctx →
+        # Context); per-process, rebuilt on executors — the Python analog
+        # of the reference's INITIAL_CONTEXTS/inverse caches
+        # (context.rb:18-26, 154-178)
+        self._parse_memo: dict[str, "Context"] = {}
         if entries:
             for url, body in entries.items():
                 self.add(url, body)
@@ -163,6 +168,8 @@ class Context:
         "processing_mode",
         "cache",
         "_inverse",
+        "_iri_memo",
+        "_iri_memo_vocab",
     )
 
     def __init__(
@@ -181,6 +188,8 @@ class Context:
         self.processing_mode = processing_mode
         self.cache = cache if cache is not None else EMPTY_CACHE
         self._inverse: dict | None = None
+        self._iri_memo: dict = {}
+        self._iri_memo_vocab: dict = {}
 
     # -- plumbing ------------------------------------------------------------
 
@@ -433,6 +442,34 @@ class Context:
     ):
         if not isinstance(value, str) or is_keyword(value):
             return value
+        if local_context is None:
+            # hot path (38k calls per 2k docs in profiling) — memoize.
+            # document_relative=False results depend only on term
+            # definitions + vocab → shared across clones of a memoized
+            # template context (parse_initial_cached); doc-relative
+            # results depend on base → per-instance memo.
+            if document_relative:
+                memo = self._iri_memo
+                key = (value, vocab, base)
+            else:
+                memo = self._iri_memo_vocab
+                key = (value, vocab)
+            hit = memo.get(key, UNSET)
+            if hit is not UNSET:
+                return hit
+            result = self._expand_iri_uncached(value, document_relative, vocab, base)
+            memo[key] = result
+            return result
+        return self._expand_iri_full(
+            value, document_relative, vocab, local_context, defined, base
+        )
+
+    def _expand_iri_uncached(self, value, document_relative, vocab, base):
+        return self._expand_iri_full(value, document_relative, vocab, None, None, base)
+
+    def _expand_iri_full(
+        self, value, document_relative, vocab, local_context, defined, base
+    ):
         if has_keyword_form(value):
             # looks like a keyword but isn't → warn & return None (dropped)
             return None
@@ -499,6 +536,67 @@ class Context:
         if self._inverse is None:
             self._inverse = _create_inverse_context(self)
         return self._inverse
+
+
+def _base_independent(local_ctx) -> bool:
+    """Conservative static check: parsing this context yields identical
+    term definitions regardless of the document base IRI.  True for the
+    dominant crawl shapes (inline contexts with absolute IRIs, absolute
+    remote context URLs) — exactly the cases worth memoizing."""
+    if local_ctx is None:
+        return True
+    if isinstance(local_ctx, str):
+        return is_absolute_iri(local_ctx)
+    if isinstance(local_ctx, list):
+        return all(_base_independent(c) for c in local_ctx)
+    if isinstance(local_ctx, dict):
+        if "@base" in local_ctx or "@import" in local_ctx:
+            return False
+        v = local_ctx.get("@vocab")
+        if isinstance(v, str) and not (is_absolute_iri(v) or v.startswith("_:")):
+            return False
+        for tv in local_ctx.values():
+            if isinstance(tv, dict) and "@context" in tv:
+                if not _base_independent(tv["@context"]):
+                    return False
+        return True
+    return True
+
+
+def parse_initial_cached(
+    base: str | None,
+    processing_mode: str,
+    cache: ContextCache,
+    local_ctx,
+    base_url: str | None,
+) -> Context:
+    """Parse ``local_ctx`` against a PRISTINE active context, memoizing
+    base-independent contexts process-wide (keyed by canonical JSON).
+
+    This is the per-document hot path in the crawl pipeline: millions of
+    pages share a handful of context templates, so the full
+    create_term_definition walk runs once per template per executor —
+    the in-UDF analog of the reference's preloaded-context registry
+    (context.rb:34-44)."""
+    try:
+        key = json.dumps(local_ctx, sort_keys=True)
+    except (TypeError, ValueError):
+        key = None
+    if key is not None and _base_independent(local_ctx):
+        hit = cache._parse_memo.get(key)
+        if hit is None:
+            probe = Context(None, processing_mode, cache)
+            hit = probe.parse(local_ctx, base_url=base_url)
+            if len(cache._parse_memo) > 10_000:
+                cache._parse_memo.clear()
+            cache._parse_memo[key] = hit
+        ctx = hit.clone()
+        ctx.base = base
+        ctx.original_base = base
+        # share the base-independent IRI memo with the cached template
+        ctx._iri_memo_vocab = hit._iri_memo_vocab
+        return ctx
+    return Context(base, processing_mode, cache).parse(local_ctx, base_url=base_url)
 
 
 def _validate_container(container, processing_mode: str) -> frozenset:

@@ -120,11 +120,23 @@ def expand(
             override_protected=True,
         )
 
-    # 10: inline @context
+    # 10: inline @context (memoized process-wide when the active context
+    # is pristine and the inline context is base-independent)
     if "@context" in element:
-        active_context = active_context.parse(
-            element["@context"], base_url=options.base
-        )
+        if not active_context.has_terms() and active_context.previous_context is None:
+            from .context import parse_initial_cached
+
+            active_context = parse_initial_cached(
+                active_context.base,
+                active_context.processing_mode,
+                active_context.cache,
+                element["@context"],
+                options.base,
+            )
+        else:
+            active_context = active_context.parse(
+                element["@context"], base_url=options.base
+            )
 
     # 11-12: type-scoped contexts — find @type keys, apply scoped contexts in
     # lexicographic order of type values

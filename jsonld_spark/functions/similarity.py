@@ -80,7 +80,7 @@ ORDER BY query_id, rank
 """
 
 
-def near_dup_embeddings(emb: DataFrame, threshold_x1e6: int = 950_000) -> DataFrame:
+def near_dup_embeddings(emb: DataFrame, threshold_x1e6: int = 400_000) -> DataFrame:
     """All pairs with cosine ≥ threshold (vec_a < vec_b).  Exact variant
     for correctness; LSH buckets below are the scale path."""
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
@@ -100,7 +100,7 @@ def near_dup_embeddings(emb: DataFrame, threshold_x1e6: int = 950_000) -> DataFr
     )
 
 
-def near_dup_embeddings_sql(threshold_x1e6: int = 950_000) -> str:
+def near_dup_embeddings_sql(threshold_x1e6: int = 400_000) -> str:
     return f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        cast(floor(1000000 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -114,40 +114,58 @@ ORDER BY vec_a, vec_b
 """
 
 
-def lsh_bucket(emb: DataFrame) -> DataFrame:
-    """Signed-random-projection LSH signature (the ANN scale path).
+LSH_BANDS = 4
+LSH_BITS_PER_BAND = 4  # 4 bands × 4 sign bits from the 16 hyperplanes
 
-    At 10^12 rows: bucket key shuffles replace the O(n²) cross join;
-    candidates = bucket-equality join, then exact re-rank."""
-    bits = []
-    for i, plane in enumerate(HYPERPLANES):
-        arr = "array(" + ", ".join(f"cast({x!r} as double)" for x in plane) + ")"
-        bits.append(
-            f"(case when {_dot_expr('embedding', arr)} > 0 then cast(power(2, {i}) as bigint) else cast(0 as bigint) end)"
+
+def lsh_buckets(emb: DataFrame) -> DataFrame:
+    """Signed-random-projection LSH: (vec_id, band_id, bucket) rows.
+
+    Banding trades precision for recall (single long signatures almost
+    never collide on high-dim random data).  At 10^12 rows the
+    (band_id, bucket) equality join replaces the O(n²) cross join;
+    candidates are exactly re-ranked afterwards."""
+    band_cols = []
+    for b in range(LSH_BANDS):
+        bits = []
+        for j in range(LSH_BITS_PER_BAND):
+            plane = HYPERPLANES[b * LSH_BITS_PER_BAND + j]
+            arr = "array(" + ", ".join(f"cast({x!r} as double)" for x in plane) + ")"
+            bits.append(
+                f"(case when {_dot_expr('embedding', arr)} > 0 then {1 << j} else 0 end)"
+            )
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.expr(" + ".join(bits)).cast("long").alias("bucket"),
+            )
         )
-    sig = " + ".join(bits)
-    return emb.select("vec_id", F.expr(sig).alias("bucket")).orderBy("vec_id")
+    return emb.select(
+        "vec_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("vec_id", "bb.band_id", "bb.bucket")
 
 
 def ann_topk_lsh(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
-    """Approximate top-k: exact re-rank within matching LSH bucket; falls
-    back to hamming-adjacent buckets being absent (pure bucket match) —
-    recall measured against cosine_topk in tests."""
-    b = lsh_bucket(emb)
-    with_b = emb.join(b, "vec_id")
-    q = with_b.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q"),
-        F.col("bucket").alias("qb"),
+    """Approximate top-k: candidates = vectors sharing ANY LSH band bucket
+    with the query, then exact cosine re-rank.  Recall vs the brute-force
+    cosine_topk is asserted in tests."""
+    b = lsh_buckets(emb)
+    qb = b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "band_id", "bucket"
     )
-    c = with_b.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("e"),
-        F.col("bucket").alias("cb"),
+    cand = (
+        b.join(F.broadcast(qb), ["band_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
     )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e"))
     scored = (
-        c.join(F.broadcast(q), F.col("qb") == F.col("cb"))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
         .withColumn(
             "cos_x1e6",
             F.expr(

@@ -228,18 +228,17 @@ def generate_pages(n_rows: int, seed: int = 42):
         yield gen_page(i, rng)
 
 
-def write_pages_parquet(path: str, n_rows: int, seed: int = 42) -> str:
+def _rows_to_table(rows):
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
-    for url, ts, html, text, lang in generate_pages(n_rows, seed):
+    for url, ts, html, text, lang in rows:
         urls.append(url)
         tss.append(ts)
         htmls.append(html)
         texts.append(text)
         langs.append(lang)
-    table = pa.table(
+    return pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(tss, pa.timestamp("us")),
@@ -248,15 +247,42 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = 42) -> str:
             "lang": pa.array(langs, pa.string()),
         }
     )
-    pq.write_table(table, path)
+
+
+def write_pages_parquet(
+    path: str, n_rows: int, seed: int = 42, n_files: int = 1
+) -> str:
+    """Write the synthetic crawl.  ``n_files > 1`` writes a directory of
+    part files so a Spark scan gets parallel splits out of the box (a
+    100 TB crawl has thousands of splits; one small local file does not).
+    Content is identical regardless of ``n_files``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    gen = generate_pages(n_rows, seed)
+    if n_files <= 1:
+        pq.write_table(_rows_to_table(gen), path)
+        return path
+    os.makedirs(path, exist_ok=True)
+    per = (n_rows + n_files - 1) // n_files
+    buf = []
+    idx = 0
+    for row in gen:
+        buf.append(row)
+        if len(buf) >= per:
+            pq.write_table(_rows_to_table(buf), os.path.join(path, f"part-{idx:05d}.parquet"))
+            buf, idx = [], idx + 1
+    if buf:
+        pq.write_table(_rows_to_table(buf), os.path.join(path, f"part-{idx:05d}.parquet"))
     return path
 
 
-def ensure_pages(path: str, n_rows: int, seed: int = 42) -> str:
+def ensure_pages(path: str, n_rows: int, seed: int = 42, n_files: int = 1) -> str:
     """Materialize once; reuse across test sessions."""
     import os
 
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        write_pages_parquet(path, n_rows, seed)
+        write_pages_parquet(path, n_rows, seed, n_files=n_files)
     return path

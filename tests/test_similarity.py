@@ -1,0 +1,55 @@
+"""Similarity-search tests: brute-force vs LSH recall, banding behavior."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import TESTDATA
+from jsonld_spark.functions import similarity
+
+SF_DIR = os.path.join(TESTDATA, "sf0.01")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_cosine_topk_shape(spark, emb):
+    out = similarity.cosine_topk(emb, n_queries=5, k=3).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        scores = [r.cos_x1e6 for r in sorted(rows, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_lsh_buckets_cover_all_bands(spark, emb):
+    b = similarity.lsh_buckets(emb)
+    n_vec = emb.count()
+    assert b.count() == n_vec * similarity.LSH_BANDS
+    assert b.select("band_id").distinct().count() == similarity.LSH_BANDS
+    rng = b.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    assert rng[0] >= 0 and rng[1] < (1 << similarity.LSH_BITS_PER_BAND)
+
+
+def test_ann_lsh_returns_candidates_and_overlaps_exact(spark, emb):
+    exact = similarity.cosine_topk(emb, n_queries=10, k=5).collect()
+    approx = similarity.ann_topk_lsh(emb, n_queries=10, k=5).collect()
+    assert len(approx) > 0
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # random 64-dim data is the worst case for LSH; still expect signal
+    assert recall >= 0.2, f"recall {recall}"
+
+
+def test_near_dup_threshold(spark, emb):
+    out = similarity.near_dup_embeddings(emb).collect()
+    assert len(out) > 0
+    assert all(r.cos_x1e6 >= 400_000 for r in out)
+    assert all(r.vec_a < r.vec_b for r in out)
