@@ -1,0 +1,202 @@
+"""Compaction tests — roundtrip expand→compact plus targeted cases."""
+
+from jsonld_spark import expand_document
+from jsonld_spark.compact import compact_document
+
+
+def rt(doc, context=None, **kw):
+    ctx = context if context is not None else doc.get("@context")
+    return compact_document(expand_document(doc), ctx, **kw)
+
+
+def test_simple_term():
+    doc = {
+        "@context": {"name": "http://xmlns.com/foaf/0.1/name"},
+        "name": "Gregg",
+    }
+    assert rt(doc) == doc
+
+
+def test_vocab_and_type():
+    doc = {
+        "@context": {"@vocab": "http://schema.org/"},
+        "@id": "http://e/a",
+        "@type": "Person",
+        "name": "Alice",
+    }
+    assert rt(doc) == doc
+
+
+def test_id_coercion():
+    doc = {
+        "@context": {
+            "knows": {"@id": "http://xmlns.com/foaf/0.1/knows", "@type": "@id"}
+        },
+        "@id": "http://e/a",
+        "knows": "http://e/b",
+    }
+    assert rt(doc) == doc
+
+
+def test_typed_value_collapses():
+    doc = {
+        "@context": {
+            "age": {
+                "@id": "http://ex/age",
+                "@type": "http://www.w3.org/2001/XMLSchema#integer",
+            }
+        },
+        "@id": "http://e/a",
+        "age": "33",
+    }
+    assert rt(doc) == doc
+
+
+def test_curie_selection():
+    doc = {
+        "@context": {"foaf": "http://xmlns.com/foaf/0.1/"},
+        "@id": "http://e/a",
+        "foaf:name": "Bob",
+    }
+    assert rt(doc) == doc
+
+
+def test_list_container():
+    doc = {
+        "@context": {"authors": {"@id": "http://ex/authors", "@container": "@list"}},
+        "@id": "http://e/a",
+        "authors": ["x", "y"],
+    }
+    assert rt(doc) == doc
+
+
+def test_explicit_list():
+    doc = {
+        "@context": {"p": "http://ex/p"},
+        "@id": "http://e/a",
+        "p": {"@list": [1, 2]},
+    }
+    assert rt(doc) == doc
+
+
+def test_language_map():
+    doc = {
+        "@context": {"label": {"@id": "http://ex/label", "@container": "@language"}},
+        "@id": "http://e/a",
+        "label": {"de": "Farbe", "en": "color"},
+    }
+    out = rt(doc, ordered=True)
+    assert out["label"] == {"de": "Farbe", "en": "color"}
+
+
+def test_index_map():
+    doc = {
+        "@context": {"p": {"@id": "http://ex/p", "@container": "@index"}},
+        "@id": "http://e/a",
+        "p": {"A": "a", "B": "b"},
+    }
+    assert rt(doc, ordered=True)["p"] == {"A": "a", "B": "b"}
+
+
+def test_id_map():
+    doc = {
+        "@context": {
+            "@vocab": "http://ex/",
+            "items": {"@id": "http://ex/items", "@container": "@id"},
+        },
+        "items": {"http://e/x": {"label": "X"}},
+    }
+    out = rt(doc, ordered=True)
+    assert out["items"] == {"http://e/x": {"label": "X"}}
+
+
+def test_reverse_property():
+    doc = {
+        "@context": {"children": {"@reverse": "http://ex/parent"}},
+        "@id": "http://e/a",
+        "children": {"@id": "http://e/b"},
+    }
+    out = rt(doc)
+    assert out["children"] == {"@id": "http://e/b"}
+
+
+def test_language_default_collapse():
+    doc = {
+        "@context": {"@language": "en", "label": "http://ex/label"},
+        "@id": "http://e/a",
+        "label": "hello",
+    }
+    assert rt(doc) == doc
+
+
+def test_base_relative_id():
+    doc = {
+        "@context": {"@base": "http://e/", "p": "http://ex/p"},
+        "@id": "a",
+        "p": "v",
+    }
+    out = rt(doc)
+    assert out["@id"] == "a"
+
+
+def test_keyword_alias():
+    doc = {
+        "@context": {"id": "@id", "type": "@type", "@vocab": "http://ex/"},
+        "id": "http://e/a",
+        "type": "Thing",
+    }
+    out = rt(doc)
+    assert out["id"] == "http://e/a"
+    assert out["type"] == "Thing"
+
+
+def test_compact_arrays_false():
+    doc = {
+        "@context": {"p": "http://ex/p"},
+        "@id": "http://e/a",
+        "p": "v",
+    }
+    out = rt(doc, compact_arrays=False)
+    # compactArrays=false keeps the top-level array → wrapped under @graph
+    assert out["@graph"][0]["p"] == ["v"]
+
+
+def test_graph_container():
+    doc = {
+        "@context": {
+            "@vocab": "http://ex/",
+            "claims": {"@container": "@graph"},
+        },
+        "@id": "http://e/a",
+        "claims": {"p": "v"},
+    }
+    out = rt(doc)
+    assert out["claims"] == {"p": "v"}
+
+
+def test_multiple_values_stay_array():
+    doc = {
+        "@context": {"p": "http://ex/p"},
+        "@id": "http://e/a",
+        "p": ["x", "y"],
+    }
+    assert rt(doc)["p"] == ["x", "y"]
+
+
+def test_set_container_keeps_array():
+    doc = {
+        "@context": {"p": {"@id": "http://ex/p", "@container": "@set"}},
+        "@id": "http://e/a",
+        "p": "x",
+    }
+    assert rt(doc)["p"] == ["x"]
+
+
+def test_top_level_graph():
+    docs = [
+        {"@id": "http://e/a", "http://ex/p": [{"@value": "1"}]},
+        {"@id": "http://e/b", "http://ex/p": [{"@value": "2"}]},
+    ]
+    out = compact_document(docs, {"p": "http://ex/p"})
+    assert "@graph" in out
+    assert len(out["@graph"]) == 2

@@ -1,0 +1,149 @@
+"""Framing tests — common query-by-example shapes."""
+
+from jsonld_spark.frame import frame_document
+
+CTX = {"@vocab": "http://example.org/"}
+
+LIBRARY = {
+    "@context": CTX,
+    "@graph": [
+        {
+            "@id": "http://example.org/library",
+            "@type": "Library",
+            "contains": {"@id": "http://example.org/library/the-republic"},
+        },
+        {
+            "@id": "http://example.org/library/the-republic",
+            "@type": "Book",
+            "creator": "Plato",
+            "title": "The Republic",
+            "contains": {"@id": "http://example.org/library/the-republic#introduction"},
+        },
+        {
+            "@id": "http://example.org/library/the-republic#introduction",
+            "@type": "Chapter",
+            "description": "An introductory chapter on The Republic.",
+            "title": "The Introduction",
+        },
+    ],
+}
+
+
+def test_frame_by_type_embeds_recursively():
+    frame = {
+        "@context": CTX,
+        "@type": "Library",
+        "contains": {"@type": "Book", "contains": {"@type": "Chapter"}},
+    }
+    out = frame_document(LIBRARY, frame)
+    assert out["@type"] == "Library"
+    book = out["contains"]
+    assert book["@type"] == "Book"
+    assert book["creator"] == "Plato"
+    chapter = book["contains"]
+    assert chapter["@type"] == "Chapter"
+    assert chapter["title"] == "The Introduction"
+
+
+def test_frame_wildcard_matches_all():
+    frame = {"@context": CTX, "@type": "Book"}
+    out = frame_document(LIBRARY, frame)
+    assert out["@type"] == "Book"
+    assert out["title"] == "The Republic"
+
+
+def test_embed_never_keeps_reference():
+    frame = {
+        "@context": CTX,
+        "@type": "Library",
+        "contains": {"@embed": "@never"},
+    }
+    out = frame_document(LIBRARY, frame)
+    assert out["contains"] == {"@id": "http://example.org/library/the-republic"}
+
+
+def test_explicit_drops_unframed_properties():
+    frame = {
+        "@context": CTX,
+        "@type": "Book",
+        "@explicit": True,
+        "title": {},
+    }
+    out = frame_document(LIBRARY, frame)
+    assert out["title"] == "The Republic"
+    assert "creator" not in out
+
+
+def test_default_value_for_missing_property():
+    frame = {
+        "@context": CTX,
+        "@type": "Book",
+        "@explicit": True,
+        "publisher": {"@default": "Unknown"},
+    }
+    out = frame_document(LIBRARY, frame)
+    assert out["publisher"] == "Unknown"
+
+
+def test_omit_default_skips_missing():
+    frame = {
+        "@context": CTX,
+        "@type": "Book",
+        "@explicit": True,
+        "publisher": {"@default": "Unknown", "@omitDefault": True},
+    }
+    out = frame_document(LIBRARY, frame)
+    assert "publisher" not in out
+
+
+def test_id_match():
+    frame = {
+        "@context": CTX,
+        "@id": "http://example.org/library/the-republic",
+    }
+    out = frame_document(LIBRARY, frame)
+    assert out["@id"] == "http://example.org/library/the-republic"
+    assert out["creator"] == "Plato"
+
+
+def test_value_pattern_match():
+    frame = {
+        "@context": CTX,
+        "creator": {"@value": "Plato"},
+    }
+    out = frame_document(LIBRARY, frame)
+    assert out["creator"] == "Plato"
+
+
+def test_value_pattern_reject():
+    frame = {
+        "@context": CTX,
+        "@type": "Book",
+        "creator": {"@value": "Aristotle"},
+    }
+    out = frame_document(LIBRARY, frame)
+    # no book by Aristotle → no match → empty result
+    assert "creator" not in out or out.get("@graph") in ([], None)
+
+
+def test_require_all():
+    frame = {
+        "@context": CTX,
+        "@requireAll": True,
+        "title": {},
+        "description": {},
+    }
+    out = frame_document(LIBRARY, frame)
+    # only the chapter has both title and description
+    assert out["@type"] == "Chapter"
+
+
+def test_bnode_pruning():
+    doc = {
+        "@context": CTX,
+        "@type": "Thing",
+        "child": {"name": "anon"},
+    }
+    frame = {"@context": CTX, "@type": "Thing"}
+    out = frame_document(doc, frame)
+    assert "@id" not in out["child"]  # single-use bnode id pruned

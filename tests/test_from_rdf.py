@@ -1,0 +1,154 @@
+"""fromRdf tests: literal conversion, list folding, graph nesting,
+roundtrip with toRdf."""
+
+from jsonld_spark import doc_to_quads
+from jsonld_spark.from_rdf import from_quads
+from jsonld_spark.rdf_model import (
+    RDF_LANGSTRING,
+    XSD_INTEGER,
+    XSD_STRING,
+    Quad,
+)
+
+
+def test_simple_grouping():
+    quads = [
+        Quad("http://e/a", "http://p/name", "Alice", True, XSD_STRING, None, None),
+        Quad(
+            "http://e/a",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://t/Person",
+            False,
+            None,
+            None,
+            None,
+        ),
+        Quad("http://e/a", "http://p/knows", "http://e/b", False, None, None, None),
+        Quad("http://e/b", "http://p/name", "Bob", True, XSD_STRING, None, None),
+    ]
+    out = from_quads(quads, ordered=True)
+    assert [n["@id"] for n in out] == ["http://e/a", "http://e/b"]
+    a = out[0]
+    assert a["@type"] == ["http://t/Person"]
+    assert a["http://p/name"] == [{"@value": "Alice"}]
+    assert a["http://p/knows"] == [{"@id": "http://e/b"}]
+
+
+def test_typed_and_lang_literals():
+    quads = [
+        Quad("http://e/a", "http://p/age", "33", True, XSD_INTEGER, None, None),
+        Quad("http://e/a", "http://p/label", "hi", True, RDF_LANGSTRING, "en", None),
+    ]
+    out = from_quads(quads)
+    a = out[0]
+    assert a["http://p/age"] == [{"@value": "33", "@type": XSD_INTEGER}]
+    assert a["http://p/label"] == [{"@value": "hi", "@language": "en"}]
+    native = from_quads(quads, use_native_types=True)[0]
+    assert native["http://p/age"] == [{"@value": 33}]
+
+
+def test_list_roundtrip():
+    doc = {
+        "@context": {"p": {"@id": "http://s.org/p", "@container": "@list"}},
+        "@id": "http://e.com/a",
+        "p": ["x", "y", "z"],
+    }
+    quads = doc_to_quads(doc)
+    out = from_quads(quads, ordered=True)
+    assert out == [
+        {
+            "@id": "http://e.com/a",
+            "http://s.org/p": [
+                {"@list": [{"@value": "x"}, {"@value": "y"}, {"@value": "z"}]}
+            ],
+        }
+    ]
+
+
+def test_empty_list_roundtrip():
+    doc = {
+        "@context": {"p": {"@id": "http://s.org/p", "@container": "@list"}},
+        "@id": "http://e.com/a",
+        "p": [],
+    }
+    out = from_quads(doc_to_quads(doc))
+    assert out[0]["http://s.org/p"] == [{"@list": []}]
+
+
+def test_shared_list_node_not_folded():
+    # a list node referenced twice must stay reified
+    quads = doc_to_quads(
+        {
+            "@context": {"p": {"@id": "http://s.org/p", "@container": "@list"}},
+            "@id": "http://e.com/a",
+            "p": ["x"],
+        }
+    )
+    head = next(q.obj for q in quads if q.pred == "http://s.org/p")
+    quads.append(
+        Quad("http://e.com/b", "http://s.org/also", head, False, None, None, None)
+    )
+    out = from_quads(quads, ordered=True)
+    ids = {n["@id"] for n in out}
+    assert head in ids  # bnode survives — not folded
+
+
+def test_named_graph_nesting():
+    quads = [
+        Quad("http://e/a", "http://p/x", "v", True, XSD_STRING, None, "http://g/1"),
+    ]
+    out = from_quads(quads, ordered=True)
+    assert out == [
+        {
+            "@id": "http://g/1",
+            "@graph": [
+                {"@id": "http://e/a", "http://p/x": [{"@value": "v"}]}
+            ],
+        }
+    ]
+
+
+def test_full_roundtrip_doc():
+    doc = {
+        "@context": {
+            "@vocab": "http://v/",
+            "knows": {"@id": "http://v/knows", "@type": "@id"},
+        },
+        "@id": "http://e/a",
+        "@type": "Person",
+        "name": "Alice",
+        "age": 33,
+        "knows": "http://e/b",
+    }
+    quads = doc_to_quads(doc)
+    out = from_quads(quads, ordered=True)
+    a = next(n for n in out if n["@id"] == "http://e/a")
+    assert a["@type"] == ["http://v/Person"]
+    assert a["http://v/name"] == [{"@value": "Alice"}]
+    assert a["http://v/age"] == [
+        {"@value": "33", "@type": XSD_INTEGER}
+    ]
+    # and quads regenerate identically from the materialized doc
+    re_quads = set()
+    from jsonld_spark.to_rdf import expanded_to_quads
+
+    re_quads = set(expanded_to_quads(out))
+    assert re_quads == set(quads)
+
+
+def test_materialize_graphs_spark(spark):
+    from jsonld_spark.operators.materialize import materialize_graphs, node_stats
+
+    triples = spark.createDataFrame(
+        [
+            ("http://e/a", "http://p/x", "v", True, XSD_STRING, None, None),
+            ("http://e/a", "http://p/y", "http://e/b", False, None, None, None),
+            ("http://e/c", "http://p/x", "w", True, XSD_STRING, None, "http://g/1"),
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean, obj_datatype string, obj_lang string, graph string",
+    )
+    out = {r.graph: r for r in materialize_graphs(triples).collect()}
+    assert out[None].n_nodes == 1
+    assert out["http://g/1"].n_nodes == 1
+    stats = node_stats(triples).collect()
+    assert len(stats) == 2
