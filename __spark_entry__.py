@@ -186,6 +186,129 @@ def _q_events_json_props(spark, sf_dir):
     )
 
 
+# --- per-document API stages (expand/flatten/compact/frame UDFs) ------------
+
+
+def _doc_pages(spark, sf_dir):
+    return pages_from_documents(_docs(spark, sf_dir))
+
+
+def _q_jsonld_node_stats(spark, sf_dir):
+    from jsonld_spark.operators.materialize import node_stats
+
+    return node_stats(_doc_triples(spark, sf_dir))
+
+
+def _q_jsonld_expand_nodes(spark, sf_dir):
+    from jsonld_spark.functions.doc_api import expand_docs
+
+    out = expand_docs(_doc_pages(spark, sf_dir))
+    return (
+        out.filter(F.col("error").isNull())
+        .select("url", F.expr("json_array_length(result)").alias("n_nodes"))
+        .orderBy("url")
+    )
+
+
+def _q_jsonld_flatten_nodes(spark, sf_dir):
+    from jsonld_spark.functions.doc_api import flatten_docs
+
+    out = flatten_docs(_doc_pages(spark, sf_dir))
+    return (
+        out.filter(F.col("error").isNull())
+        .select("url", F.expr("json_array_length(result)").alias("n_nodes"))
+        .orderBy("url")
+    )
+
+
+def _q_jsonld_compact_keys(spark, sf_dir):
+    from jsonld_spark.functions.doc_api import compact_docs
+
+    out = compact_docs(_doc_pages(spark, sf_dir))
+    return (
+        out.filter(F.col("error").isNull())
+        .select(
+            "url",
+            F.expr("size(json_object_keys(result))").cast("bigint").alias("n_keys"),
+        )
+        .orderBy("url")
+    )
+
+
+def _q_jsonld_frame_documents(spark, sf_dir):
+    from jsonld_spark.functions.doc_api import frame_docs
+
+    frame = {"@context": {"@vocab": VOCAB}, "@type": "Document"}
+    out = frame_docs(_doc_pages(spark, sf_dir), frame)
+    return (
+        out.filter(F.col("error").isNull())
+        .select(
+            "url",
+            F.get_json_object("result", "$['@id']").alias("framed_id"),
+        )
+        .orderBy("url")
+    )
+
+
+def _q_jsonld_materialize(spark, sf_dir):
+    from jsonld_spark.operators.materialize import materialize_graphs
+
+    t = _doc_triples(spark, sf_dir)
+    return (
+        materialize_graphs(t)
+        .select("graph", "n_nodes")
+        .orderBy("graph")
+    )
+
+
+def _q_events_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts").cast("timestamp").cast("long")
+                    - F.col("prev_ts").cast("timestamp").cast("long")
+                    > 1800
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rev = li.withColumn(
+        "rev_c",
+        F.expr(
+            "cast(round(l_extendedprice * 100) as bigint) * cast(round((1 - l_discount) * 100) as bigint)"
+        ),
+    )
+    return (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("rev_c").alias("revenue_x10000"))
+        .orderBy("r_name", "n_name")
+    )
+
+
 # --- text / dedup / similarity / multimodal ---------------------------------
 
 
@@ -256,11 +379,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_pred_counts": _q_jsonld_pred_counts,
         "jsonld_sameas_canonical": _q_jsonld_sameas_canonical,
         "jsonld_nquads": _q_jsonld_nquads,
+        "jsonld_node_stats": _q_jsonld_node_stats,
+        "jsonld_expand_nodes": _q_jsonld_expand_nodes,
+        "jsonld_flatten_nodes": _q_jsonld_flatten_nodes,
+        "jsonld_compact_keys": _q_jsonld_compact_keys,
+        "jsonld_frame_documents": _q_jsonld_frame_documents,
+        "jsonld_materialize": _q_jsonld_materialize,
         # relational operators
         "tpch_q1": _q_tpch_q1,
         "top_revenue_join": _q_top_revenue_join,
+        "revenue_by_nation": _q_revenue_by_nation,
         "events_first_per_user": _q_events_first_per_user,
         "events_json_props": _q_events_json_props,
+        "events_sessions": _q_events_sessions,
         # dedup / text analysis
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -308,6 +439,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<{DOC_NS}' || CAST(doc_id AS VARCHAR) || '> <{VOCAB}source> "'
                    || source || '" .' AS nquad
             FROM documents ORDER BY nquad""",
+        "jsonld_node_stats": f"""
+            SELECT CAST(NULL AS VARCHAR) AS graph, {doc_subj} AS subj,
+                   CAST(5 AS BIGINT) AS n_preds, CAST(5 AS BIGINT) AS n_triples
+            FROM documents ORDER BY graph, subj""",
+        "jsonld_expand_nodes": """
+            SELECT 'http://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(1 AS BIGINT) AS n_nodes
+            FROM documents ORDER BY url""",
+        "jsonld_flatten_nodes": """
+            SELECT 'http://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(1 AS BIGINT) AS n_nodes
+            FROM documents ORDER BY url""",
+        "jsonld_compact_keys": """
+            SELECT 'http://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(7 AS BIGINT) AS n_keys
+            FROM documents ORDER BY url""",
+        "jsonld_frame_documents": f"""
+            SELECT 'http://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+                   {doc_subj} AS framed_id
+            FROM documents ORDER BY url""",
+        "jsonld_materialize": """
+            SELECT CAST(NULL AS VARCHAR) AS graph,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM documents""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_x100,
@@ -339,6 +494,26 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_id, event_type FROM r WHERE rn = 1
             ORDER BY user_id""",
+        "revenue_by_nation": """
+            SELECT r_name, n_name,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS revenue_x10000
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+        "events_sessions": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+              FROM events)
+            SELECT user_id,
+                   sum(CASE WHEN prev_ts IS NULL
+                            OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id""",
         "events_json_props": """
             SELECT event_type,
                    sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,

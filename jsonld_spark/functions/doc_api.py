@@ -1,0 +1,108 @@
+"""Per-document JSON-LD API stages exposed as DataFrame transforms.
+
+Each wrapper runs one W3C API operation (expand / flatten / compact /
+frame) inside a single Arrow-batched ``mapInPandas`` stage over the
+pages table — the same fused-UDF shape as the triples path, so every
+API surface of the reference is exercisable as a distributed query.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame, types as T
+
+from ..compact import compact_document
+from ..context import ContextCache
+from ..expand import expand_document
+from ..flatten import flatten_expanded
+from ..frame import frame_document
+from ..sources.html_jsonld import extract_jsonld
+
+DOC_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("script_index", T.IntegerType()),
+        T.StructField("result", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _doc_op_udf(op: Callable, cache_entries: dict | None):
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache = ContextCache(cache_entries or {})
+        for pdf in batches:
+            out = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    docs = extract_jsonld(html, url)
+                except Exception as e:  # noqa: BLE001
+                    out.append((url, -1, None, f"extract: {e}"))
+                    continue
+                for d in docs:
+                    if d.error:
+                        out.append((url, d.script_index, None, d.error))
+                        continue
+                    try:
+                        doc = json.loads(d.json_text)
+                        res = op(doc, d.base or url, cache)
+                        out.append(
+                            (url, d.script_index, json.dumps(res, sort_keys=True), None)
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        out.append((url, d.script_index, None, str(e)))
+            yield pd.DataFrame(
+                out, columns=["url", "script_index", "result", "error"]
+            )
+
+    return fn
+
+
+def _apply(pages: DataFrame, op: Callable, cache_entries: dict | None) -> DataFrame:
+    return pages.select("url", "html").mapInPandas(
+        _doc_op_udf(op, cache_entries), DOC_RESULT_SCHEMA
+    )
+
+
+def expand_docs(pages: DataFrame, cache_entries: dict | None = None) -> DataFrame:
+    return _apply(
+        pages,
+        lambda doc, base, cache: expand_document(doc, base=base, cache=cache),
+        cache_entries,
+    )
+
+
+def flatten_docs(pages: DataFrame, cache_entries: dict | None = None) -> DataFrame:
+    def op(doc, base, cache):
+        return flatten_expanded(expand_document(doc, base=base, cache=cache))
+
+    return _apply(pages, op, cache_entries)
+
+
+def compact_docs(
+    pages: DataFrame, context=None, cache_entries: dict | None = None
+) -> DataFrame:
+    """Compact each embedded doc with ``context`` (default: the doc's own
+    inline @context — the roundtrip case)."""
+
+    def op(doc, base, cache):
+        ctx = context if context is not None else (
+            doc.get("@context") if isinstance(doc, dict) else None
+        )
+        expanded = expand_document(doc, base=base, cache=cache)
+        return compact_document(expanded, ctx, base=base, cache=cache)
+
+    return _apply(pages, op, cache_entries)
+
+
+def frame_docs(
+    pages: DataFrame, frame: dict, cache_entries: dict | None = None
+) -> DataFrame:
+    def op(doc, base, cache):
+        return frame_document(doc, frame, base=base, cache=cache)
+
+    return _apply(pages, op, cache_entries)

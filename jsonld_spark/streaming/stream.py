@@ -1,0 +1,81 @@
+"""Streaming pages → triples.
+
+The reference's StreamingReader (streaming_reader.rb:29-423) is a
+single-pass per-document parser — bounded memory per node, not
+distribution.  The Spark mapping works at the *pipeline* level instead
+(SURVEY.md §2.9): ``readStream`` over the pages table → the same fused
+extract/expand/toRdf UDF → checkpointed sink.  Event-time features the
+reference lacks (watermarks, late data) come free: ``warc_ts`` is the
+event time, and crawl re-fetch dedup is ``dropDuplicatesWithinWatermark``
+on ``url``.
+
+``availableNow`` triggers make each micro-batch run exactly-once over
+the new files; the checkpoint directory carries source offsets so a
+restarted stream resumes where it stopped — the streaming twin of the
+batch pipeline's lineage/resume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def read_pages_stream(spark: SparkSession, pages_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(pages_dir)
+    )
+
+
+def streaming_dedup_pages(
+    pages: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Drop re-crawled urls within the watermark window (stateful op the
+    reference has no analog for)."""
+    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
+def stream_pages_to_triples(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cache_entries: dict | None = None,
+    cache_version: str = "v1",
+    dedup_watermark: str | None = None,
+    available_now: bool = True,
+):
+    """Start (and return) the streaming query writing triple parquet."""
+    from ..pipeline import KGPipeline
+
+    pages = read_pages_stream(spark, pages_dir)
+    if dedup_watermark:
+        pages = streaming_dedup_pages(pages, dedup_watermark)
+    pipe = KGPipeline(spark, cache_entries, cache_version=cache_version)
+    triples = (
+        pipe.extract(pages)
+        .filter(F.col("error").isNull())
+        .drop("error")
+    )
+    writer = (
+        triples.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
