@@ -1,0 +1,77 @@
+"""spark-submit entry point for the KG-construction pipeline.
+
+Cluster launch (north rule: two cluster sizes, N and 4N executors):
+
+    python scripts/make_pyfiles.py                        # build dist/jsonld_spark.zip
+    spark-submit --py-files dist/jsonld_spark.zip \\
+        --num-executors $N --executor-cores 4 \\
+        scripts/run_pipeline.py \\
+        --pages s3://crawl/pages --out s3://kg/triples \\
+        --run-id run-$(date +%s) --buckets 4096 --link-entities
+
+Local sandbox equivalent:
+
+    spark-submit --master 'local[32]' --py-files dist/jsonld_spark.zip \\
+        scripts/run_pipeline.py --pages data/pages_bench_800000.parquet \\
+        --out data/kg_out --run-id r1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pages", required=True, help="pages table path (parquet/iceberg)")
+    p.add_argument("--out", required=True, help="output directory for triples + lineage")
+    p.add_argument("--run-id", default="run-0")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--cache-version", default="v1")
+    p.add_argument("--link-entities", action="store_true")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--context-cache", help="JSON file: {url: context-doc}")
+    p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from jsonld_spark.pipeline import KGPipeline
+    from jsonld_spark.sources.pages import build_context_cache_entries
+
+    # spark-submit owns master/deploy config; just get-or-create
+    spark = SparkSession.builder.appName("jsonld_spark_pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.context_cache:
+        with open(args.context_cache) as f:
+            entries = json.load(f)
+    else:
+        entries = build_context_cache_entries()
+
+    pipe = KGPipeline(
+        spark,
+        entries,
+        cache_version=args.cache_version,
+        num_buckets=args.buckets,
+    )
+    pages = (
+        spark.read.format("iceberg").load(args.pages)
+        if args.format == "iceberg"
+        else spark.read.parquet(args.pages)
+    )
+    stats = pipe.run(
+        pages,
+        args.out,
+        run_id=args.run_id,
+        resume=not args.no_resume,
+        link_entities=args.link_entities,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
