@@ -48,7 +48,7 @@ def _doc_op_udf(op: Callable, cache_entries: dict | None):
                         out.append((url, d.script_index, None, d.error))
                         continue
                     try:
-                        doc = json.loads(d.json_text)
+                        doc = d.parsed
                         res = op(doc, d.base or url, cache)
                         out.append(
                             (url, d.script_index, json.dumps(res, sort_keys=True), None)

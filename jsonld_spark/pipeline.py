@@ -164,6 +164,12 @@ class KGPipeline:
         # re-derive bucket from url post-UDF (deterministic — avoids
         # shipping part_id through the Arrow boundary)
         raw = self.with_bucket(raw)
+        # the write, the lineage aggregation and the error count all
+        # consume this stage — persist so the Python UDF runs ONCE
+        # (triples are far smaller than the input html)
+        from pyspark import StorageLevel
+
+        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
 
         triples = raw.filter(F.col("error").isNull()).drop("error")
         if link_entities:
@@ -179,8 +185,6 @@ class KGPipeline:
             .parquet(triples_path)
         )
 
-        written = self.spark.read.parquet(triples_path)
-        err_rows = raw.filter(F.col("error").isNotNull())
         lineage = (
             raw.groupBy("part_id")
             .agg(
@@ -200,8 +204,15 @@ class KGPipeline:
         )
         lineage.write.mode("append").parquet(self._lineage_path(out_dir))
 
-        n_triples = written.count()
-        n_errors = err_rows.count()
+        this_run = self.spark.read.parquet(
+            self._lineage_path(out_dir)
+        ).filter(F.col("run_id") == run_id)
+        agg = this_run.agg(
+            F.sum("triple_count").alias("t"), F.sum("error_count").alias("e")
+        ).collect()[0]
+        n_triples = int(agg.t or 0)
+        n_errors = int(agg.e or 0)
+        raw.unpersist()
         return {
             "run_id": run_id,
             "seconds": time.time() - t0,

@@ -88,10 +88,11 @@ def find_jsonld_scripts(html: str) -> list[ScriptBlock]:
 
 
 class ExtractedDoc(NamedTuple):
-    json_text: str  # raw text (parse downstream)
+    json_text: str  # raw text (kept for API parity / debugging)
     base: str | None  # effective base IRI (url or <base href>)
     script_index: int
     error: str | None  # "invalid script element" when JSON is malformed
+    parsed: object = None  # parsed JSON value (avoids a second json.loads)
 
 
 def extract_jsonld(
@@ -131,8 +132,8 @@ def extract_jsonld(
     out: list[ExtractedDoc] = []
     for b in blocks:
         try:
-            json.loads(b.text)
-            out.append(ExtractedDoc(b.text, base, b.index, None))
+            parsed = json.loads(b.text)
+            out.append(ExtractedDoc(b.text, base, b.index, None, parsed))
         except ValueError:
             out.append(ExtractedDoc("", base, b.index, "invalid script element"))
     return out
@@ -148,7 +149,7 @@ def parse_all_scripts(html: str | bytes, url: str | None = None):
         if doc.error:
             errors.append(doc.error)
             continue
-        parsed = json.loads(doc.json_text)
+        parsed = doc.parsed
         if isinstance(parsed, list):
             merged.extend(parsed)
         else:

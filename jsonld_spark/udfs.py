@@ -90,7 +90,7 @@ def page_to_rows(
             rows.append((url, None, None, None, None, None, None, None, d.error))
             continue
         try:
-            doc = json.loads(d.json_text)
+            doc = d.parsed if d.parsed is not None else json.loads(d.json_text)
             quads = doc_to_quads(
                 doc, base=d.base or url, cache=cache, rdf_direction=rdf_direction
             )
