@@ -641,8 +641,9 @@ def create_term_definition(
         return
     if state is False:
         raise err.CyclicIRIMapping(term)
-    if term == "":
-        raise err.InvalidTermDefinition("empty term")
+    # NOTE: an empty term ("") is spec-discouraged, but the reference
+    # defines it unless the validate option is set (context.rb:548,
+    # term_valid? at 1789) — we match the reference's lenient default.
     defined[term] = False
 
     value = local_context.get(term)

@@ -1,0 +1,275 @@
+"""Minimal Turtle reader (documented subset) → Quads.
+
+Covers the subset the reference's round-trip fixtures use
+(/root/reference/spec/test-files/test-N-rdf.ttl): @prefix/@base, IRIs,
+prefixed names (empty local parts allowed), ``a``, string/numeric/bool
+literals with optional ``^^``/``@lang``, predicate-object lists ``;``,
+object lists ``,``, blank-node property lists ``[ ... ]``, collections
+``( ... )``, comments.  Not a full Turtle implementation — good enough
+as a golden-file reader and a secondary ingest format for small vocab
+files; crawl-scale inputs stay parquet/Iceberg.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..rdf_model import (
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    XSD_BOOLEAN,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    XSD_NS,
+    XSD_STRING,
+    Quad,
+)
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<iri><[^>]*>)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<prefix_decl>@prefix|@base|PREFIX|BASE)
+  | (?P<lang>@[a-zA-Z][a-zA-Z0-9-]*)
+  | (?P<dtype>\^\^)
+  | (?P<num>[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.?\d+(?:[eE][+-]?\d+)?))
+  | (?P<pname>[A-Za-z_][\w.-]*?:[\w.-]*|:[\w.-]*|[A-Za-z_][\w.-]*:)
+  | (?P<bnode_label>_:[\w-]+)
+  | (?P<kw_a>\ba\b)
+  | (?P<bool>\btrue\b|\bfalse\b)
+  | (?P<punct>[\[\]();,.])
+    """,
+    re.VERBOSE,
+)
+
+
+class TurtleError(ValueError):
+    pass
+
+
+class TurtleParser:
+    def __init__(self, text: str, base: str | None = None):
+        self.tokens = self._tokenize(text)
+        self.pos = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = base
+        self.quads: list[Quad] = []
+        self._bn = 0
+
+    @staticmethod
+    def _tokenize(text: str):
+        tokens = []
+        i = 0
+        while i < len(text):
+            m = _TOKEN_RE.match(text, i)
+            if m is None:
+                raise TurtleError(f"bad syntax at {text[i:i + 30]!r}")
+            i = m.end()
+            kind = m.lastgroup
+            if kind == "ws":
+                continue
+            tokens.append((kind, m.group()))
+        return tokens
+
+    # -- token helpers ---------------------------------------------------------
+
+    def _peek(self):
+        return self.tokens[self.pos] if self.pos < len(self.tokens) else (None, None)
+
+    def _next(self):
+        t = self._peek()
+        self.pos += 1
+        return t
+
+    def _expect_punct(self, ch: str):
+        kind, val = self._next()
+        if kind != "punct" or val != ch:
+            raise TurtleError(f"expected {ch!r}, got {val!r}")
+
+    def _new_bnode(self) -> str:
+        self._bn += 1
+        return f"_:t{self._bn}"
+
+    # -- grammar ---------------------------------------------------------------
+
+    def parse(self) -> list[Quad]:
+        while self.pos < len(self.tokens):
+            kind, val = self._peek()
+            if kind == "prefix_decl":
+                self._next()
+                if val.lower().lstrip("@") == "prefix":
+                    pk, pv = self._next()
+                    if pk != "pname":
+                        raise TurtleError(f"bad prefix name {pv!r}")
+                    prefix = pv[:-1]
+                    ik, iv = self._next()
+                    if ik != "iri":
+                        raise TurtleError("expected IRI in @prefix")
+                    self.prefixes[prefix] = iv[1:-1]
+                else:
+                    ik, iv = self._next()
+                    self.base = iv[1:-1]
+                if val.startswith("@"):
+                    self._expect_punct(".")
+                continue
+            self._triples()
+            self._expect_punct(".")
+        return self.quads
+
+    def _triples(self):
+        kind, val = self._peek()
+        if kind == "punct" and val == "[":
+            subj = self._bnode_property_list()
+            kind, val = self._peek()
+            if not (kind == "punct" and val == "."):
+                self._predicate_object_list(subj)
+        else:
+            subj = self._resource()
+            self._predicate_object_list(subj)
+
+    def _predicate_object_list(self, subj: str):
+        while True:
+            pred = self._predicate()
+            while True:
+                obj = self._object(subj, pred)
+                if obj is not None:
+                    self.quads.append(
+                        Quad(subj, pred, *obj, None)
+                    )
+                kind, val = self._peek()
+                if kind == "punct" and val == ",":
+                    self._next()
+                    continue
+                break
+            kind, val = self._peek()
+            if kind == "punct" and val == ";":
+                self._next()
+                kind, val = self._peek()
+                if kind == "punct" and val in (".", "]"):
+                    return
+                continue
+            return
+
+    def _predicate(self) -> str:
+        kind, val = self._next()
+        if kind == "kw_a":
+            return RDF_TYPE
+        if kind == "iri":
+            return self._abs(val[1:-1])
+        if kind == "pname":
+            return self._resolve_pname(val)
+        raise TurtleError(f"bad predicate {val!r}")
+
+    def _resource(self) -> str:
+        kind, val = self._next()
+        if kind == "iri":
+            return self._abs(val[1:-1])
+        if kind == "pname":
+            return self._resolve_pname(val)
+        if kind == "bnode_label":
+            return val
+        raise TurtleError(f"bad subject {val!r}")
+
+    def _object(self, subj, pred):
+        """Returns (obj, is_literal, datatype, lang) or None (value already
+        emitted, e.g. nested structures return their node)."""
+        kind, val = self._peek()
+        if kind == "punct" and val == "[":
+            node = self._bnode_property_list()
+            return (node, False, None, None)
+        if kind == "punct" and val == "(":
+            node = self._collection()
+            return (node, False, None, None)
+        self._next()
+        if kind == "iri":
+            return (self._abs(val[1:-1]), False, None, None)
+        if kind == "pname":
+            return (self._resolve_pname(val), False, None, None)
+        if kind == "bnode_label":
+            return (val, False, None, None)
+        if kind == "string":
+            lex = _unescape(val[1:-1])
+            nk, nv = self._peek()
+            if nk == "dtype":
+                self._next()
+                dk, dv = self._next()
+                dt = (
+                    self._abs(dv[1:-1]) if dk == "iri" else self._resolve_pname(dv)
+                )
+                return (lex, True, dt, None)
+            if nk == "lang":
+                self._next()
+                return (lex, True, "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", nv[1:])
+            return (lex, True, XSD_STRING, None)
+        if kind == "num":
+            if "." in val or "e" in val.lower():
+                dt = XSD_DOUBLE if "e" in val.lower() else XSD_NS + "decimal"
+                return (val, True, dt, None)
+            return (val, True, XSD_INTEGER, None)
+        if kind == "bool":
+            return (val, True, XSD_BOOLEAN, None)
+        raise TurtleError(f"bad object {val!r}")
+
+    def _bnode_property_list(self) -> str:
+        self._expect_punct("[")
+        node = self._new_bnode()
+        kind, val = self._peek()
+        if not (kind == "punct" and val == "]"):
+            self._predicate_object_list(node)
+        self._expect_punct("]")
+        return node
+
+    def _collection(self) -> str:
+        self._expect_punct("(")
+        items = []
+        while True:
+            kind, val = self._peek()
+            if kind == "punct" and val == ")":
+                self._next()
+                break
+            items.append(self._object(None, None))
+        if not items:
+            return RDF_NIL
+        head = self._new_bnode()
+        current = head
+        for i, it in enumerate(items):
+            self.quads.append(Quad(current, RDF_FIRST, *it, None))
+            nxt = self._new_bnode() if i < len(items) - 1 else RDF_NIL
+            self.quads.append(Quad(current, RDF_REST, nxt, False, None, None, None))
+            current = nxt
+        return head
+
+    def _resolve_pname(self, pname: str) -> str:
+        prefix, _, local = pname.partition(":")
+        if prefix not in self.prefixes:
+            raise TurtleError(f"unknown prefix {prefix!r}")
+        return self.prefixes[prefix] + local
+
+    def _abs(self, iri: str) -> str:
+        if self.base and not re.match(r"\A[A-Za-z][A-Za-z0-9+.-]*:", iri):
+            from ..iri import resolve_iri
+
+            return resolve_iri(self.base, iri)
+        return iri
+
+
+_ESC = {"\\n": "\n", "\\t": "\t", "\\r": "\r", '\\"': '"', "\\\\": "\\"}
+
+
+def _unescape(s: str) -> str:
+    return re.sub(
+        r"\\u[0-9A-Fa-f]{4}|\\.",
+        lambda m: (
+            chr(int(m.group()[2:], 16))
+            if m.group().startswith("\\u")
+            else _ESC.get(m.group(), m.group()[1:])
+        ),
+        s,
+    )
+
+
+def parse_turtle(text: str, base: str | None = None) -> list[Quad]:
+    return TurtleParser(text, base).parse()
