@@ -193,7 +193,13 @@ _ESCAPES = {
 
 
 def _escape_literal(s: str) -> str:
-    return "".join(_ESCAPES.get(c, c) for c in s)
+    # named ECHARs, then \uXXXX for remaining C0 controls + DEL
+    # (canonical N-Triples form)
+    return "".join(
+        _ESCAPES.get(c)
+        or (f"\\u{ord(c):04X}" if ord(c) < 0x20 or ord(c) == 0x7F else c)
+        for c in s
+    )
 
 
 def term_to_nquads(quad: Quad) -> str:
@@ -263,7 +269,9 @@ def _unescape(s: str) -> str:
 
 def parse_nquads(text: str) -> list[Quad]:
     quads = []
-    for line in text.splitlines():
+    # NOT str.splitlines(): it splits on \x1c-\x1e/\x85/  etc.,
+    # which may appear (escaped or raw) inside literals
+    for line in text.split("\n"):
         line = line.strip()
         if not line or line.startswith("#"):
             continue

@@ -1,0 +1,139 @@
+"""Property-based tests (hypothesis): roundtrips and invariants that
+hold for ARBITRARY generated JSON-LD documents, not just fixtures."""
+
+import json
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from jsonld_spark import doc_to_quads, expand_document
+from jsonld_spark.compact import compact_document
+from jsonld_spark.from_rdf import from_quads
+from jsonld_spark.iri import resolve_iri
+from jsonld_spark.rdf_model import jcs_canonicalize, parse_nquads, quads_to_nquads
+from jsonld_spark.to_rdf import expanded_to_quads
+
+# --- generators ---------------------------------------------------------------
+
+_term = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6)
+_iri = st.builds(lambda s: f"http://ex.org/{s}", _term)
+
+_scalar = st.one_of(
+    st.text(max_size=20),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.booleans(),
+)
+
+
+def _node_objects(depth: int):
+    leaf = st.fixed_dictionaries(
+        {"@id": _iri},
+        optional={
+            "http://ex.org/p": st.lists(
+                st.fixed_dictionaries({"@value": _scalar}), min_size=1, max_size=3
+            ),
+            "@type": st.lists(_iri, min_size=1, max_size=2),
+        },
+    )
+    if depth == 0:
+        return leaf
+    return st.fixed_dictionaries(
+        {"@id": _iri},
+        optional={
+            "http://ex.org/child": st.lists(_node_objects(depth - 1), min_size=1, max_size=2),
+            "http://ex.org/val": st.lists(
+                st.fixed_dictionaries({"@value": _scalar}), min_size=1, max_size=2
+            ),
+            "http://ex.org/lst": st.lists(
+                st.fixed_dictionaries(
+                    {"@list": st.lists(st.fixed_dictionaries({"@value": _scalar}), max_size=3)}
+                ),
+                min_size=1,
+                max_size=1,
+            ),
+        },
+    )
+
+
+expanded_docs = st.lists(_node_objects(2), min_size=1, max_size=3)
+
+
+# --- properties ---------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(expanded_docs)
+def test_expand_idempotent_on_expanded(doc):
+    """Expanding already-expanded input is a fixed point (modulo array
+    normalization the first pass performs)."""
+    once = expand_document(json.loads(json.dumps(doc)))
+    twice = expand_document(json.loads(json.dumps(once)))
+    assert once == twice
+
+
+@settings(max_examples=60, deadline=None)
+@given(expanded_docs)
+def test_nquads_roundtrip_lossless(doc):
+    quads = expanded_to_quads(expand_document(json.loads(json.dumps(doc))))
+    text = quads_to_nquads(quads)
+    assert sorted(parse_nquads(text)) == sorted(quads)
+
+
+@settings(max_examples=40, deadline=None)
+@given(expanded_docs)
+def test_to_rdf_from_rdf_roundtrip(doc):
+    """toRdf → fromRdf → toRdf is quad-preserving."""
+    expanded = expand_document(json.loads(json.dumps(doc)))
+    quads = expanded_to_quads(expanded)
+    back = from_quads(quads, ordered=True)
+    quads2 = expanded_to_quads(back)
+    assert set(quads2) == set(quads)
+
+
+@settings(max_examples=40, deadline=None)
+@given(expanded_docs)
+def test_compact_expand_roundtrip(doc):
+    """compact(ctx) → expand(ctx) returns to the same expanded form."""
+    ctx = {"ex": "http://ex.org/"}
+    expanded = expand_document(json.loads(json.dumps(doc)))
+    compacted = compact_document(expanded, ctx)
+    re_expanded = expand_document(compacted)
+    q1 = set(expanded_to_quads(expanded))
+    q2 = set(expanded_to_quads(re_expanded))
+    assert q1 == q2
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(alphabet=string.ascii_lowercase + "./", max_size=15),
+)
+def test_resolve_iri_absolute_fixed_point(ref):
+    base = "http://a.example/b/c"
+    resolved = resolve_iri(base, ref)
+    # resolving an already-resolved IRI against the same base is stable
+    assert resolve_iri(base, resolved) == resolved
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.recursive(
+        st.one_of(
+            st.none(),
+            st.booleans(),
+            st.integers(min_value=-(2**53), max_value=2**53),
+            st.floats(allow_nan=False, allow_infinity=False),
+            st.text(max_size=15),
+        ),
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=4),
+            st.dictionaries(st.text(max_size=8), inner, max_size=4),
+        ),
+        max_leaves=12,
+    )
+)
+def test_jcs_is_valid_json_and_stable(value):
+    out = jcs_canonicalize(value)
+    parsed = json.loads(out)
+    # canonicalization is a fixed point through a parse cycle
+    assert jcs_canonicalize(parsed) == out
