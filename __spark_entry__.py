@@ -416,7 +416,8 @@ def oracle_sql() -> dict[str, str]:
     doc_subj = "'" + DOC_NS + "' || CAST(doc_id AS VARCHAR)"
     return {
         "jsonld_lang_triples": f"""
-            SELECT {doc_subj} AS subj, lang AS obj, '{XSD_STRING}' AS obj_datatype
+            SELECT {doc_subj} AS subj, lang AS obj,
+                   CAST(NULL AS VARCHAR) AS obj_datatype
             FROM documents ORDER BY subj""",
         "jsonld_nchars_triples": f"""
             SELECT {doc_subj} AS subj, CAST(n_chars AS VARCHAR) AS obj,

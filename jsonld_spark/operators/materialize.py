@@ -67,7 +67,17 @@ def materialize_graphs(
         if g is not None and not isinstance(g, str):
             g = None
         quads = [
-            Quad(r.subj, r.pred, r.obj, bool(r.obj_is_literal), r.obj_datatype, r.obj_lang, None)
+            Quad(
+                r.subj,
+                r.pred,
+                r.obj,
+                bool(r.obj_is_literal),
+                ("http://www.w3.org/2001/XMLSchema#string"
+                 if r.obj_is_literal and r.obj_datatype is None and r.obj_lang is None
+                 else r.obj_datatype),
+                r.obj_lang,
+                None,
+            )
             for r in pdf.itertuples(index=False)
         ]
         docs = from_quads(quads, ordered=ordered, use_native_types=use_native_types)

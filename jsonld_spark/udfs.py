@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 
 from .context import ContextCache
 from .errors import JsonLdError
-from .rdf_model import Quad
+from .rdf_model import XSD_STRING, Quad
 from .sources.html_jsonld import extract_jsonld
 from .to_rdf import doc_to_quads
 
@@ -112,6 +112,11 @@ def page_to_rows(
             continue
         si = d.script_index
         for q in quads:
+            # schema convention: NULL obj_datatype + obj_is_literal ⇒
+            # xsd:string — the dominant datatype; NULL costs a validity
+            # bit instead of a 40-byte string per row through Arrow,
+            # shuffle and parquet
+            dt = None if q.obj_datatype == XSD_STRING else q.obj_datatype
             s = salt_bnode(url, si, q.subj) if q.subj.startswith("_:") else q.subj
             p = salt_bnode(url, si, q.pred) if q.pred.startswith("_:") else q.pred
             o = (
@@ -125,7 +130,7 @@ def page_to_rows(
                 else q.graph
             )
             rows.append(
-                (url, s, p, o, q.obj_is_literal, q.obj_datatype, q.obj_lang, g, None)
+                (url, s, p, o, q.obj_is_literal, dt, q.obj_lang, g, None)
             )
     return rows
 
@@ -154,9 +159,20 @@ def make_pages_to_triples(
 
 
 def rows_to_quads(rows) -> list[Quad]:
-    """Triple rows (without url/error) back into Quad tuples — test helper."""
+    """Triple rows (without url/error) back into Quad tuples — test helper.
+    Restores the NULL-datatype ⇒ xsd:string convention."""
     return [
-        Quad(r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_datatype, r.obj_lang, r.graph)
+        Quad(
+            r.subj,
+            r.pred,
+            r.obj,
+            r.obj_is_literal,
+            (r.obj_datatype if r.obj_datatype is not None else XSD_STRING)
+            if r.obj_is_literal and r.obj_lang is None
+            else r.obj_datatype,
+            r.obj_lang,
+            r.graph,
+        )
         for r in rows
         if r.subj is not None
     ]
