@@ -66,3 +66,19 @@ def nquad_col(
 
 def with_nquads(triples: DataFrame, col_name: str = "nquad") -> DataFrame:
     return triples.withColumn(col_name, nquad_col())
+
+
+def write_nquads(triples: DataFrame, path: str, partitions: int | None = None) -> None:
+    """N-Quads text sink — the cluster analog of the reference's
+    StreamingWriter (streaming_writer.rb:41-73): its grouped-by-graph-
+    then-subject emission precondition becomes ``sortWithinPartitions``;
+    each task streams one sorted part file, no driver involvement."""
+    df = triples
+    if partitions:
+        df = df.repartition(partitions, "graph", "subj")
+    (
+        df.sortWithinPartitions("graph", "subj", "pred")
+        .select(nquad_col().alias("value"))
+        .write.mode("overwrite")
+        .text(path)
+    )

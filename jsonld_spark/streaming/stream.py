@@ -48,6 +48,31 @@ def streaming_dedup_pages(
     )
 
 
+def windowed_crawl_stats(
+    pages: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window crawl stats (pages + bytes per window
+    per lang) with late-data handling — watermark/window semantics the
+    reference has no analog for (SURVEY.md §2.9 'absent in reference')."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("lang"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.octet_length("html")).alias("html_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_pages",
+            "html_bytes",
+        )
+    )
+
+
 def stream_pages_to_triples(
     spark: SparkSession,
     pages_dir: str,

@@ -76,3 +76,43 @@ def test_watermark_dedup_is_streaming_plan(spark):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == 20
+
+
+def test_windowed_crawl_stats(spark):
+    import os
+    import shutil
+
+    from jsonld_spark.streaming import windowed_crawl_stats
+    from jsonld_spark.streaming.stream import PAGES_SCHEMA
+
+    base = os.path.join(DATA_DIR, "stream_window")
+    shutil.rmtree(base, ignore_errors=True)
+    pages_dir = os.path.join(base, "pages")
+    os.makedirs(pages_dir)
+    # warc_ts advances 1s per page → 100 pages span <2 windows of 1 min
+    write_pages_parquet(os.path.join(pages_dir, "b0.parquet"), 100, seed=4)
+    out, cp = os.path.join(base, "out"), os.path.join(base, "cp")
+
+    def run_once():
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+        stats = windowed_crawl_stats(stream, window="1 minute", watermark="0 seconds")
+        assert stats.isStreaming
+        q = (
+            stats.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # a later micro-batch advances the watermark past the first window's
+    # end, closing it (append mode emits only closed windows)
+    write_pages_parquet(os.path.join(pages_dir, "b1.parquet"), 5, seed=5)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    total = sum(r.n_pages for r in rows)
+    assert total == 60  # window [00:00, 01:00) closed with 60 pages
+    assert all(r.html_bytes > 0 for r in rows)
