@@ -19,6 +19,28 @@ import json
 import re
 from typing import NamedTuple
 
+try:  # orjson: ~3x faster loads on script-sized docs; optional
+    import orjson
+
+    # orjson silently converts integers beyond u64 to floats, losing
+    # the exact lexical form xsd:integer emission needs; any 19+-digit
+    # run routes to stdlib json (rare in crawl data; string false
+    # positives just take the slower exact path)
+    _BIGDIGITS_RE = re.compile(r"\d{19}")
+
+    def _json_loads(s: str):
+        if _BIGDIGITS_RE.search(s):
+            return json.loads(s)
+        try:
+            return orjson.loads(s)
+        except ValueError:
+            # orjson is stricter on a few edge inputs; keep reference
+            # semantics — truly malformed input re-raises here
+            return json.loads(s)
+
+except ImportError:  # pragma: no cover
+    _json_loads = json.loads
+
 _SCRIPT_RE = re.compile(
     r"<script\b([^>]*)>(.*?)</script\s*>",
     re.IGNORECASE | re.DOTALL,
@@ -132,7 +154,7 @@ def extract_jsonld(
     out: list[ExtractedDoc] = []
     for b in blocks:
         try:
-            parsed = json.loads(b.text)
+            parsed = _json_loads(b.text)
             out.append(ExtractedDoc(b.text, base, b.index, None, parsed))
         except ValueError:
             out.append(ExtractedDoc("", base, b.index, "invalid script element"))
