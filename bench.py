@@ -131,6 +131,25 @@ def main() -> None:
         results[name] = round(time.time() - t0, 3)
         extra.setdefault("rows", {})[name] = cnt
 
+    # full north-rule pipeline on a crawl subset: extract → sameAs
+    # connected components → broadcast link → bucketed write + lineage
+    import glob
+    import shutil
+
+    subset_files = sorted(glob.glob(os.path.join(PAGES_PATH, "part-*")))[:16]
+    if subset_files:
+        from jsonld_spark.pipeline import KGPipeline
+        from jsonld_spark.sources.pages import build_context_cache_entries
+
+        kg_out = os.path.join(REPO, "data", "bench_kg_out")
+        shutil.rmtree(kg_out, ignore_errors=True)
+        pipe = KGPipeline(spark, build_context_cache_entries(), num_buckets=64)
+        sub = spark.read.parquet(*subset_files)
+        stats = pipe.run(sub, kg_out, run_id="bench", resume=False, link_entities=True)
+        results["full_pipeline_linked"] = round(stats["seconds"], 3)
+        extra["full_pipeline_triples"] = stats["triples"]
+        extra["full_pipeline_pages"] = sub.count()
+
     spark.stop()
 
     # scaling-efficiency proxy: local[8] vs local[CPUS] on the SAME input.
