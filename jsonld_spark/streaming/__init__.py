@@ -1,5 +1,6 @@
 """Structured Streaming wrappers for the KG-construction pipeline."""
 
+from .stateful import first_seen_pages
 from .stream import (
     PAGES_SCHEMA,
     stream_pages_to_triples,
@@ -9,6 +10,7 @@ from .stream import (
 
 __all__ = [
     "PAGES_SCHEMA",
+    "first_seen_pages",
     "stream_pages_to_triples",
     "streaming_dedup_pages",
     "windowed_crawl_stats",

@@ -116,3 +116,46 @@ def test_windowed_crawl_stats(spark):
     total = sum(r.n_pages for r in rows)
     assert total == 60  # window [00:00, 01:00) closed with 60 pages
     assert all(r.html_bytes > 0 for r in rows)
+
+
+def test_stateful_first_seen_across_batches(spark):
+    import os
+    import shutil
+
+    from jsonld_spark.streaming.stateful import first_seen_pages
+    from jsonld_spark.streaming.stream import PAGES_SCHEMA
+
+    base = os.path.join(DATA_DIR, "stream_stateful")
+    shutil.rmtree(base, ignore_errors=True)
+    pages_dir = os.path.join(base, "pages")
+    os.makedirs(pages_dir)
+    out, cp = os.path.join(base, "out"), os.path.join(base, "cp")
+
+    def run_once():
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+        q = (
+            first_seen_pages(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 0: 50 unique urls (seed 7)
+    write_pages_parquet(os.path.join(pages_dir, "b0.parquet"), 50, seed=7)
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 50
+
+    # batch 1: SAME 50 urls re-crawled (same seed → same urls) + 10 new
+    write_pages_parquet(os.path.join(pages_dir, "b1.parquet"), 50, seed=7)
+    write_pages_parquet(os.path.join(pages_dir, "b2.parquet"), 60, seed=7)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    urls = [r.url for r in rows]
+    # unbounded-state dedup: re-crawled urls NOT re-emitted
+    assert len(urls) == len(set(urls))
+    assert len(urls) == 60  # 50 originals + 10 genuinely new
