@@ -312,6 +312,38 @@ def _q_revenue_by_nation(spark, sf_dir):
 # --- text / dedup / similarity / multimodal ---------------------------------
 
 
+def _q_parts_by_brand(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        part.filter(F.col("p_type") == "ECONOMY")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.expr("sum(cast(round(p_retailprice * 100) as bigint))").alias(
+                "retail_x100"
+            ),
+            F.max("p_size").alias("max_size"),
+        )
+        .crossJoin(F.broadcast(supplier.agg(F.count("*").alias("n_suppliers"))))
+        .orderBy("p_brand")
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n")
+        .orderBy("bucket", "event_type")
+    )
+
+
+def _q_token_count_bpe(spark, sf_dir):
+    return textops.token_count_bpe(_docs(spark, sf_dir))
+
+
 def _q_dedup_exact(spark, sf_dir):
     return textops.exact_dedup(_docs(spark, sf_dir))
 
@@ -392,9 +424,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_first_per_user": _q_events_first_per_user,
         "events_json_props": _q_events_json_props,
         "events_sessions": _q_events_sessions,
+        "events_hourly": _q_events_hourly,
+        "parts_by_brand": _q_parts_by_brand,
         # dedup / text analysis
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
+        "token_count_bpe": _q_token_count_bpe,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -522,6 +557,18 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type""",
+        "events_hourly": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+        "parts_by_brand": """
+            WITH s AS (SELECT count(*) AS n_suppliers FROM supplier)
+            SELECT p_brand, count(*) AS n_parts,
+                   sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS retail_x100,
+                   max(p_size) AS max_size, s.n_suppliers
+            FROM part, s WHERE p_type = 'ECONOMY'
+            GROUP BY p_brand, s.n_suppliers ORDER BY p_brand""",
+        "token_count_bpe": textops.TOKEN_COUNT_BPE_SQL,
         "dedup_exact": textops.EXACT_DEDUP_SQL,
         "token_stats": textops.TOKEN_STATS_SQL,
         "quality_score": textops.QUALITY_SCORE_SQL,

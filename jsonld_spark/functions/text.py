@@ -135,6 +135,34 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- BPE-ish sub-word token counting -----------------------------------------
+
+# GPT-2-style pre-tokenizer shape, simplified to a dialect both engines
+# share: word pieces, number runs, punctuation runs
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Sub-word-ish token counts: whitespace words vs BPE-ish pieces —
+    the ratio approximates tokens-per-word inflation for budget
+    estimation over a corpus."""
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(split(trim(text), ' +'))").alias("n_words"),
+        F.expr(
+            f"size(regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0))"
+        ).alias("n_bpe_ish"),
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNT_BPE_SQL = f"""
+SELECT doc_id,
+       len({_DUCK_TOKENS}) AS n_words,
+       len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_ish
+FROM documents ORDER BY doc_id
+"""
+
+
 # --- language identification -------------------------------------------------
 
 _LANG_MARKERS = [

@@ -51,7 +51,7 @@ def connected_components(
         .localCheckpoint()
     )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # 1. neighbor-min message passing
         msgs = sym.join(labels, sym.a == labels.id).select(
             F.col("b").alias("id"), F.col("comp")
@@ -73,15 +73,17 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        check = it % 2 == 1 or it == max_iter - 1
+        if check:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
         labels = new_labels
-        if changed == 0:
+        if check and changed == 0:
             break
     return labels
 

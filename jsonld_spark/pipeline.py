@@ -113,12 +113,32 @@ class KGPipeline:
 
     # -- stage 4: entity linking ---------------------------------------------
 
-    def linked_triples(self, triples: DataFrame, max_iter: int = 25) -> DataFrame:
-        from .operators.graph import canonical_mapping, link_entities, sameas_edges
+    def linked_triples(
+        self, triples: DataFrame, max_iter: int = 25, dedup: bool = True
+    ) -> DataFrame:
+        from .operators.graph import (
+            SAME_AS_PREDICATES,
+            canonical_mapping,
+            link_entities,
+            sameas_edges,
+        )
 
         edges = sameas_edges(triples)
         mapping = canonical_mapping(edges, max_iter=max_iter)
-        return link_entities(triples, mapping)
+        linked = link_entities(triples, mapping)
+        # canonicalization makes sameAs rows degenerate (x sameAs x) and
+        # collapses distinct rows into duplicates — clean both up
+        linked = linked.filter(
+            ~(F.col("pred").isin(*SAME_AS_PREDICATES) & (F.col("subj") == F.col("obj")))
+        )
+        if dedup:
+            linked = linked.dropDuplicates(
+                ["url", "subj", "pred", "obj", "obj_is_literal",
+                 "obj_datatype", "obj_lang", "graph"]
+                if "url" in linked.columns
+                else None
+            )
+        return linked
 
     # -- stage 5: partitioned write + lineage + resume -----------------------
 
