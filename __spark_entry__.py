@@ -392,6 +392,10 @@ def _q_ann_lsh(spark, sf_dir):
     return similarity.ann_topk_lsh(_emb(spark, sf_dir))
 
 
+def _q_ann_ivf(spark, sf_dir):
+    return similarity.ann_topk_ivf(_emb(spark, sf_dir))
+
+
 def _q_payload_meta(spark, sf_dir):
     return multimodal.payload_meta(_docs(spark, sf_dir))
 
@@ -441,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "near_dup_embeddings": _q_near_dup_embeddings,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
         # multimodal plumbing
         "payload_meta": _q_payload_meta,
         "multimodal_features": _q_multimodal_features,

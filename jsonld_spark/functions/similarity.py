@@ -145,6 +145,116 @@ def lsh_buckets(emb: DataFrame) -> DataFrame:
     ).select("vec_id", "bb.band_id", "bb.bucket")
 
 
+def _kmeans_centroids(emb: DataFrame, n_cells: int, iters: int = 4):
+    """Deterministic mini k-means on a driver-side sample (at 10^12 rows
+    you train the coarse quantizer on a sample anyway); returns a
+    numpy array (n_cells, dim)."""
+    import numpy as np
+
+    sample = np.array(
+        [
+            r.embedding
+            for r in emb.orderBy("vec_id").limit(max(2048, n_cells * 64)).collect()
+        ],
+        dtype=np.float64,
+    )
+    centroids = sample[:n_cells].copy()  # deterministic init: first K
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment, Arrow-batched numpy
+    (the IVF coarse quantizer — one map stage, no shuffle)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    c = centroids.copy()
+
+    def fn(batches):
+        cc = np.asarray(c)
+        c_norms = (cc**2).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": [], "cell": []})
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            # argmin ||x-c||² = argmin (||c||² - 2x·c)
+            cells = (c_norms[None, :] - 2.0 * (x @ cc.T)).argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cells.astype("int32")})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        fn,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("cell", T.IntegerType()),
+            ]
+        ),
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into cells; probe the
+    ``n_probe`` nearest cells per query; exact cosine re-rank within.
+    At 10^12 rows the cell column is a partition key — a probe reads
+    n_probe/n_cells of the corpus instead of scanning it."""
+    import numpy as np
+
+    centroids = _kmeans_centroids(emb, n_cells)
+    assigned = emb.join(ivf_assign(emb, centroids), "vec_id")
+
+    # driver-side: which cells each query probes
+    q_rows = emb.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
+    c_norms = (centroids**2).sum(axis=1)
+    probe_pairs = []
+    for r in q_rows:
+        x = np.array(r.embedding, dtype=np.float64)
+        order = np.argsort(c_norms - 2.0 * (centroids @ x))[:n_probe]
+        for cell in order:
+            probe_pairs.append((r.vec_id, int(cell)))
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(probe_pairs, "query_id long, cell int")
+
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e"))
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos_x1e6",
+            F.expr(
+                f"cast(floor(1000000 * {_dot_expr('q', 'e')} / ({_norm_expr('q')} * {_norm_expr('e')})) as bigint)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_x1e6").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_x1e6")
+        .orderBy("query_id", "rank")
+    )
+
+
 def ann_topk_lsh(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing ANY LSH band bucket
     with the query, then exact cosine re-rank.  Recall vs the brute-force

@@ -53,3 +53,22 @@ def test_near_dup_threshold(spark, emb):
     assert len(out) > 0
     assert all(r.cos_x1e6 >= 400_000 for r in out)
     assert all(r.vec_a < r.vec_b for r in out)
+
+
+def test_ivf_ann_recall(spark, emb):
+    exact = similarity.cosine_topk(emb, n_queries=10, k=5).collect()
+    approx = similarity.ann_topk_ivf(emb, n_queries=10, k=5, n_cells=8, n_probe=4).collect()
+    assert len(approx) == 50  # full k for every query (cells cover enough)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing half the cells on random data should recover most of top-5
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_ivf_assignment_covers_all(spark, emb):
+    cents = similarity._kmeans_centroids(emb, 8)
+    assigned = similarity.ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    cells = {r.cell for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(8)) and len(cells) >= 4
