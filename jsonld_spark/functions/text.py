@@ -363,14 +363,31 @@ FROM h ORDER BY doc_id
 # --- n-gram Jaccard near-dup pairs ------------------------------------------
 
 
-def jaccard_pairs(docs: DataFrame, threshold_x1000: int = 300) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame, threshold_x1000: int = 300, max_df: int | None = None
+) -> DataFrame:
     """Exact shingle-Jaccard pairs ≥ threshold via explode + self-join +
     groupBy — the distributed pattern (no cross join).  Integer-scaled
-    jaccard (x1000, floor) for cross-engine determinism."""
+    jaccard (x1000, floor) for cross-engine determinism.
+
+    ``max_df``: optional stop-shingle cap — shingles occurring in more
+    than ``max_df`` docs are dropped before the self-join.  At crawl
+    scale boilerplate shingles (cookie banners, footers) otherwise
+    create quadratic hot keys; capping bounds any join group to
+    max_df², at a small recall cost (off by default so the exact
+    DuckDB oracle applies)."""
     sh = (
         docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
         .select("doc_id", F.explode(F.array_distinct(F.expr(SHINGLES_EXPR))).alias("sh"))
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

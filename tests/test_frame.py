@@ -147,3 +147,17 @@ def test_bnode_pruning():
     frame = {"@context": CTX, "@type": "Thing"}
     out = frame_document(doc, frame)
     assert "@id" not in out["child"]  # single-use bnode id pruned
+
+
+def test_embed_always_duplicates():
+    frame = {
+        "@context": CTX,
+        "@type": "Library",
+        "@embed": "@always",
+        "contains": {},
+    }
+    out = frame_document(LIBRARY, frame)
+    # the book is embedded under the library even though query also
+    # matches it at top level elsewhere
+    assert out["contains"]["@type"] == "Book"
+    assert out["contains"]["creator"] == "Plato"

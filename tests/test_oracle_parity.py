@@ -96,3 +96,17 @@ def test_rows_only_queries_run(spark):
             continue
         n = q(spark, SF_DIR).count()
         assert n >= 0, name
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    """max_df cap drops boilerplate shingles (skew defence) — result is
+    a subset of the uncapped pairs."""
+    from jsonld_spark.functions import text as textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    full = {(r.doc_a, r.doc_b) for r in textops.jaccard_pairs(docs).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in textops.jaccard_pairs(docs, max_df=50).collect()
+    }
+    assert capped <= full or len(capped - full) == 0

@@ -137,3 +137,20 @@ def test_jcs_is_valid_json_and_stable(value):
     parsed = json.loads(out)
     # canonicalization is a fixed point through a parse cycle
     assert jcs_canonicalize(parsed) == out
+
+
+@settings(max_examples=40, deadline=None)
+@given(expanded_docs)
+def test_compact_expand_roundtrip_rich_context(doc):
+    """Roundtrip through a context with coercions and containers."""
+    ctx = {
+        "ex": "http://ex.org/",
+        "child": {"@id": "http://ex.org/child", "@type": "@id", "@container": "@set"},
+        "lst": {"@id": "http://ex.org/lst", "@container": "@list"},
+    }
+    expanded = expand_document(json.loads(json.dumps(doc)))
+    compacted = compact_document(expanded, ctx)
+    re_expanded = expand_document(compacted)
+    q1 = set(expanded_to_quads(expanded))
+    q2 = set(expanded_to_quads(re_expanded))
+    assert q1 == q2
