@@ -74,11 +74,13 @@ class KGPipeline:
         cache_entries: dict | None = None,
         cache_version: str = "v1",
         rdf_direction: str | None = None,
+        produce_generalized_rdf: bool = False,
         num_buckets: int = 64,
     ):
         self.spark = spark
         self.cache_version = cache_version
         self.rdf_direction = rdf_direction
+        self.produce_generalized_rdf = produce_generalized_rdf
         self.num_buckets = num_buckets
         self.cache_bc = (
             spark.sparkContext.broadcast(cache_entries) if cache_entries else None
@@ -89,7 +91,10 @@ class KGPipeline:
     def extract(self, pages: DataFrame) -> DataFrame:
         """pages → (url, subj, …, graph, error) — triple rows + error rows."""
         fn = make_pages_to_triples(
-            self.cache_bc, self.cache_version, self.rdf_direction
+            self.cache_bc,
+            self.cache_version,
+            self.rdf_direction,
+            self.produce_generalized_rdf,
         )
         # column pruning: only url+html cross the Arrow boundary
         return pages.select("url", "html").mapInPandas(fn, TRIPLES_SCHEMA)

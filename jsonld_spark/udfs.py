@@ -75,6 +75,7 @@ def page_to_rows(
     cache: ContextCache,
     rdf_direction: str | None = None,
     max_quads_per_doc: int = 100_000,
+    produce_generalized_rdf: bool = False,
 ) -> list[tuple]:
     """All triple/error rows for one page (pure Python — unit-testable
     without Spark)."""
@@ -92,7 +93,11 @@ def page_to_rows(
         try:
             doc = d.parsed if d.parsed is not None else json.loads(d.json_text)
             quads = doc_to_quads(
-                doc, base=d.base or url, cache=cache, rdf_direction=rdf_direction
+                doc,
+                base=d.base or url,
+                cache=cache,
+                rdf_direction=rdf_direction,
+                produce_generalized_rdf=produce_generalized_rdf,
             )
         except JsonLdError as e:
             rows.append((url, None, None, None, None, None, None, None, e.code))
@@ -139,6 +144,7 @@ def make_pages_to_triples(
     cache_bc,
     cache_version: str = "v0",
     rdf_direction: str | None = None,
+    produce_generalized_rdf: bool = False,
 ):
     """Build the mapInPandas function.  ``cache_bc`` is a Spark broadcast
     of the raw context-cache dict (url → context JSON)."""
@@ -152,7 +158,15 @@ def make_pages_to_triples(
             urls = pdf["url"].to_numpy()
             htmls = pdf["html"].to_numpy()
             for url, html in zip(urls, htmls):
-                out.extend(page_to_rows(url, html, cache, rdf_direction))
+                out.extend(
+                    page_to_rows(
+                        url,
+                        html,
+                        cache,
+                        rdf_direction,
+                        produce_generalized_rdf=produce_generalized_rdf,
+                    )
+                )
             yield pd.DataFrame(out, columns=TRIPLE_COLS)
 
     return fn

@@ -33,6 +33,8 @@ def main(argv=None) -> int:
     p.add_argument("--link-entities", action="store_true")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--context-cache", help="JSON file: {url: context-doc}")
+    p.add_argument("--rdf-direction", choices=["i18n-datatype", "compound-literal"])
+    p.add_argument("--generalized-rdf", action="store_true")
     p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     args = p.parse_args(argv)
 
@@ -55,6 +57,8 @@ def main(argv=None) -> int:
         spark,
         entries,
         cache_version=args.cache_version,
+        rdf_direction=args.rdf_direction,
+        produce_generalized_rdf=args.generalized_rdf,
         num_buckets=args.buckets,
     )
     pages = (

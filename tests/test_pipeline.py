@@ -128,3 +128,34 @@ def test_deterministic_across_runs(spark, pipe, pages):
     a = sorted(map(tuple, pipe.triples(pages).collect()))
     b = sorted(map(tuple, pipe.triples(pages).collect()))
     assert a == b
+
+
+def test_rdf_direction_and_generalized_options(spark):
+    """Pipeline-level rdfDirection + produceGeneralizedRdf pass-through."""
+    import json as _json
+
+    doc = {
+        "@context": {"@vocab": "http://v/", "@language": "ar", "@direction": "rtl"},
+        "@id": "http://e/a",
+        "label": "x",
+        "_:bp": "generalized",
+    }
+    html = (
+        '<script type="application/ld+json">' + _json.dumps(doc) + "</script>"
+    ).encode()
+    pages = spark.createDataFrame(
+        [("http://u/1", html)], "url string, html binary"
+    )
+    default = KGPipeline(spark).triples(pages).collect()
+    assert all(not r.pred.startswith("_:") for r in default)
+    assert any(r.obj_lang == "ar" for r in default)
+
+    i18n = KGPipeline(spark, rdf_direction="i18n-datatype").triples(pages).collect()
+    assert any(
+        r.obj_datatype == "https://www.w3.org/ns/i18n#ar_rtl" for r in i18n
+    )
+
+    gen = (
+        KGPipeline(spark, produce_generalized_rdf=True).triples(pages).collect()
+    )
+    assert any(r.pred.startswith("_:") for r in gen)
