@@ -75,12 +75,14 @@ class KGPipeline:
         cache_version: str = "v1",
         rdf_direction: str | None = None,
         produce_generalized_rdf: bool = False,
+        canonical_bnodes: bool = True,
         num_buckets: int = 64,
     ):
         self.spark = spark
         self.cache_version = cache_version
         self.rdf_direction = rdf_direction
         self.produce_generalized_rdf = produce_generalized_rdf
+        self.canonical_bnodes = canonical_bnodes
         self.num_buckets = num_buckets
         self.cache_bc = (
             spark.sparkContext.broadcast(cache_entries) if cache_entries else None
@@ -95,6 +97,7 @@ class KGPipeline:
             self.cache_version,
             self.rdf_direction,
             self.produce_generalized_rdf,
+            self.canonical_bnodes,
         )
         # column pruning: only url+html cross the Arrow boundary
         return pages.select("url", "html").mapInPandas(fn, TRIPLES_SCHEMA)

@@ -23,6 +23,7 @@ from typing import Iterator
 
 from pyspark.sql import types as T
 
+from .canon import canonicalize_quads
 from .context import ContextCache
 from .errors import JsonLdError
 from .rdf_model import XSD_STRING, Quad
@@ -76,6 +77,7 @@ def page_to_rows(
     rdf_direction: str | None = None,
     max_quads_per_doc: int = 100_000,
     produce_generalized_rdf: bool = False,
+    canonical_bnodes: bool = True,
 ) -> list[tuple]:
     """All triple/error rows for one page (pure Python — unit-testable
     without Spark)."""
@@ -115,6 +117,11 @@ def page_to_rows(
                 (url, None, None, None, None, None, None, None, "document too large")
             )
             continue
+        if canonical_bnodes:
+            # URDNA2015-style relabel: labels become a function of the
+            # graph, not the JSON key order → the salted global ID of a
+            # bnode is stable across re-serializations of the same content
+            quads = canonicalize_quads(quads)
         si = d.script_index
         for q in quads:
             # schema convention: NULL obj_datatype + obj_is_literal ⇒
@@ -145,6 +152,7 @@ def make_pages_to_triples(
     cache_version: str = "v0",
     rdf_direction: str | None = None,
     produce_generalized_rdf: bool = False,
+    canonical_bnodes: bool = True,
 ):
     """Build the mapInPandas function.  ``cache_bc`` is a Spark broadcast
     of the raw context-cache dict (url → context JSON)."""
@@ -165,6 +173,7 @@ def make_pages_to_triples(
                         cache,
                         rdf_direction,
                         produce_generalized_rdf=produce_generalized_rdf,
+                        canonical_bnodes=canonical_bnodes,
                     )
                 )
             yield pd.DataFrame(out, columns=TRIPLE_COLS)
