@@ -70,6 +70,10 @@ def canonical_bnode_labels(quads: list[Quad], prefix: str = "c") -> dict[str, st
             bnodes.add(q.graph)
     if not bnodes:
         return {}
+    if len(bnodes) == 1:
+        # fast path: a single bnode needs no canonical ordering — the
+        # common crawl case (one anonymous node per doc)
+        return {next(iter(bnodes)): f"_:{prefix}0"}
 
     # round 0: first-degree hashes
     hashes = {b: _hash_neighborhood(b, quads) for b in bnodes}

@@ -284,3 +284,96 @@ def test_nquads_unicode_passthrough():
     q = Quad("http://e/a", "http://p/x", "日本語 ünïcode", True,
              "http://www.w3.org/2001/XMLSchema#string", None, None)
     assert parse_nquads(quad_to_nquads(q)) == [q]
+
+
+# --- additional negative / conformance cases ---------------------------------
+
+
+def test_error_invalid_prefix_value():
+    _expect(
+        {"@context": {"p": {"@id": "http://x/p", "@prefix": "yes"}}, "p": "v"},
+        err.InvalidPrefixValue,
+    )
+
+
+def test_error_graph_language_container():
+    _expect(
+        {
+            "@context": {
+                "p": {"@id": "http://x/p", "@container": ["@graph", "@language"]}
+            },
+            "p": "v",
+        },
+        err.InvalidContainerMapping,
+    )
+
+
+def test_error_graph_id_index_container():
+    _expect(
+        {
+            "@context": {
+                "p": {
+                    "@id": "http://x/p",
+                    "@container": ["@graph", "@id", "@index"],
+                }
+            },
+            "p": "v",
+        },
+        err.InvalidContainerMapping,
+    )
+
+
+def test_error_context_alias():
+    _expect(
+        {"@context": {"ctx": "@context"}, "ctx": {}},
+        err.InvalidKeywordAlias,
+    )
+
+
+def test_error_invalid_nest_value():
+    _expect(
+        {"@context": {"n": {"@id": "http://x/n", "@nest": "@id"}}, "n": "v"},
+        err.InvalidNestValue,
+    )
+
+
+def test_error_nest_value_object():
+    _expect(
+        {
+            "@context": {"@vocab": "http://v/", "meta": "@nest"},
+            "@id": "http://e/a",
+            "meta": {"@value": "v"},
+        },
+        err.InvalidNestValue,
+    )
+
+
+def test_error_invalid_reverse_property_value():
+    _expect(
+        {
+            "@context": {"children": {"@reverse": "http://x/parent"}},
+            "@id": "http://e/a",
+            "children": "just a string",
+        },
+        err.InvalidReversePropertyValue,
+    )
+
+
+def test_error_invalid_propagate():
+    _expect(
+        {"@context": {"@propagate": "yes", "@vocab": "http://v/"}, "p": "v"},
+        err.InvalidPropagateValue,
+    )
+
+
+def test_error_invalid_import_value():
+    _expect(
+        {"@context": {"@import": True}, "p": "v"}, err.InvalidImportValue
+    )
+
+
+def test_error_index_not_string():
+    _expect(
+        {"@id": "http://e/a", "http://x/p": {"@value": 1, "@index": 5}},
+        err.InvalidIndexValue,
+    )
