@@ -200,3 +200,65 @@ def test_top_level_graph():
     out = compact_document(docs, {"p": "http://ex/p"})
     assert "@graph" in out
     assert len(out["@graph"]) == 2
+
+
+def test_flatten_with_context_compacts():
+    from jsonld_spark.flatten import flatten_document
+
+    doc = {
+        "@context": {"@vocab": "http://v/"},
+        "@id": "http://e/a",
+        "name": "top",
+        "child": {"name": "kid", "child": {"@id": "http://e/a"}},
+    }
+    out = flatten_document(doc, context={"@vocab": "http://v/"})
+    assert out["@context"] == {"@vocab": "http://v/"}
+    graph = out["@graph"]
+    ids = {n.get("@id") for n in graph}
+    assert "http://e/a" in ids and any(i.startswith("_:") for i in ids)
+    top = next(n for n in graph if n.get("@id") == "http://e/a")
+    assert top["name"] == "top"
+
+
+def test_language_container_selection():
+    # values with @language compact into the @language-container term
+    doc = [
+        {
+            "@id": "http://e/a",
+            "http://v/label": [
+                {"@value": "Farbe", "@language": "de"},
+                {"@value": "color", "@language": "en"},
+            ],
+        }
+    ]
+    ctx = {"label": {"@id": "http://v/label", "@container": "@language"}}
+    from jsonld_spark.compact import compact_document
+
+    out = compact_document(doc, ctx, ordered=True)
+    assert out["label"] == {"de": "Farbe", "en": "color"}
+
+
+def test_typed_term_preferred_over_plain():
+    doc = [
+        {
+            "@id": "http://e/a",
+            "http://v/when": [
+                {
+                    "@value": "2024-01-01",
+                    "@type": "http://www.w3.org/2001/XMLSchema#date",
+                }
+            ],
+        }
+    ]
+    ctx = {
+        "when": {
+            "@id": "http://v/when",
+            "@type": "http://www.w3.org/2001/XMLSchema#date",
+        },
+        "whenPlain": "http://v/when",
+    }
+    from jsonld_spark.compact import compact_document
+
+    out = compact_document(doc, ctx)
+    assert out["when"] == "2024-01-01"
+    assert "whenPlain" not in out

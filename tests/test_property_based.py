@@ -154,3 +154,35 @@ def test_compact_expand_roundtrip_rich_context(doc):
     q1 = set(expanded_to_quads(expanded))
     q2 = set(expanded_to_quads(re_expanded))
     assert q1 == q2
+
+
+_langs = st.sampled_from(["en", "de", "fr", "ja", "en-us"])
+
+_lang_nodes = st.lists(
+    st.fixed_dictionaries(
+        {"@id": _iri},
+        optional={
+            "http://ex.org/label": st.lists(
+                st.fixed_dictionaries(
+                    {"@value": st.text(min_size=1, max_size=10), "@language": _langs}
+                ),
+                min_size=1,
+                max_size=3,
+            ),
+        },
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_lang_nodes)
+def test_language_container_roundtrip(doc):
+    ctx = {"label": {"@id": "http://ex.org/label", "@container": "@language"}}
+    expanded = expand_document(json.loads(json.dumps(doc)))
+    compacted = compact_document(expanded, ctx)
+    re_expanded = expand_document(compacted)
+    q1 = set(expanded_to_quads(expanded))
+    q2 = set(expanded_to_quads(re_expanded))
+    assert q1 == q2
