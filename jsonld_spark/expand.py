@@ -611,6 +611,7 @@ def expand_document(
     ordered: bool = False,
     frame_expansion: bool = False,
     processing_mode: str = "json-ld-1.1",
+    warnings_out: list | None = None,
 ) -> list:
     """Top-level API.expand equivalent (reference api.rb:183-208).
 
@@ -628,6 +629,8 @@ def expand_document(
         ctx = ctx.parse(context, base_url=base)
     options = ExpandOptions(ordered=ordered, frame_expansion=frame_expansion, base=base)
     expanded = expand(doc, None, ctx, options)
+    if warnings_out is not None:
+        warnings_out.extend(options.warnings)
     if isinstance(expanded, dict) and list(expanded) == ["@graph"]:
         expanded = expanded["@graph"]
     if expanded is None:

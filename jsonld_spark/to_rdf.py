@@ -218,6 +218,7 @@ def doc_to_quads(
     rdf_direction: str | None = None,
     produce_generalized_rdf: bool = False,
     processing_mode: str = "json-ld-1.1",
+    warnings_out: list | None = None,
 ) -> list[Quad]:
     """Full toRdf path for one parsed JSON document
     (reference api.rb:526-563)."""
@@ -227,6 +228,7 @@ def doc_to_quads(
         cache=cache,
         expand_context=expand_context,
         processing_mode=processing_mode,
+        warnings_out=warnings_out,
     )
     return expanded_to_quads(
         expanded,

@@ -78,9 +78,12 @@ def page_to_rows(
     max_quads_per_doc: int = 100_000,
     produce_generalized_rdf: bool = False,
     canonical_bnodes: bool = True,
+    emit_warnings: bool = True,
 ) -> list[tuple]:
     """All triple/error rows for one page (pure Python — unit-testable
-    without Spark)."""
+    without Spark).  Expansion warnings (dropped keys, malformed
+    language tags) become ``warning:``-prefixed error rows alongside the
+    page's triples — observability without suppressing output."""
     rows: list[tuple] = []
     if html is None:
         return rows
@@ -94,12 +97,14 @@ def page_to_rows(
             continue
         try:
             doc = d.parsed if d.parsed is not None else json.loads(d.json_text)
+            warnings: list = []
             quads = doc_to_quads(
                 doc,
                 base=d.base or url,
                 cache=cache,
                 rdf_direction=rdf_direction,
                 produce_generalized_rdf=produce_generalized_rdf,
+                warnings_out=warnings,
             )
         except JsonLdError as e:
             rows.append((url, None, None, None, None, None, None, None, e.code))
@@ -117,6 +122,11 @@ def page_to_rows(
                 (url, None, None, None, None, None, None, None, "document too large")
             )
             continue
+        if emit_warnings:
+            for w in dict.fromkeys(warnings):  # dedup, keep order
+                rows.append(
+                    (url, None, None, None, None, None, None, None, f"warning: {w}")
+                )
         if canonical_bnodes:
             # URDNA2015-style relabel: labels become a function of the
             # graph, not the JSON key order → the salted global ID of a

@@ -262,3 +262,22 @@ def test_typed_term_preferred_over_plain():
     out = compact_document(doc, ctx)
     assert out["when"] == "2024-01-01"
     assert "whenPlain" not in out
+
+
+def test_language_map_drops_direction_reference_parity():
+    """Reference parity (compact.rb:316-317): a value object with
+    @direction compacting into a @language container keeps only @value —
+    direction is dropped by BOTH engines."""
+    doc = [
+        {
+            "@id": "http://e/a",
+            "http://v/label": [
+                {"@value": "x", "@language": "ar", "@direction": "rtl"}
+            ],
+        }
+    ]
+    ctx = {"label": {"@id": "http://v/label", "@container": "@language"}}
+    from jsonld_spark.compact import compact_document
+
+    out = compact_document(doc, ctx)
+    assert out["label"] == {"ar": "x"}

@@ -159,3 +159,35 @@ def test_rdf_direction_and_generalized_options(spark):
         KGPipeline(spark, produce_generalized_rdf=True).triples(pages).collect()
     )
     assert any(r.pred.startswith("_:") for r in gen)
+
+
+def test_warnings_emitted_as_rows(spark):
+    """Dropped keys / malformed language tags surface as warning rows
+    WITHOUT suppressing the page's triples."""
+    import json as _json
+
+    doc = {
+        "@context": {"@vocab": "http://v/"},
+        "@id": "http://e/a",
+        "p": "kept",
+        "unmapped:": None,
+        "http://x/lang": {"@value": "v", "@language": "not a tag!"},
+    }
+    doc.pop("unmapped:")
+    doc["relative-key-gets-dropped"] = "x"
+    del doc["relative-key-gets-dropped"]
+    # a key that expands to a relative IRI is dropped with a warning
+    doc2 = {
+        "@id": "http://e/a",
+        "nokeyword": "dropped",
+        "http://v/p": "kept",
+        "http://v/l": {"@value": "v", "@language": "bad lang!"},
+    }
+    html = ('<script type="application/ld+json">' + _json.dumps(doc2) + "</script>").encode()
+    pages = spark.createDataFrame([("http://u/w", html)], "url string, html binary")
+    rows = KGPipeline(spark).extract(pages).collect()
+    warnings = [r.error for r in rows if r.error and r.error.startswith("warning:")]
+    triples = [r for r in rows if r.error is None]
+    assert any("dropped key" in w for w in warnings)
+    assert any("malformed language tag" in w for w in warnings)
+    assert any(r.pred == "http://v/p" for r in triples)  # triples kept
