@@ -37,6 +37,7 @@ LINEAGE_COLS = [
     "context_cache_version",
     "triple_count",
     "error_count",
+    "warning_count",
     "status",
 ]
 
@@ -175,7 +176,8 @@ class KGPipeline:
     def completed_buckets(self, out_dir: str) -> set[int]:
         path = self._lineage_path(out_dir)
         try:
-            lin = self.spark.read.parquet(path)
+            # mergeSchema: lineage schema may evolve across engine versions
+            lin = self.spark.read.option("mergeSchema", "true").parquet(path)
         except Exception:  # noqa: BLE001 — first run, no lineage yet
             return set()
         rows = (
@@ -240,9 +242,16 @@ class KGPipeline:
                 F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias(
                     "triple_count"
                 ),
-                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
-                    "error_count"
-                ),
+                F.sum(
+                    F.when(
+                        F.col("error").isNotNull()
+                        & ~F.col("error").startswith("warning:"),
+                        1,
+                    ).otherwise(0)
+                ).alias("error_count"),
+                F.sum(
+                    F.when(F.col("error").startswith("warning:"), 1).otherwise(0)
+                ).alias("warning_count"),
             )
             .withColumn("run_id", F.lit(run_id))
             .withColumn("context_cache_version", F.lit(self.cache_version))
@@ -251,20 +260,26 @@ class KGPipeline:
         )
         lineage.write.mode("append").parquet(self._lineage_path(out_dir))
 
-        this_run = self.spark.read.parquet(
-            self._lineage_path(out_dir)
-        ).filter(F.col("run_id") == run_id)
+        this_run = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self._lineage_path(out_dir))
+            .filter(F.col("run_id") == run_id)
+        )
         agg = this_run.agg(
-            F.sum("triple_count").alias("t"), F.sum("error_count").alias("e")
+            F.sum("triple_count").alias("t"),
+            F.sum("error_count").alias("e"),
+            F.sum("warning_count").alias("w"),
         ).collect()[0]
         n_triples = int(agg.t or 0)
         n_errors = int(agg.e or 0)
+        n_warnings = int(agg.w or 0)
         raw.unpersist()
         return {
             "run_id": run_id,
             "seconds": time.time() - t0,
             "triples": n_triples,
             "errors": n_errors,
+            "warnings": n_warnings,
             "skipped_buckets": skipped,
             "out": triples_path,
         }
