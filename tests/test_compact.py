@@ -281,3 +281,36 @@ def test_language_map_drops_direction_reference_parity():
 
     out = compact_document(doc, ctx)
     assert out["label"] == {"ar": "x"}
+
+
+def test_nest_roundtrip():
+    doc = {
+        "@context": {
+            "@vocab": "http://v/",
+            "meta": "@nest",
+            "score": {"@id": "http://v/score", "@nest": "meta"},
+        },
+        "@id": "http://e/a",
+        "name": "top",
+        "meta": {"score": 5},
+    }
+    from jsonld_spark import expand_document
+    from jsonld_spark.compact import compact_document
+
+    expanded = expand_document(doc)
+    out = compact_document(expanded, doc["@context"])
+    assert out["meta"]["score"] == 5
+    assert out["name"] == "top"
+    # and re-expansion matches
+    assert expand_document(out) == expanded
+
+
+def test_type_set_container_keeps_single_type_as_array():
+    doc = [
+        {"@id": "http://e/a", "@type": ["http://v/T"]}
+    ]
+    ctx = {"@vocab": "http://v/", "type": {"@id": "@type", "@container": "@set"}}
+    from jsonld_spark.compact import compact_document
+
+    out = compact_document(doc, ctx)
+    assert out["type"] == ["T"]

@@ -161,3 +161,31 @@ def test_embed_always_duplicates():
     # matches it at top level elsewhere
     assert out["contains"]["@type"] == "Book"
     assert out["contains"]["creator"] == "Plato"
+
+
+def test_frame_reverse():
+    doc = {
+        "@context": CTX,
+        "@graph": [
+            {"@id": "http://e/parent", "@type": "Person"},
+            {
+                "@id": "http://e/child",
+                "@type": "Person",
+                "parentOf": {"@id": "http://e/grandchild"},
+            },
+            {
+                "@id": "http://e/mid",
+                "parentOf": {"@id": "http://e/child"},
+            },
+        ],
+    }
+    frame = {
+        "@context": CTX,
+        "@id": "http://e/child",
+        "@reverse": {"parentOf": {}},
+    }
+    out = frame_document(doc, frame)
+    assert out["@id"] == "http://e/child"
+    rev = out["@reverse"]["parentOf"]
+    rev_ids = rev["@id"] if isinstance(rev, dict) else {r["@id"] for r in rev}
+    assert "http://e/mid" in (rev_ids if isinstance(rev_ids, set) else {rev_ids})
