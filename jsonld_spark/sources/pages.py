@@ -19,6 +19,7 @@ from __future__ import annotations
 import datetime
 import json
 import random
+import zlib
 
 FIXTURE_CTX_V1 = "https://fixture.example/ctx/v1"
 FIXTURE_CTX_PRODUCT = "https://fixture.example/ctx/product"
@@ -162,7 +163,10 @@ def _edge_values(rng: random.Random, ent: str) -> dict:
 
 def _same_as(rng: random.Random, ent: str) -> dict:
     # link this entity to its canonical twin on another domain
-    twin = f"https://canonical.example/entity/{abs(hash(ent)) % 1000}"
+    # zlib.crc32, NOT hash(): Python's hash() is randomized per process
+    # (PYTHONHASHSEED), which would silently break the generator's
+    # determinism guarantee across runs
+    twin = f"https://canonical.example/entity/{zlib.crc32(ent.encode()) % 1000}"
     return {
         "@context": FIXTURE_CTX_PRODUCT,
         "@id": ent,
