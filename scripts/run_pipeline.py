@@ -5,15 +5,23 @@ Cluster launch (north rule: two cluster sizes, N and 4N executors):
     python scripts/make_pyfiles.py                        # build dist/jsonld_spark.zip
     spark-submit --py-files dist/jsonld_spark.zip \\
         --num-executors $N --executor-cores 4 \\
+        --driver-memory 8g --executor-memory 8g \\
         scripts/run_pipeline.py \\
         --pages s3://crawl/pages --out s3://kg/triples \\
         --run-id run-$(date +%s) --buckets 4096 --link-entities
 
 Local sandbox equivalent:
 
-    spark-submit --master 'local[32]' --py-files dist/jsonld_spark.zip \\
+    spark-submit --master 'local[32]' --driver-memory 24g \\
+        --py-files dist/jsonld_spark.zip \\
         scripts/run_pipeline.py --pages data/pages_bench_800000.parquet \\
         --out data/kg_out --run-id r1
+
+Size --driver-memory for local mode: Arrow direct memory is capped by
+the JVM's MaxDirectMemorySize (defaults to heap size); 32 concurrent
+Arrow-batched tasks at spark-submit's 1g default exhaust it
+(io.netty OutOfDirectMemoryError). ~0.5-1 GB heap per concurrent core
+is a safe floor for html-heavy pages.
 """
 
 from __future__ import annotations
