@@ -365,7 +365,9 @@ def _q_fingerprint(spark, sf_dir):
 
 
 def _q_minhash(spark, sf_dir):
-    return textops.minhash_signature(_docs(spark, sf_dir))
+    # string projection of the signature: array columns crash the
+    # driver's canonical sort (pandas factorize on lists)
+    return textops.minhash_signature_str(_docs(spark, sf_dir))
 
 
 def _q_simhash(spark, sf_dir):
@@ -504,12 +506,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(NULL AS VARCHAR) AS graph,
                    CAST(count(*) AS BIGINT) AS n_nodes
             FROM documents""",
+        # DuckDB sum(BIGINT) returns HUGEINT, which lands in pandas as
+        # float64 and loses digits ≳2^53 — CAST every sum back to BIGINT
+        # so the driver's value hash matches Spark's int64 exactly.
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_x100,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_x100,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_x10000,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_x100,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_x10000,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
@@ -517,11 +522,11 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_join": """
             WITH rev AS (
               SELECT l_orderkey,
-                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                         * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS revenue_x10000
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_x10000
               FROM lineitem GROUP BY 1)
             SELECT c_mktsegment,
-                   sum(revenue_x10000) AS segment_revenue_x10000,
+                   CAST(sum(revenue_x10000) AS BIGINT) AS segment_revenue_x10000,
                    count(DISTINCT o_orderkey) AS n_orders
             FROM rev
             JOIN orders ON l_orderkey = o_orderkey
@@ -537,8 +542,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id""",
         "revenue_by_nation": """
             SELECT r_name, n_name,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS revenue_x10000
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_x10000
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -551,13 +556,13 @@ def oracle_sql() -> dict[str, str]:
                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
               FROM events)
             SELECT user_id,
-                   sum(CASE WHEN prev_ts IS NULL
-                            OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                            OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id""",
         "events_json_props": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n,
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
@@ -569,7 +574,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_by_brand": """
             WITH s AS (SELECT count(*) AS n_suppliers FROM supplier)
             SELECT p_brand, count(*) AS n_parts,
-                   sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS retail_x100,
+                   CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_x100,
                    max(p_size) AS max_size, s.n_suppliers
             FROM part, s WHERE p_type = 'ECONOMY'
             GROUP BY p_brand, s.n_suppliers ORDER BY p_brand""",
@@ -579,12 +584,15 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textops.QUALITY_SCORE_SQL,
         "lang_id": textops.LANG_ID_SQL,
         "fingerprint": textops.FINGERPRINT_SQL,
-        "minhash_signature": textops.MINHASH_SQL,
+        "minhash_signature": textops.MINHASH_STR_SQL,
         "simhash": textops.SIMHASH_SQL,
         "jaccard_pairs": textops.jaccard_pairs_sql(),
+        "minhash_candidate_pairs": textops.minhash_candidate_pairs_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
         "near_dup_embeddings": similarity.near_dup_embeddings_sql(),
+        "ann_topk_lsh": similarity.ann_topk_lsh_sql(),
         "payload_meta": multimodal.PAYLOAD_META_SQL,
-        # minhash_candidate_pairs, ann_topk_lsh, multimodal_features:
-        # rows-only (LSH bucketing / Python feature stage not SQL-mirrored)
+        "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
+        # ann_topk_ivf stays rows-only: the k-means coarse quantizer is
+        # iterative (not SQL-expressible); recall is asserted in tests.
     }

@@ -92,3 +92,15 @@ SELECT doc_id,
        md5(text) AS digest
 FROM documents ORDER BY doc_id
 """
+
+# Oracle for the mapInPandas feature stage: every output column is a
+# deterministic function of the payload bytes (md5-derived fake dims
+# stand in for the stubbed decode), so DuckDB can predict it exactly.
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       CAST(64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) AS INTEGER) AS width,
+       CAST(64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) AS INTEGER) AS height
+FROM documents ORDER BY doc_id
+"""

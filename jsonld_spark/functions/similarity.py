@@ -80,15 +80,40 @@ ORDER BY query_id, rank
 """
 
 
-def near_dup_embeddings(emb: DataFrame, threshold_x1e6: int = 400_000) -> DataFrame:
-    """All pairs with cosine ≥ threshold (vec_a < vec_b).  Exact variant
-    for correctness; LSH buckets below are the scale path."""
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+def near_dup_embeddings(
+    emb: DataFrame, threshold_x1e6: int = 400_000, exact: bool = False
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold (vec_a < vec_b).
+
+    Default path: LSH band-bucket candidate generation + exact cosine
+    re-rank — the O(n²) cross join would be a scale-killer as THE dedup
+    at 10^12 rows, so bucketing is the default and the cross join sits
+    behind ``exact=True`` (the exactness baseline, recall asserted in
+    tests).  The DuckDB oracle mirrors the same bucket construction."""
+    if exact:
+        a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    else:
+        bk = lsh_buckets(emb)
+        cand = (
+            bk.alias("x")
+            .join(
+                bk.alias("y"),
+                (F.col("x.band_id") == F.col("y.band_id"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .select(
+                F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+            )
+            .distinct()
+        )
+        ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+        eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
+        pairs.withColumn(
             "cos_x1e6",
             F.expr(
                 f"cast(floor(1000000 * {_dot_expr('ea', 'eb')} / ({_norm_expr('ea')} * {_norm_expr('eb')})) as bigint)"
@@ -100,17 +125,79 @@ def near_dup_embeddings(emb: DataFrame, threshold_x1e6: int = 400_000) -> DataFr
     )
 
 
-def near_dup_embeddings_sql(threshold_x1e6: int = 400_000) -> str:
-    return f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       cast(floor(1000000 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) AS bigint) AS cos_x1e6
+_DUCK_COS = (
+    "cast(floor(1000000 * list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) /"
+    " (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) *"
+    " sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))) AS bigint)"
+)
+
+
+def _duck_buckets_sql() -> str:
+    """UNION ALL body mirroring ``lsh_buckets``: (vec_id, band_id, bucket)
+    from the same fixed hyperplanes (float repr round-trips exactly)."""
+    selects = []
+    for b in range(LSH_BANDS):
+        bits = []
+        for j in range(LSH_BITS_PER_BAND):
+            plane = HYPERPLANES[b * LSH_BITS_PER_BAND + j]
+            arr = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT vec_id, {b} AS band_id, {' + '.join(bits)} AS bucket FROM embeddings"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def near_dup_embeddings_sql(
+    threshold_x1e6: int = 400_000, exact: bool = False
+) -> str:
+    cos = _DUCK_COS.format(a="a.embedding", b="b.embedding")
+    if exact:
+        return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_x1e6
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE cast(floor(1000000 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) AS bigint) >= {threshold_x1e6}
+WHERE {cos} >= {threshold_x1e6}
 ORDER BY vec_a, vec_b
+"""
+    return f"""
+WITH buckets AS ({_duck_buckets_sql()}),
+ cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM buckets x JOIN buckets y
+    ON x.band_id = y.band_id AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT vec_a, vec_b, {cos} AS cos_x1e6
+FROM cand
+JOIN embeddings a ON cand.vec_a = a.vec_id
+JOIN embeddings b ON cand.vec_b = b.vec_id
+WHERE {cos} >= {threshold_x1e6}
+ORDER BY vec_a, vec_b
+"""
+
+
+def ann_topk_lsh_sql(n_queries: int = 10, k: int = 5) -> str:
+    """DuckDB mirror of ``ann_topk_lsh``: same hyperplane buckets, same
+    candidate join, same exact re-rank as ``cosine_topk_sql``."""
+    cos = _DUCK_COS.format(a="qv", b="e.embedding")
+    return f"""
+WITH buckets AS ({_duck_buckets_sql()}),
+ qb AS (SELECT vec_id AS query_id, band_id, bucket FROM buckets WHERE vec_id < {n_queries}),
+ cand AS (
+  SELECT DISTINCT qb.query_id, bk.vec_id AS neighbor_id
+  FROM buckets bk JOIN qb ON bk.band_id = qb.band_id AND bk.bucket = qb.bucket
+  WHERE bk.vec_id != qb.query_id),
+ q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {n_queries}),
+ scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS cos_x1e6
+  FROM cand JOIN q ON cand.query_id = q.query_id
+  JOIN embeddings e ON cand.neighbor_id = e.vec_id),
+ ranked AS (
+  SELECT query_id, neighbor_id, cos_x1e6,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cos_x1e6 FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
 """
 
 

@@ -97,11 +97,13 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+# list_sum returns HUGEINT in DuckDB (→ pandas float64, loses digits
+# past 2^53) — CAST back to BIGINT so the value hash matches Spark int64.
 TOKEN_STATS_SQL = f"""
 SELECT doc_id,
        len({_DUCK_TOKENS}) AS n_tokens,
        length(text) AS text_len,
-       list_sum(list_transform({_DUCK_TOKENS}, t -> length(t))) AS token_chars,
+       CAST(list_sum(list_transform({_DUCK_TOKENS}, t -> length(t))) AS BIGINT) AS token_chars,
        len(list_filter({_DUCK_TOKENS}, t -> t IN ({_STOP_SQL}))) AS n_stopwords
 FROM documents ORDER BY doc_id
 """
@@ -281,6 +283,38 @@ SELECT doc_id, [{sig_items}] AS sig FROM h ORDER BY doc_id
 MINHASH_SQL = _minhash_sql()
 
 
+def minhash_signature_str(docs: DataFrame) -> DataFrame:
+    """Signature as a comma-joined string — array columns crash the
+    driver's canonical sort (pandas can't factorize lists), so the
+    oracle-checked query emits the hashable projection."""
+    return (
+        minhash_signature(docs)
+        .select(
+            "doc_id",
+            F.expr("concat_ws(',', transform(sig, x -> cast(x as string)))").alias(
+                "sig"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _minhash_str_sql() -> str:
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_AB
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+     s AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM t),
+     h AS (SELECT doc_id, list_transform(shingles, s -> {_duck_h32('s')} % {MINHASH_P}) AS hs FROM s)
+SELECT doc_id, array_to_string([{sig_items}], ',') AS sig FROM h ORDER BY doc_id
+"""
+
+
+MINHASH_STR_SQL = _minhash_str_sql()
+
+
 def minhash_bands(docs: DataFrame) -> DataFrame:
     """LSH band keys: (band_id, band_hash) per doc — join on these buckets
     to get candidate near-dup pairs without the O(n²) cross join."""
@@ -307,6 +341,38 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
         sig.select("doc_id", F.explode(bands).alias("band"))
         .select("doc_id", "band.band_id", "band.band_hash")
     )
+
+
+def minhash_candidate_pairs_sql() -> str:
+    """DuckDB mirror of ``minhash_candidate_pairs``: identical md5 band
+    hashes (the band construction is fully deterministic), UNION ALL of
+    one select per band, self-join on (band_id, band_hash)."""
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_AB
+    )
+    n_bands = MINHASH_K // LSH_BAND_ROWS
+    band_selects = []
+    for b in range(n_bands):
+        cols = ", ".join(
+            f"CAST(sig[{b * LSH_BAND_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(LSH_BAND_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5(concat_ws(',', {cols})) AS band_hash FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+     s AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM t),
+     h AS (SELECT doc_id, list_transform(shingles, s -> {_duck_h32('s')} % {MINHASH_P}) AS hs FROM s),
+     sig AS (SELECT doc_id, [{sig_items}] AS sig FROM h),
+     bands AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
 
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
@@ -352,10 +418,10 @@ WITH h AS (
   SELECT doc_id, list_transform({_DUCK_TOKENS}, t -> {_duck_h32('t')}) AS hs
   FROM documents)
 SELECT doc_id,
-       list_sum(list_transform(range(0, 32), b ->
+       CAST(list_sum(list_transform(range(0, 32), b ->
          CASE WHEN list_sum(list_transform(hs, x ->
              CASE WHEN cast(floor(x / power(2, b)) AS bigint) % 2 = 1 THEN 1 ELSE -1 END)) > 0
-           THEN cast(power(2, b) AS bigint) ELSE cast(0 AS bigint) END)) AS simhash
+           THEN cast(power(2, b) AS bigint) ELSE cast(0 AS bigint) END)) AS BIGINT) AS simhash
 FROM h ORDER BY doc_id
 """
 
@@ -364,18 +430,19 @@ FROM h ORDER BY doc_id
 
 
 def jaccard_pairs(
-    docs: DataFrame, threshold_x1000: int = 300, max_df: int | None = None
+    docs: DataFrame, threshold_x1000: int = 300, max_df: int | None = 256
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs ≥ threshold via explode + self-join +
     groupBy — the distributed pattern (no cross join).  Integer-scaled
     jaccard (x1000, floor) for cross-engine determinism.
 
-    ``max_df``: optional stop-shingle cap — shingles occurring in more
-    than ``max_df`` docs are dropped before the self-join.  At crawl
-    scale boilerplate shingles (cookie banners, footers) otherwise
-    create quadratic hot keys; capping bounds any join group to
-    max_df², at a small recall cost (off by default so the exact
-    DuckDB oracle applies)."""
+    ``max_df``: stop-shingle cap — shingles occurring in more than
+    ``max_df`` docs are dropped before the self-join.  At crawl scale
+    boilerplate shingles (cookie banners, footers) otherwise create
+    quadratic hot keys; capping bounds any join group to max_df², at a
+    small recall cost.  ON by default (the skew defence must be the
+    default path at 100 TB); the DuckDB oracle mirrors the same cap.
+    Pass ``max_df=None`` for the exact uncapped variant."""
     sh = (
         docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
         .select("doc_id", F.explode(F.array_distinct(F.expr(SHINGLES_EXPR))).alias("sh"))
@@ -411,11 +478,22 @@ def jaccard_pairs(
     )
 
 
-def jaccard_pairs_sql(threshold_x1000: int = 300) -> str:
-    return f"""
-WITH s AS (
+def jaccard_pairs_sql(
+    threshold_x1000: int = 300, max_df: int | None = 256
+) -> str:
+    raw = f"""
   SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES.replace('toks', _DUCK_TOKENS)})) AS sh
-  FROM documents),
+  FROM documents"""
+    if max_df is None:
+        s_cte = f"s AS ({raw})"
+    else:
+        # mirror the Spark-side stop-shingle cap: drop shingles whose
+        # document frequency exceeds max_df BEFORE sizes/intersections
+        s_cte = f"""s0 AS ({raw}),
+ hot AS (SELECT sh FROM s0 GROUP BY sh HAVING count(*) > {max_df}),
+ s AS (SELECT s0.* FROM s0 ANTI JOIN hot ON s0.sh = hot.sh)"""
+    return f"""
+WITH {s_cte},
  sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
  inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c

@@ -230,6 +230,13 @@ class KGPipeline:
             triples.repartition("part_id")
             .sortWithinPartitions("subj", "pred")
             .write.mode("overwrite")
+            # per-writer option, NOT session conf: under Spark's default
+            # static overwrite a resumed run would truncate the whole
+            # triples dir (completed buckets are excluded from the plan,
+            # yet lineage still marks them complete → permanent loss).
+            # Dynamic mode overwrites only the part_id dirs being written,
+            # regardless of how the session was built (e.g. spark-submit).
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("part_id")
             .parquet(triples_path)
         )

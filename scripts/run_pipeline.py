@@ -51,8 +51,15 @@ def main(argv=None) -> int:
     from jsonld_spark.pipeline import KGPipeline
     from jsonld_spark.sources.pages import build_context_cache_entries
 
-    # spark-submit owns master/deploy config; just get-or-create
-    spark = SparkSession.builder.appName("jsonld_spark_pipeline").getOrCreate()
+    # spark-submit owns master/deploy config; just get-or-create.
+    # Belt-and-braces with the per-writer option in KGPipeline.run:
+    # dynamic partition overwrite keeps resume exactly-once (static mode
+    # would truncate completed buckets' output).
+    spark = (
+        SparkSession.builder.appName("jsonld_spark_pipeline")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     if args.context_cache:

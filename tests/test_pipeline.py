@@ -191,3 +191,23 @@ def test_warnings_emitted_as_rows(spark):
     assert any("dropped key" in w for w in warnings)
     assert any("malformed language tag" in w for w in warnings)
     assert any(r.pred == "http://v/p" for r in triples)  # triples kept
+
+
+def test_resume_safe_under_static_overwrite_conf(spark, pipe, pages):
+    """Regression: resume must not truncate completed buckets' output even
+    when the session conf is Spark's default static partition-overwrite
+    (e.g. a plain spark-submit getOrCreate session) — the writer sets
+    partitionOverwriteMode=dynamic per-write."""
+    out = os.path.join(DATA_DIR, "kg_out_static_conf")
+    shutil.rmtree(out, ignore_errors=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        stats1 = pipe.run(pages, out, run_id="r1", resume=True)
+        assert stats1["triples"] > 0
+        stats2 = pipe.run(pages, out, run_id="r2", resume=True)
+        assert stats2["skipped_buckets"] > 0
+        written = spark.read.parquet(os.path.join(out, "triples"))
+        assert written.count() == stats1["triples"]  # nothing truncated
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
