@@ -221,10 +221,14 @@ def compact_value(ctx: Context, active_property: str | None, value: dict):
     )
     type_mapping = td.type_mapping if td else None
 
-    n_members = len(value)
+    core = set(value)
     if "@index" in value and td is not None and "@index" in td.container_mapping:
-        n_members -= 1
-    if n_members > 2:
+        core.discard("@index")
+    n_members = len(core)
+    # {@value,@language,@direction} is still compactable when BOTH match
+    # the term/default mappings (spec Value Compaction step 8; the
+    # reference has no member-count gate here, context.rb compact_value)
+    if n_members > 2 and core != {"@value", "@language", "@direction"}:
         return value
 
     if "@id" in value:

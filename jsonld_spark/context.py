@@ -943,8 +943,11 @@ def _create_inverse_context(ctx: Context) -> dict:
             key = f"_{td.direction_mapping}" if td.direction_mapping else "@none"
             type_lang_map["@language"].setdefault(key, term)
         elif ctx.default_direction:
+            # reference registers the language-less "_<direction>" key
+            # (context.rb:1924); lstrip("@none") was a char-set strip bug
+            # that mangled real lang tags ("nl_ltr" → "l_ltr")
             type_lang_map["@language"].setdefault(
-                f"{default_language}_{ctx.default_direction}".lstrip("@none"), term
+                f"_{ctx.default_direction}", term
             )
             type_lang_map["@language"].setdefault("@none", term)
             type_lang_map["@type"].setdefault("@none", term)

@@ -3,13 +3,18 @@
 The reference has no cross-document operations at all; entity linking is
 new engineering required by the north rule (SURVEY.md §4 item 2).
 Hand-rolled (no GraphFrames dependency): min-label propagation with
-pointer jumping, which converges in O(log diameter) rounds, with
-``localCheckpoint`` per round to truncate lineage.  Mega-component skew
-on the ``groupBy(id)`` min is left to AQE skew handling plus the
-two-stage partial aggregation Spark already performs for ``min``.
+pointer jumping, which converges in O(log diameter) rounds, with a
+reliable ``checkpoint()`` per round to truncate lineage — NOT
+``localCheckpoint``, whose executor-memory-backed partitions become
+unrecoverable when an executor is lost, failing the whole job on a real
+cluster.  Mega-component skew on the ``groupBy(id)`` min is left to AQE
+skew handling plus the two-stage partial aggregation Spark already
+performs for ``min``.
 """
 
 from __future__ import annotations
+
+import tempfile
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -31,6 +36,15 @@ def sameas_edges(triples: DataFrame) -> DataFrame:
     )
 
 
+def _ensure_checkpoint_dir(df: DataFrame) -> None:
+    """Reliable checkpoints need a checkpoint dir.  Production sets a
+    durable one (HDFS/object store) via setCheckpointDir; fall back to a
+    local temp dir so local runs work out of the box."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="jsonld_spark_ckpt_"))
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -39,16 +53,17 @@ def connected_components(
 ) -> DataFrame:
     """→ DataFrame(id, comp): every vertex labeled with the lexicographic
     minimum IRI of its component (the canonical representative)."""
+    _ensure_checkpoint_dir(edges)
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.repartition("a").localCheckpoint()
+    sym = sym.repartition("a").checkpoint()
 
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
+        .checkpoint()
     )
 
     for it in range(max_iter):
@@ -71,7 +86,7 @@ def connected_components(
             .select(
                 "id", F.coalesce("jcomp", "comp").alias("comp")
             )
-            .localCheckpoint()
+            .checkpoint()
         )
         check = it % 2 == 1 or it == max_iter - 1
         if check:
@@ -99,16 +114,19 @@ def canonical_mapping(edges: DataFrame, max_iter: int = 25) -> DataFrame:
 def link_entities(
     triples: DataFrame,
     mapping: DataFrame,
-    broadcast_threshold: int = 10_000_000,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Rewrite subj/obj through the canonical-IRI mapping.
 
     The mapping (alias table) is small relative to the triples at crawl
-    scale → broadcast join (north-star requirement); falls back to a
-    shuffle join above the threshold.
+    scale; sizing the join is left to AQE, which sees the mapping's true
+    size at runtime (the CC output is checkpointed) and broadcasts it
+    when it fits — no eager driver-side count during plan construction
+    (a ``mapping.count()`` here would run the whole CC job just to pick
+    a join strategy).  ``broadcast=True`` forces the hint when the
+    caller already knows the mapping is small.
     """
-    n = mapping.count()
-    m = F.broadcast(mapping) if n <= broadcast_threshold else mapping
+    m = F.broadcast(mapping) if broadcast else mapping
 
     subj_map = m.select(
         F.col("iri").alias("s_iri"), F.col("canon").alias("s_canon")

@@ -139,8 +139,10 @@ def _jcs(value, out: list) -> None:
         out.append("]")
     elif isinstance(value, dict):
         out.append("{")
-        # sort keys by UTF-16 code units
-        keys = sorted(value, key=lambda k: [ord(c) for c in _utf16_units(k)])
+        # sort keys by UTF-16 code units (RFC 8785) — byte-compare the
+        # UTF-16-BE encoding so non-BMP keys order by surrogate pairs,
+        # not code points
+        keys = sorted(value, key=lambda k: list(k.encode("utf-16-be")))
         for i, k in enumerate(keys):
             if i:
                 out.append(",")
@@ -152,29 +154,10 @@ def _jcs(value, out: list) -> None:
         raise err.InvalidJsonLiteral(repr(value))
 
 
-def _utf16_units(s: str) -> str:
-    # Python strings are code points; JCS sorts by UTF-16 code units.
-    # Encode to UTF-16-BE and compare pairwise — equivalent: surrogate pairs.
-    return s.encode("utf-16-be").decode("utf-16-be", "surrogatepass")
-
-
 def jcs_canonicalize(value) -> str:
     """RFC 8785 canonical JSON text (reference uses the
     json-canonicalization gem, to_rdf.rb:5,39)."""
-    if isinstance(value, dict):
-        out: list[str] = []
-        keys = sorted(
-            value, key=lambda k: list(k.encode("utf-16-be"))
-        )
-        out.append("{")
-        for i, k in enumerate(keys):
-            if i:
-                out.append(",")
-            out.append(json.dumps(k, ensure_ascii=False) + ":")
-            _jcs(value[k], out)
-        out.append("}")
-        return "".join(out)
-    out = []
+    out: list[str] = []
     _jcs(value, out)
     return "".join(out)
 

@@ -49,19 +49,24 @@ TRIPLES_SCHEMA = T.StructType(
 TRIPLE_COLS = [f.name for f in TRIPLES_SCHEMA.fields]
 
 # Per-executor cache singleton: rebuilding ContextCache from the
-# broadcast dict once per python worker, not once per batch.
-_CACHE_BY_ID: dict[int, ContextCache] = {}
+# broadcast dict once per python worker, not once per batch.  Keyed by
+# (version, id(entries)) AND retaining the entries dict itself: a bare
+# id() key goes stale when CPython reuses a garbage-collected dict's
+# address for a different broadcast in a reused worker, silently
+# expanding documents against the wrong contexts.
+_CACHE_BY_KEY: dict[tuple, tuple[dict, ContextCache]] = {}
 
 
 def _get_cache(entries: dict | None, version: str) -> ContextCache:
     if entries is None:
         return ContextCache()
-    key = id(entries)
-    cache = _CACHE_BY_ID.get(key)
-    if cache is None:
-        cache = ContextCache(entries, version=version)
-        _CACHE_BY_ID.clear()  # only ever one live broadcast per job
-        _CACHE_BY_ID[key] = cache
+    key = (version, id(entries))
+    hit = _CACHE_BY_KEY.get(key)
+    if hit is not None and hit[0] is entries:
+        return hit[1]
+    cache = ContextCache(entries, version=version)
+    _CACHE_BY_KEY.clear()  # only ever one live broadcast per job
+    _CACHE_BY_KEY[key] = (entries, cache)
     return cache
 
 

@@ -314,3 +314,50 @@ def test_type_set_container_keeps_single_type_as_array():
 
     out = compact_document(doc, ctx)
     assert out["type"] == ["T"]
+
+
+def test_value_compaction_language_and_direction():
+    """{@value,@language,@direction} compacts to a bare string when BOTH
+    match the default mappings (spec Value Compaction step 8; the
+    reference has no member-count gate)."""
+    doc = {
+        "@context": {
+            "@language": "nl",
+            "@direction": "ltr",
+            "label": "http://ex.org/label",
+        },
+        "label": "hoi",
+    }
+    assert rt(doc) == doc
+
+
+def test_value_compaction_direction_mismatch_stays_expanded():
+    expanded = [
+        {
+            "http://ex.org/label": [
+                {"@value": "hoi", "@language": "nl", "@direction": "rtl"}
+            ]
+        }
+    ]
+    ctx = {"@language": "nl", "@direction": "ltr", "label": "http://ex.org/label"}
+    out = compact_document(expanded, ctx)
+    assert out["label"] == {
+        "@value": "hoi",
+        "@language": "nl",
+        "@direction": "rtl",
+    }
+
+
+def test_inverse_context_default_direction_term_selection():
+    """Default @direction registers the language-less '_<dir>' inverse key
+    (reference context.rb:1924) — a default language of 'nl' must not
+    mangle it into 'l_ltr' (the old char-set lstrip bug)."""
+    doc = {
+        "@context": {
+            "@language": "nl",
+            "@direction": "ltr",
+            "etiket": "http://ex.org/etiket",
+        },
+        "etiket": "waarde",
+    }
+    assert rt(doc) == doc

@@ -282,3 +282,32 @@ def test_shared_bnode_across_graphs():
     assert len(subj) == 1
     graphs = {t.graph for t in q}
     assert graphs == {None, "http://e.com/g1"}
+
+
+def test_jcs_non_bmp_keys_sort_by_utf16_units_at_every_depth():
+    """RFC 8785 sorts keys by UTF-16 code units: a non-BMP key (surrogate
+    pair starting 0xD800) sorts BEFORE U+FF61 (0xFF61) — including inside
+    nested objects, which previously sorted by code points."""
+    doc = {"｡": 1, "\U00010000": 2}
+    top = jcs_canonicalize(doc)
+    nested = jcs_canonicalize({"outer": doc})
+    assert top.index('"\U00010000"') < top.index('"｡"')
+    assert nested.index('"\U00010000"') < nested.index('"｡"')
+
+
+def test_executor_context_cache_keyed_by_identity():
+    """The per-worker cache must verify dict identity, not just id():
+    a different entries dict (even at a recycled address) rebuilds."""
+    from jsonld_spark import udfs
+
+    e1 = {"http://ctx.example/a": {"@context": {"@vocab": "http://v1/"}}}
+    e2 = {"http://ctx.example/a": {"@context": {"@vocab": "http://v2/"}}}
+    c1 = udfs._get_cache(e1, "v1")
+    assert udfs._get_cache(e1, "v1") is c1  # memoized per worker
+    c2 = udfs._get_cache(e2, "v1")
+    assert c2 is not c1
+    # stale-address simulation: poison the map with a wrong dict under
+    # e1's key — the identity check must reject it and rebuild
+    udfs._CACHE_BY_KEY.clear()
+    udfs._CACHE_BY_KEY[("v1", id(e1))] = (e2, c2)
+    assert udfs._get_cache(e1, "v1") is not c2

@@ -84,3 +84,35 @@ def test_end_to_end_sameas_merge(spark):
     out = pipe.linked_triples(triples)
     names = out.filter(F.col("pred") == "http://p/name").collect()
     assert names[0].subj == "http://x/a"
+
+
+def test_link_entities_is_lazy(spark):
+    """Plan construction must not trigger an eager job: a mapping whose
+    evaluation raises only fails when the OUTPUT is executed, proving
+    link_entities ran no count()/collect() while building the plan."""
+    from pyspark.sql import types as T
+
+    def boom(_):
+        raise RuntimeError("mapping evaluated eagerly")
+
+    bomb = F.udf(boom, T.StringType())
+    base = spark.createDataFrame([("http://a", "http://c")], ["iri", "canon"])
+    mapping = base.select(bomb("iri").alias("iri"), "canon")
+    triples = spark.createDataFrame(
+        [("http://a", "http://p", "http://b", False, None, None, None)],
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_datatype string, obj_lang string, graph string",
+    )
+    out = link_entities(triples, mapping)  # must not raise
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        out.collect()  # the bomb only detonates on execution
+
+
+def test_cc_uses_reliable_checkpoint(spark):
+    """CC must set a checkpoint dir and produce reliable (non-local)
+    checkpoints — localCheckpoint partitions die with their executor."""
+    e = _edges(spark, [("b", "a"), ("c", "b")])
+    connected_components(e)
+    assert spark.sparkContext.getCheckpointDir() is not None
