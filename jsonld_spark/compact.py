@@ -199,6 +199,20 @@ def compact_iri(
     if candidate is not None:
         return candidate
 
+    # the IRI must not be mistakable for a compact IRI of a prefix term
+    # (context.rb:1578-1582): e.g. absolute IRI "t:suffix" with term "t"
+    # defined as a prefix for a different namespace
+    for term, td in ctx.term_definitions.items():
+        if (
+            td is not None
+            and td.prefix
+            and td.iri_mapping
+            and iri.startswith(term + ":")
+        ):
+            raise err.IRIConfusedWithPrefix(
+                f"Absolute IRI {iri!r} confused with prefix {term!r}"
+            )
+
     if not vocab and ctx.base is not None and is_iri(iri) and not iri.startswith("_:"):
         from .iri import remove_base
 

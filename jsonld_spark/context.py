@@ -313,6 +313,13 @@ class Context:
                 if self.processing_mode == JSON_LD_1_0:
                     raise err.ProcessingModeConflict("@version: 1.1 in 1.0 mode")
 
+            # @propagate: validated per context object (context.rb:993);
+            # the effective flag is read from the top-level dict above
+            if "@propagate" in context and not isinstance(
+                context["@propagate"], bool
+            ):
+                raise err.InvalidPropagateValue(repr(context["@propagate"]))
+
             # @import
             if "@import" in context:
                 if result.processing_mode == JSON_LD_1_0:

@@ -331,9 +331,11 @@ def _expand_object(
             if expanded_property == "@included":
                 if active_context.processing_mode == "json-ld-1.0":
                     continue
-                included = expand(value, None, active_context, options)
+                # expand with the OUTER active property (expand.rb:362) and
+                # check node-ness BEFORE dropping nulls: a scalar that
+                # expands to null must raise, not silently vanish
+                included = expand(value, active_property, active_context, options)
                 included = included if isinstance(included, list) else [included]
-                included = [v for v in included if v is not None]
                 if any(not _is_node_object(v) for v in included):
                     raise err.InvalidIncludedValue(repr(value))
                 _add_value(result, "@included", included)
@@ -425,8 +427,14 @@ def _expand_object(
                 continue
 
             if expanded_property == "@annotation":
-                # RDF-star; out of MVP scope (reference gates on rdfstar flag)
-                raise err.InvalidAnnotation(key)
+                # RDF-star annotations are out of scope (the reference
+                # silently skips them unless rdfstar, expand.rb:617-619);
+                # drop WITH a warning row so annotated input is observable
+                # in lineage instead of silently losing data
+                options.warnings.append(
+                    f"unsupported @annotation (RDF-star) dropped at {key!r}"
+                )
+                continue
 
             if frame and expanded_property in (
                 "@default",

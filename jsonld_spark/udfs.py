@@ -84,6 +84,7 @@ def page_to_rows(
     produce_generalized_rdf: bool = False,
     canonical_bnodes: bool = True,
     emit_warnings: bool = True,
+    max_html_bytes: int = 64_000_000,
 ) -> list[tuple]:
     """All triple/error rows for one page (pure Python — unit-testable
     without Spark).  Expansion warnings (dropped keys, malformed
@@ -92,6 +93,14 @@ def page_to_rows(
     rows: list[tuple] = []
     if html is None:
         return rows
+    if len(html) > max_html_bytes:
+        # cheap pre-parse gate: a pathological multi-hundred-MB page would
+        # otherwise be JSON-parsed wholesale inside the worker (the
+        # max_quads_per_doc guard fires only AFTER the memory is spent)
+        return [
+            (url, None, None, None, None, None, None, None,
+             f"document too large: {len(html)} bytes > {max_html_bytes}")
+        ]
     try:
         docs = extract_jsonld(html, url)
     except Exception as e:  # noqa: BLE001 — malformed page must not kill executor
@@ -168,6 +177,7 @@ def make_pages_to_triples(
     rdf_direction: str | None = None,
     produce_generalized_rdf: bool = False,
     canonical_bnodes: bool = True,
+    max_html_bytes: int = 64_000_000,
 ):
     """Build the mapInPandas function.  ``cache_bc`` is a Spark broadcast
     of the raw context-cache dict (url → context JSON)."""
@@ -189,6 +199,7 @@ def make_pages_to_triples(
                         rdf_direction,
                         produce_generalized_rdf=produce_generalized_rdf,
                         canonical_bnodes=canonical_bnodes,
+                        max_html_bytes=max_html_bytes,
                     )
                 )
             yield pd.DataFrame(out, columns=TRIPLE_COLS)

@@ -1,0 +1,244 @@
+"""Negative-test parity with the reference's error taxonomy.
+
+The W3C manifests' negative tests assert spec error-code strings
+(`expectErrorCode`, matched by suite_helper.rb:311-352 against
+JsonLdError#code from ld.rb:118-181).  The manifests aren't vendored in
+the snapshot, so these hand-authored cases cover the same classes:
+each asserts that expanding/processing a malformed document raises a
+JsonLdError whose ``code`` equals the reference's exact string.
+"""
+
+import pytest
+
+from jsonld_spark import expand_document
+from jsonld_spark import errors as err
+
+# (case-name, document, reference error-code string)
+EXPAND_NEGATIVE = [
+    (
+        "invalid-base-iri",
+        {"@context": {"@base": True}, "@id": "x"},
+        "invalid base IRI",
+    ),
+    (
+        "invalid-vocab-mapping",
+        {"@context": {"@vocab": 4}, "p": "v"},
+        "invalid vocab mapping",
+    ),
+    (
+        "invalid-default-language",
+        {"@context": {"@language": 1}, "p": "v"},
+        "invalid default language",
+    ),
+    (
+        "invalid-base-direction",
+        {"@context": {"@direction": "up"}, "p": "v"},
+        "invalid base direction",
+    ),
+    (
+        "invalid-version-value",
+        {"@context": {"@version": 1.0}, "p": "v"},
+        "invalid @version value",
+    ),
+    (
+        "invalid-import-value",
+        {"@context": {"@import": True}, "p": "v"},
+        "invalid @import value",
+    ),
+    (
+        "invalid-propagate-value",
+        {"@context": [{"@propagate": "yes"}], "p": "v"},
+        "invalid @propagate value",
+    ),
+    (
+        "keyword-redefinition",
+        {"@context": {"@id": "http://x/"}, "p": "v"},
+        "keyword redefinition",
+    ),
+    (
+        "invalid-term-definition",
+        {"@context": {"t": True}, "t": "v"},
+        "invalid term definition",
+    ),
+    (
+        "invalid-iri-mapping",
+        {"@context": {"t": {"@id": True}}, "t": "v"},
+        "invalid IRI mapping",
+    ),
+    (
+        "cyclic-iri-mapping",
+        {"@context": {"a": "b:x", "b": "a:x"}, "a:y": "v"},
+        "cyclic IRI mapping",
+    ),
+    (
+        "invalid-type-mapping",
+        {"@context": {"t": {"@id": "http://p", "@type": True}}, "t": "v"},
+        "invalid type mapping",
+    ),
+    (
+        "invalid-language-mapping",
+        {"@context": {"t": {"@id": "http://p", "@language": True}}, "t": "v"},
+        "invalid language mapping",
+    ),
+    (
+        "invalid-container-mapping",
+        {"@context": {"t": {"@id": "http://p", "@container": "@bogus"}}, "t": "v"},
+        "invalid container mapping",
+    ),
+    (
+        "invalid-reverse-property",
+        {
+            "@context": {"t": {"@reverse": "http://p", "@container": "@list"}},
+            "t": "v",
+        },
+        "invalid reverse property",
+    ),
+    (
+        "invalid-prefix-value",
+        {"@context": {"t": {"@id": "http://p#", "@prefix": "x"}}, "t": "v"},
+        "invalid @prefix value",
+    ),
+    (
+        "invalid-nest-value-object",
+        # a nested value must not be a value object (expand.rb:826)
+        {"@id": "http://e/a", "@nest": {"@value": "v"}},
+        "invalid @nest value",
+    ),
+    (
+        "protected-term-redefinition",
+        {
+            "@context": [
+                {"@protected": True, "t": "http://p1"},
+                {"t": "http://p2"},
+            ],
+            "t": "v",
+        },
+        "protected term redefinition",
+    ),
+    (
+        "colliding-keywords",
+        {
+            "@context": {"id": "@id"},
+            "id": "http://e/a",
+            "@id": "http://e/b",
+        },
+        "colliding keywords",
+    ),
+    (
+        "invalid-id-value",
+        {"@id": True, "http://p": "v"},
+        "invalid @id value",
+    ),
+    (
+        "invalid-type-value",
+        {"@type": True, "http://p": "v"},
+        "invalid type value",
+    ),
+    (
+        "invalid-value-object",
+        {"http://p": {"@value": "v", "@language": "en", "@type": "http://t"}},
+        "invalid value object",
+    ),
+    (
+        "invalid-value-object-value",
+        {"http://p": {"@value": {}}},
+        "invalid value object value",
+    ),
+    (
+        "invalid-language-tagged-string",
+        {"http://p": {"@value": "v", "@language": True}},
+        "invalid language-tagged string",
+    ),
+    (
+        "invalid-language-tagged-value",
+        {"http://p": {"@value": 5, "@language": "en"}},
+        "invalid language-tagged value",
+    ),
+    (
+        "invalid-index-value",
+        {"http://p": {"@value": "v", "@index": True}},
+        "invalid @index value",
+    ),
+    (
+        "invalid-set-or-list-object",
+        {"http://p": {"@list": ["x"], "@id": "http://e/a"}},
+        "invalid set or list object",
+    ),
+    (
+        "invalid-reverse-value",
+        {"@reverse": "x"},
+        "invalid @reverse value",
+    ),
+    (
+        "invalid-reverse-property-value",
+        {"@reverse": {"http://p": [{"@value": "literal"}]}},
+        "invalid reverse property value",
+    ),
+    (
+        "invalid-included-value",
+        {"http://p": "v", "@included": "x"},
+        "invalid @included value",
+    ),
+    (
+        "invalid-scoped-context",
+        {
+            "@context": {"t": {"@id": "http://p", "@context": {"@version": 9}}},
+            "t": {"u": "v"},
+        },
+        "invalid scoped context",
+    ),
+    (
+        "invalid-local-context",
+        {"@context": True, "http://p": "v"},
+        "invalid local context",
+    ),
+    (
+        "loading-remote-context-failed",
+        {"@context": "http://unresolvable.example/ctx", "http://p": "v"},
+        "loading remote context failed",
+    ),
+]
+
+
+# compaction-time error codes (raised by compact_iri / nest placement,
+# matching the reference's compact.rb / context.rb raise sites)
+COMPACT_NEGATIVE = [
+    (
+        "invalid-nest-value-at-use",
+        # term's @nest names a term that does NOT alias @nest
+        {"bogus": "http://other", "t": {"@id": "http://p", "@nest": "bogus"}},
+        [{"@id": "http://e/a", "http://p": [{"@value": "v"}]}],
+        "invalid @nest value",
+    ),
+    (
+        "iri-confused-with-prefix",
+        # absolute IRI "t:suffix" collides with prefix term "t"
+        {"t": {"@id": "http://example/ns#", "@prefix": True}},
+        [{"@id": "http://e/a", "t:suffix": [{"@value": "v"}]}],
+        "IRI confused with prefix",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,ctx,expanded,code", COMPACT_NEGATIVE, ids=[c[0] for c in COMPACT_NEGATIVE]
+)
+def test_compact_error_code(name, ctx, expanded, code):
+    from jsonld_spark.compact import compact_document
+
+    with pytest.raises(err.JsonLdError) as exc_info:
+        compact_document(expanded, ctx)
+    assert exc_info.value.code == code, (
+        f"{name}: raised {exc_info.value.code!r}, reference expects {code!r}"
+    )
+
+
+@pytest.mark.parametrize(
+    "name,doc,code", EXPAND_NEGATIVE, ids=[c[0] for c in EXPAND_NEGATIVE]
+)
+def test_expand_error_code(name, doc, code):
+    with pytest.raises(err.JsonLdError) as exc_info:
+        expand_document(doc)
+    assert exc_info.value.code == code, (
+        f"{name}: raised {exc_info.value.code!r}, reference expects {code!r}"
+    )

@@ -211,3 +211,37 @@ def test_resume_safe_under_static_overwrite_conf(spark, pipe, pages):
         assert written.count() == stats1["triples"]  # nothing truncated
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_annotation_dropped_with_warning():
+    """RDF-star @annotation input degrades to a warning row naming the
+    keyword (the reference silently skips it without rdfstar); the rest
+    of the document still produces triples."""
+    cache = ContextCache(build_context_cache_entries())
+    html = (
+        '<script type="application/ld+json">'
+        '{"@id": "http://e/a", "http://v/p": '
+        '{"@id": "http://e/b", "@annotation": {"http://v/certainty": 0.8}}}'
+        "</script>"
+    ).encode()
+    rows = page_to_rows("http://page.example/ann", html, cache)
+    warnings = [r[8] for r in rows if r[8] and r[8].startswith("warning:")]
+    triples = [r for r in rows if r[8] is None]
+    assert any("@annotation" in w for w in warnings)
+    assert any(r[2] == "http://v/p" for r in triples)
+
+
+def test_giant_document_gated_before_parse():
+    """A page over max_html_bytes produces a cheap error row instead of
+    being JSON-parsed wholesale inside the worker."""
+    cache = ContextCache()
+    html = (
+        '<script type="application/ld+json">{"@id": "http://e/a", '
+        '"http://v/p": "' + "x" * 2000 + '"}</script>'
+    ).encode()
+    rows = page_to_rows("http://page.example/big", html, cache, max_html_bytes=1024)
+    assert len(rows) == 1
+    assert rows[0][8].startswith("document too large")
+    # same page under the limit parses fine
+    ok = page_to_rows("http://page.example/big", html, cache, max_html_bytes=10_000)
+    assert any(r[8] is None for r in ok)
