@@ -104,9 +104,21 @@ def test_jaccard_stop_shingle_cap(spark):
     from jsonld_spark.functions import text as textops
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    full = {(r.doc_a, r.doc_b) for r in textops.jaccard_pairs(docs).collect()}
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in textops.jaccard_pairs(docs, max_df=None).collect()
+    }
     capped = {
         (r.doc_a, r.doc_b)
         for r in textops.jaccard_pairs(docs, max_df=50).collect()
     }
     assert capped <= full or len(capped - full) == 0
+    # the skew guard (broadcast anti-join against hot shingles) must be
+    # part of the DEFAULT plan
+    plan = (
+        textops.jaccard_pairs(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan, plan

@@ -72,3 +72,30 @@ def test_ivf_assignment_covers_all(spark, emb):
     assert assigned.count() == emb.count()
     cells = {r.cell for r in assigned.select("cell").distinct().collect()}
     assert cells <= set(range(8)) and len(cells) >= 4
+
+
+def test_near_dup_default_has_no_cross_join(spark, emb):
+    """Scale guard: the default near-dup path must use the LSH bucket
+    join, never a cartesian product; exact=True keeps the O(n²) baseline
+    behind an explicit flag."""
+    all_pairs = ("CartesianProduct", "BroadcastNestedLoopJoin")
+    default_plan = similarity.near_dup_embeddings(emb)._jdf.queryExecution().executedPlan().toString()
+    assert not any(op in default_plan for op in all_pairs), default_plan
+    exact_plan = similarity.near_dup_embeddings(emb, exact=True)._jdf.queryExecution().executedPlan().toString()
+    assert any(op in exact_plan for op in all_pairs)
+
+
+def test_near_dup_lsh_subset_of_exact(spark, emb):
+    """LSH-candidate near-dups are a subset of the exact all-pairs result
+    with identical scores (re-rank is exact; only recall differs)."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_x1e6
+        for r in similarity.near_dup_embeddings(emb, exact=True).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b): r.cos_x1e6
+        for r in similarity.near_dup_embeddings(emb).collect()
+    }
+    assert set(approx) <= set(exact)
+    assert all(exact[k] == v for k, v in approx.items())
+    assert len(approx) > 0
