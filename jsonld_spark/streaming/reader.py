@@ -1,0 +1,248 @@
+"""Bounded-memory per-document streaming reader (SURVEY §2.9).
+
+The reference's ``StreamingReader`` (streaming_reader.rb:29-423) fully
+parses the JSON, then emits statements in ONE pass over the tree,
+buffering only provisional statements for the current node — memory is
+bounded by the largest single node, not by the document's total quad
+count.  The realistic multi-GB JSON-LD document is a dataset dump: one
+top-level array (or one ``@graph`` wrapper) holding millions of sibling
+entities.  This module streams that spine: the shared context is parsed
+once, then each element runs expand → node-map → emit independently
+through a generator, so peak memory is O(largest element), not
+O(total quads).
+
+Blank-node labels: one ``BlankNodeNamer`` is shared across elements, so
+explicit ``_:x`` labels keep their document-scoped identity and the
+label sequence is IDENTICAL to the batch ``doc_to_quads`` path for
+streamable documents.  Like the reference's streaming reader (which
+uses a sequential namer, not canonicalization), streaming mode does not
+apply URDNA2015-style canonical relabeling — that is a whole-document
+pass by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from ..context import Context, ContextCache
+from ..errors import JsonLdError
+from ..expand import ExpandOptions, expand
+from ..flatten import BlankNodeNamer, create_node_map
+from ..rdf_model import Quad
+from ..to_rdf import _RdfEmitter, _valid_resource
+
+
+def _streamable_spine(doc, ctx: Context, base: str | None):
+    """→ (elements, graph_name, ctx) when the document has a streamable
+    spine (top-level array, or an object whose only entries are
+    @context/@id/@graph with an IRI or absent @id); None otherwise."""
+    if isinstance(doc, list):
+        return doc, None, ctx
+    if not isinstance(doc, dict):
+        return None
+    if "@context" in doc:
+        ctx = ctx.parse(doc["@context"], base_url=base)
+    graph_key = None
+    id_key = None
+    for key in doc:
+        if key == "@context":
+            continue
+        expanded = ctx.expand_iri(key, vocab=True)
+        if expanded == "@graph" and graph_key is None:
+            graph_key = key
+        elif expanded == "@id" and id_key is None:
+            id_key = key
+        else:
+            return None  # top node carries properties → not a pure wrapper
+    if graph_key is None or not isinstance(doc[graph_key], list):
+        return None
+    graph_name = None
+    if id_key is not None:
+        gid = doc[id_key]
+        if not isinstance(gid, str):
+            return None
+        graph_name = ctx.expand_iri(gid, document_relative=True)
+        if not isinstance(graph_name, str) or graph_name.startswith("_:"):
+            # bnode-named graphs need whole-doc label coordination
+            return None
+    return doc[graph_key], graph_name, ctx
+
+
+def stream_doc_quads(
+    doc,
+    base: str | None = None,
+    cache: ContextCache | None = None,
+    expand_context=None,
+    rdf_direction: str | None = None,
+    produce_generalized_rdf: bool = False,
+    processing_mode: str = "json-ld-1.1",
+    warnings_out: list | None = None,
+) -> Iterator[Quad]:
+    """Generator over the document's quads with bounded memory.
+
+    Streams element-by-element along the document's top-level spine when
+    one exists; falls back to the batch path (identical output) for
+    documents without a streamable spine.
+    """
+    ctx = Context(
+        base=base, processing_mode=processing_mode, cache=cache or ContextCache()
+    )
+    if expand_context is not None:
+        ec = expand_context
+        if isinstance(ec, dict) and "@context" in ec:
+            ec = ec["@context"]
+        ctx = ctx.parse(ec, base_url=base)
+
+    spine = _streamable_spine(doc, ctx, base)
+    if spine is None:
+        from ..to_rdf import doc_to_quads
+
+        yield from doc_to_quads(
+            doc,
+            base=base,
+            cache=cache,
+            expand_context=expand_context,
+            rdf_direction=rdf_direction,
+            produce_generalized_rdf=produce_generalized_rdf,
+            processing_mode=processing_mode,
+            warnings_out=warnings_out,
+        )
+        return
+
+    elements, graph_name, ctx = spine
+    if graph_name is not None and not _valid_resource(graph_name):
+        return
+    options = ExpandOptions(base=base)
+    namer = BlankNodeNamer()  # shared: document-scoped _:labels + one sequence
+    for element in elements:
+        expanded = expand(element, None, ctx, options)
+        if expanded is None:
+            continue
+        expanded = expanded if isinstance(expanded, list) else [expanded]
+        # per-element node map + emission — the bounded buffer, same role
+        # as the reference's provisional-statement window
+        node_map: dict[str, dict] = {"@default": {}}
+        create_node_map(expanded, node_map, namer)
+        emitter = _RdfEmitter(namer, rdf_direction, produce_generalized_rdf)
+        for gname in sorted(node_map):
+            g = graph_name if gname == "@default" else gname
+            if g is not None and not _valid_resource(g):
+                continue
+            graph = node_map[gname]
+            for id_ in sorted(graph):
+                emitter.node_to_quads(id_, graph[id_], g)
+        yield from emitter.quads
+        emitter.quads.clear()
+    if warnings_out is not None:
+        warnings_out.extend(options.warnings)
+
+
+def make_streaming_pages_to_triples(
+    cache_bc,
+    cache_version: str = "v0",
+    rdf_direction: str | None = None,
+    produce_generalized_rdf: bool = False,
+    chunk_rows: int = 50_000,
+):
+    """mapInPandas factory for giant-document crawls: quads stream out in
+    ≤``chunk_rows`` Arrow batches, so one multi-million-quad page cannot
+    balloon the Python worker (the batch path materializes each page's
+    full quad list before the first row leaves the UDF)."""
+    import json as _json
+
+    import pandas as pd
+
+    from ..sources.html_jsonld import extract_jsonld
+    from ..udfs import TRIPLE_COLS, _get_cache, salt_bnode
+    from ..rdf_model import XSD_STRING
+
+    def fn(batches):
+        entries = cache_bc.value if cache_bc is not None else None
+        cache = _get_cache(entries, cache_version)
+        out: list[tuple] = []
+
+        def flush():
+            nonlocal out
+            chunk = pd.DataFrame(out, columns=TRIPLE_COLS)
+            out = []
+            return chunk
+
+        for pdf in batches:
+            for url, html in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
+                if html is None:
+                    continue
+                try:
+                    docs = extract_jsonld(html, url)
+                except Exception as e:  # noqa: BLE001 — page must not kill worker
+                    out.append(
+                        (url, None, None, None, None, None, None, None, f"extract: {e}")
+                    )
+                    continue
+                for d in docs:
+                    if d.error:
+                        out.append(
+                            (url, None, None, None, None, None, None, None, d.error)
+                        )
+                        continue
+                    si = d.script_index
+                    try:
+                        doc = (
+                            d.parsed
+                            if d.parsed is not None
+                            else _json.loads(d.json_text)
+                        )
+                        for q in stream_doc_quads(
+                            doc,
+                            base=d.base or url,
+                            cache=cache,
+                            rdf_direction=rdf_direction,
+                            produce_generalized_rdf=produce_generalized_rdf,
+                        ):
+                            dt = (
+                                None
+                                if q.obj_datatype == XSD_STRING
+                                else q.obj_datatype
+                            )
+                            s = (
+                                salt_bnode(url, si, q.subj)
+                                if q.subj.startswith("_:")
+                                else q.subj
+                            )
+                            p = (
+                                salt_bnode(url, si, q.pred)
+                                if q.pred.startswith("_:")
+                                else q.pred
+                            )
+                            o = (
+                                salt_bnode(url, si, q.obj)
+                                if (not q.obj_is_literal and q.obj.startswith("_:"))
+                                else q.obj
+                            )
+                            g = (
+                                salt_bnode(url, si, q.graph)
+                                if (q.graph is not None and q.graph.startswith("_:"))
+                                else q.graph
+                            )
+                            out.append(
+                                (url, s, p, o, q.obj_is_literal, dt, q.obj_lang, g, None)
+                            )
+                            if len(out) >= chunk_rows:
+                                yield flush()
+                    except JsonLdError as e:
+                        out.append(
+                            (url, None, None, None, None, None, None, None, e.code)
+                        )
+                    except RecursionError:
+                        out.append(
+                            (url, None, None, None, None, None, None, None,
+                             "recursion limit")
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        out.append(
+                            (url, None, None, None, None, None, None, None,
+                             f"internal: {e}")
+                        )
+            if out:
+                yield flush()
+
+    return fn

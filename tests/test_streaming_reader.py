@@ -1,0 +1,119 @@
+"""Bounded-memory streaming reader tests: equivalence with the batch
+toRdf path, chunked Arrow emission, Spark end-to-end parity."""
+
+import json
+
+import pandas as pd
+import pytest
+
+from jsonld_spark import doc_to_quads
+from jsonld_spark.streaming.reader import (
+    make_streaming_pages_to_triples,
+    stream_doc_quads,
+)
+
+CTX = {"@vocab": "http://v.e/", "name": {"@language": "en"}}
+
+
+def _entity(i: int) -> dict:
+    return {
+        "@id": f"http://e.com/{i}",
+        "@type": "Thing",
+        "name": f"thing {i}",
+        "n": i,
+        "child": {"p": f"c{i}"},  # anonymous bnode per entity
+    }
+
+
+ARRAY_DOC = [{"@context": CTX, **_entity(i)} for i in range(5)]
+GRAPH_DOC = {"@context": CTX, "@graph": [_entity(i) for i in range(5)]}
+NAMED_GRAPH_DOC = {
+    "@context": CTX,
+    "@id": "http://e.com/graph1",
+    "@graph": [_entity(i) for i in range(3)],
+}
+NON_STREAMABLE = {
+    "@context": CTX,
+    "@id": "http://e.com/root",
+    "name": "root",
+    "@graph": [_entity(0)],  # wrapper carries a property → whole-doc path
+}
+
+
+@pytest.mark.parametrize(
+    "doc",
+    [ARRAY_DOC, GRAPH_DOC, NAMED_GRAPH_DOC, NON_STREAMABLE, _entity(7)],
+    ids=["array", "graph-wrapper", "named-graph", "non-streamable", "single-node"],
+)
+def test_stream_equals_batch(doc):
+    batch = set(doc_to_quads(doc, base="http://base.e/"))
+    streamed = set(stream_doc_quads(doc, base="http://base.e/"))
+    assert streamed == batch  # shared namer ⇒ identical labels
+
+
+def test_stream_is_lazy():
+    """The generator yields the first element's quads without touching
+    later elements — a poisoned tail element only raises when reached."""
+    doc = [
+        {"@context": CTX, **_entity(0)},
+        {"@context": CTX, "@id": True},  # invalid @id — raises when expanded
+    ]
+    it = stream_doc_quads(doc, base="http://base.e/")
+    first = next(it)
+    assert first.subj in ("_:b0", "http://e.com/0")  # element 0's quads
+    for _ in range(10):  # element 0 has a handful of quads
+        try:
+            next(it)
+        except StopIteration:
+            raise AssertionError("poison element was never reached")
+        except Exception:
+            return  # poison reached only after element 0 fully streamed
+    raise AssertionError("poison element did not raise")
+
+
+def _page_batch(n_entities: int, url: str = "http://s.e/p") -> pd.DataFrame:
+    doc = {"@context": CTX, "@graph": [_entity(i) for i in range(n_entities)]}
+    html = (
+        '<script type="application/ld+json">' + json.dumps(doc) + "</script>"
+    ).encode()
+    return pd.DataFrame({"url": [url], "html": [html]})
+
+
+def test_chunked_emission_bounds_worker_memory():
+    """One page with many entities must leave the UDF in ≤chunk_rows
+    pieces, not one giant frame."""
+    fn = make_streaming_pages_to_triples(None, chunk_rows=100)
+    chunks = list(fn(iter([_page_batch(200)])))  # 200 entities × 5 quads
+    assert len(chunks) > 5
+    assert all(len(c) <= 100 for c in chunks)
+    total = sum(len(c) for c in chunks)
+    assert total == 200 * 5
+    assert all(c["error"].isna().all() for c in chunks)
+
+
+def test_streaming_spark_parity(spark):
+    """mapInPandas streaming output == batch pipeline output (canonical
+    relabeling off — streaming cannot do a whole-doc pass) on real pages."""
+    from jsonld_spark.pipeline import KGPipeline
+    from jsonld_spark.udfs import TRIPLES_SCHEMA
+
+    rows = []
+    for i in range(20):
+        doc = {"@context": CTX, "@graph": [_entity(j) for j in range(i % 4 + 1)]}
+        html = (
+            '<script type="application/ld+json">' + json.dumps(doc) + "</script>"
+        ).encode()
+        rows.append((f"http://site.e/{i}", html))
+    pages = spark.createDataFrame(rows, "url string, html binary")
+
+    fn = make_streaming_pages_to_triples(None, chunk_rows=7)
+    streamed = pages.mapInPandas(fn, TRIPLES_SCHEMA)
+
+    pipe = KGPipeline(spark, canonical_bnodes=False)
+    batch = pipe.extract(pages)
+
+    cols = [c for c in batch.columns]
+    s = {tuple(r) for r in streamed.select(cols).collect()}
+    b = {tuple(r) for r in batch.select(cols).collect()}
+    assert s == b
+    assert len(s) > 0
