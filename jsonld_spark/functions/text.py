@@ -437,32 +437,58 @@ def jaccard_pairs(
     jaccard (x1000, floor) for cross-engine determinism.
 
     ``max_df``: stop-shingle cap — shingles occurring in more than
-    ``max_df`` docs are dropped before the self-join.  At crawl scale
-    boilerplate shingles (cookie banners, footers) otherwise create
-    quadratic hot keys; capping bounds any join group to max_df², at a
-    small recall cost.  ON by default (the skew defence must be the
+    ``max_df`` docs are dropped entirely.  At crawl scale boilerplate
+    shingles (cookie banners, footers) otherwise create quadratic hot
+    keys; capping bounds any pair-generation group to max_df(max_df-1)/2,
+    at a small recall cost.  ON by default (the skew defence must be the
     default path at 100 TB); the DuckDB oracle mirrors the same cap.
-    Pass ``max_df=None`` for the exact uncapped variant."""
+    Pass ``max_df=None`` for the exact uncapped variant.
+
+    Physical strategy: with the cap on, the **posting-list pattern** —
+    group shingle → sorted doc list (bounded by max_df), explode the
+    in-group pair combinations, count per pair.  One wide shuffle of the
+    exploded shingles instead of the self-join's two, and pair blowup is
+    bounded per group.  Uncapped falls back to the equality self-join,
+    whose sort-merge spills gracefully when a posting list would not."""
     sh = (
         docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
         .select("doc_id", F.explode(F.array_distinct(F.expr(SHINGLES_EXPR))).alias("sh"))
     )
     if max_df is not None:
-        hot = (
+        posts = (
             sh.groupBy("sh")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("sh")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+            .filter(F.size("ds") <= max_df)
         )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("c"))
-    )
+        # singleton shingles carry no pairs but still count in na/nb
+        sizes = (
+            posts.select(F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+        )
+        pairs_expr = (
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> struct(x as doc_a, y as doc_b))))"
+        )
+        inter = (
+            posts.filter(F.size("ds") >= 2)
+            .select(F.explode(F.expr(pairs_expr)).alias("p"))
+            .groupBy("p.doc_a", "p.doc_b")
+            .agg(F.count("*").alias("c"))
+        )
+    else:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("c"))
+        )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (

@@ -113,12 +113,23 @@ def test_jaccard_stop_shingle_cap(spark):
         for r in textops.jaccard_pairs(docs, max_df=50).collect()
     }
     assert capped <= full or len(capped - full) == 0
-    # the skew guard (broadcast anti-join against hot shingles) must be
-    # part of the DEFAULT plan
+    # values agree between the capped posting-list path and the exact
+    # self-join path wherever both produce the pair
+    full_vals = {
+        (r.doc_a, r.doc_b): r.jaccard_x1000
+        for r in textops.jaccard_pairs(docs, max_df=None).collect()
+    }
+    cap_vals = {
+        (r.doc_a, r.doc_b): r.jaccard_x1000
+        for r in textops.jaccard_pairs(docs).collect()
+    }
+    assert all(full_vals.get(k) == v for k, v in cap_vals.items() if k in full_vals)
+    # the DEFAULT plan is the bounded posting-list pattern: in-group pair
+    # explode, no self-join, no cartesian product
     plan = (
         textops.jaccard_pairs(docs)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "LeftAnti" in plan, plan
+    assert "flatten(transform" in plan and "CartesianProduct" not in plan, plan
