@@ -241,8 +241,182 @@ _:b1 <http://v/name> "leaf" .""",
 }
 
 
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+# round-2 growth: list corners, @json shapes, direction modes, @included,
+# graph containers — the manifest classes the original 17 didn't reach
+CASES.update(
+    {
+        "empty-list-is-nil": (
+            {"@id": "http://e/a", "http://p/l": {"@list": []}},
+            {},
+            f"<http://e/a> <http://p/l> <{RDF}nil> .",
+        ),
+        "list-of-lists": (
+            {"@id": "http://e/a", "http://p/l": {"@list": [{"@list": ["x"]}]}},
+            {},
+            f"""<http://e/a> <http://p/l> _:o .
+_:o <{RDF}first> _:i .
+_:o <{RDF}rest> <{RDF}nil> .
+_:i <{RDF}first> "x" .
+_:i <{RDF}rest> <{RDF}nil> .""",
+        ),
+        "list-with-nodes": (
+            {
+                "@id": "http://e/a",
+                "http://p/l": {"@list": [{"@id": "http://e/b"}, "s"]},
+            },
+            {},
+            f"""<http://e/a> <http://p/l> _:c0 .
+_:c0 <{RDF}first> <http://e/b> .
+_:c0 <{RDF}rest> _:c1 .
+_:c1 <{RDF}first> "s" .
+_:c1 <{RDF}rest> <{RDF}nil> .""",
+        ),
+        "json-literal-object-jcs": (
+            {
+                "@id": "http://e/a",
+                "http://p/j": {"@value": {"b": 2, "a": [True, 1.0]}, "@type": "@json"},
+            },
+            {},
+            '<http://e/a> <http://p/j> "{\\"a\\":[true,1],\\"b\\":2}"'
+            f"^^<{RDF}JSON> .",
+        ),
+        "json-literal-scalar": (
+            {"@id": "http://e/a", "http://p/j": {"@value": 5, "@type": "@json"}},
+            {},
+            f'<http://e/a> <http://p/j> "5"^^<{RDF}JSON> .',
+        ),
+        "included-emits-siblings": (
+            {
+                "@id": "http://e/a",
+                "http://p/x": "v",
+                "@included": [{"@id": "http://e/b", "http://p/y": "w"}],
+            },
+            {},
+            """<http://e/a> <http://p/x> "v" .
+<http://e/b> <http://p/y> "w" .""",
+        ),
+        "language-map-emits-tagged": (
+            {
+                "@context": {
+                    "label": {"@id": "http://p/label", "@container": "@language"}
+                },
+                "@id": "http://e/a",
+                "label": {"en": "hi", "de": "hallo"},
+            },
+            {},
+            """<http://e/a> <http://p/label> "hi"@en .
+<http://e/a> <http://p/label> "hallo"@de .""",
+        ),
+        "type-map-assigns-types": (
+            {
+                "@context": {
+                    "@vocab": "http://v/",
+                    "byType": {"@id": "http://p/m", "@container": "@type"},
+                },
+                "@id": "http://e/a",
+                "byType": {"T1": {"@id": "http://e/b"}},
+            },
+            {},
+            f"""<http://e/a> <http://p/m> <http://e/b> .
+<http://e/b> <{RDF}type> <http://v/T1> .""",
+        ),
+        "bnode-named-graph": (
+            {"@graph": [{"@id": "http://e/a", "http://p/x": "v"}], "@id": "_:g"},
+            {},
+            '<http://e/a> <http://p/x> "v" _:g .',
+        ),
+        "multiple-types": (
+            {"@id": "http://e/a", "@type": ["http://t/A", "http://t/B"]},
+            {},
+            f"""<http://e/a> <{RDF}type> <http://t/A> .
+<http://e/a> <{RDF}type> <http://t/B> .""",
+        ),
+        "double-e21-threshold": (
+            {"@id": "http://e/a", "http://p/d": 1e21},
+            {},
+            '<http://e/a> <http://p/d> "1.0E21"'
+            '^^<http://www.w3.org/2001/XMLSchema#double> .',
+        ),
+        "reverse-of-reverse-forward": (
+            {
+                "@id": "http://e/a",
+                "@reverse": {
+                    "http://p/r": {
+                        "@id": "http://e/b",
+                        "@reverse": {"http://p/s": {"@id": "http://e/c"}},
+                    }
+                },
+            },
+            {},
+            """<http://e/b> <http://p/r> <http://e/a> .
+<http://e/c> <http://p/s> <http://e/b> .""",
+        ),
+        "set-unwraps": (
+            {"@id": "http://e/a", "http://p/x": {"@set": ["v", "w"]}},
+            {},
+            """<http://e/a> <http://p/x> "v" .
+<http://e/a> <http://p/x> "w" .""",
+        ),
+        "graph-container-anon": (
+            {
+                "@context": {"g": {"@id": "http://p/g", "@container": "@graph"}},
+                "@id": "http://e/a",
+                "g": {"http://p/x": [{"@value": "v"}], "@id": "http://e/inner"},
+            },
+            {},
+            """<http://e/a> <http://p/g> _:gr .
+<http://e/inner> <http://p/x> "v" _:gr .""",
+        ),
+        "relative-iri-property-dropped": (
+            {"@id": "http://e/a", "relative-prop": "v", "http://p/x": "w"},
+            {"base": "http://base.e/"},
+            '<http://e/a> <http://p/x> "w" .',
+        ),
+    }
+)
+
+
+# (input, expected) pairs exercising rdf_direction modes (api option,
+# reference to_rdf.rb:56-68)
+DIRECTION_CASES = {
+    "i18n-datatype": (
+        "i18n-datatype",
+        {
+            "@id": "http://e/a",
+            "http://p/t": {"@value": "hi", "@language": "en", "@direction": "ltr"},
+        },
+        '<http://e/a> <http://p/t> "hi"^^<https://www.w3.org/ns/i18n#en_ltr> .',
+    ),
+    "i18n-datatype-no-language": (
+        "i18n-datatype",
+        {"@id": "http://e/a", "http://p/t": {"@value": "hi", "@direction": "rtl"}},
+        '<http://e/a> <http://p/t> "hi"^^<https://www.w3.org/ns/i18n#_rtl> .',
+    ),
+    "compound-literal": (
+        "compound-literal",
+        {
+            "@id": "http://e/a",
+            "http://p/t": {"@value": "hi", "@language": "en", "@direction": "ltr"},
+        },
+        f"""<http://e/a> <http://p/t> _:c .
+_:c <{RDF}value> "hi" .
+_:c <{RDF}language> "en" .
+_:c <{RDF}direction> "ltr" .""",
+    ),
+}
+
+
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_tordf_case(name):
     doc, opts, expected = CASES[name]
     quads = doc_to_quads(doc, base=opts.get("base"))
+    assert_isomorphic(quads, expected)
+
+
+@pytest.mark.parametrize("name", sorted(DIRECTION_CASES))
+def test_tordf_direction_case(name):
+    mode, doc, expected = DIRECTION_CASES[name]
+    quads = doc_to_quads(doc, rdf_direction=mode)
     assert_isomorphic(quads, expected)
