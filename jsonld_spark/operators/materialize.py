@@ -93,3 +93,34 @@ def materialize_graphs(
         .groupBy("graph")
         .applyInPandas(fold, MATERIALIZED_SCHEMA)
     )
+
+
+def materialize_compacted(
+    triples: DataFrame,
+    context,
+    ordered: bool = True,
+    use_native_types: bool = False,
+) -> DataFrame:
+    """Writer parity: per-graph fromRdf + compaction against ``context``
+    → (graph, jsonld, n_nodes) with ``jsonld`` a COMPACTED document (the
+    reference's Writer emits compacted JSON-LD when given a context,
+    writer.rb).  The context is closed over (tiny) — compaction runs
+    inside the same grouped-map pass, nothing extra leaves the JVM."""
+    import pandas as pd
+
+    from ..compact import compact_document
+
+    base = materialize_graphs(
+        triples, ordered=ordered, use_native_types=use_native_types
+    )
+
+    def compact_fold(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                expanded = json.loads(r.jsonld)
+                compacted = compact_document(expanded, context)
+                out.append((r.graph, json.dumps(compacted, sort_keys=True), r.n_nodes))
+            yield pd.DataFrame(out, columns=["graph", "jsonld", "n_nodes"])
+
+    return base.mapInPandas(compact_fold, MATERIALIZED_SCHEMA)

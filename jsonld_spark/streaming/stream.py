@@ -82,19 +82,30 @@ def stream_pages_to_triples(
     cache_version: str = "v1",
     dedup_watermark: str | None = None,
     available_now: bool = True,
+    bounded_reader: bool = False,
 ):
-    """Start (and return) the streaming query writing triple parquet."""
+    """Start (and return) the streaming query writing triple parquet.
+
+    ``bounded_reader=True`` swaps the batch extraction UDF for the
+    per-document streaming reader (streaming/reader.py): quads leave the
+    Python worker in bounded Arrow chunks, so micro-batches containing
+    giant dataset-dump pages cannot balloon a worker.  Canonical bnode
+    relabeling is skipped in that mode (whole-document pass)."""
     from ..pipeline import KGPipeline
 
     pages = read_pages_stream(spark, pages_dir)
     if dedup_watermark:
         pages = streaming_dedup_pages(pages, dedup_watermark)
     pipe = KGPipeline(spark, cache_entries, cache_version=cache_version)
-    triples = (
-        pipe.extract(pages)
-        .filter(F.col("error").isNull())
-        .drop("error")
-    )
+    if bounded_reader:
+        from ..udfs import TRIPLES_SCHEMA
+        from .reader import make_streaming_pages_to_triples
+
+        fn = make_streaming_pages_to_triples(pipe.cache_bc, cache_version)
+        extracted = pages.select("url", "html").mapInPandas(fn, TRIPLES_SCHEMA)
+    else:
+        extracted = pipe.extract(pages)
+    triples = extracted.filter(F.col("error").isNull()).drop("error")
     writer = (
         triples.writeStream.format("parquet")
         .option("path", out_dir)

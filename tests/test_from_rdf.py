@@ -152,3 +152,30 @@ def test_materialize_graphs_spark(spark):
     assert out["http://g/1"].n_nodes == 1
     stats = node_stats(triples).collect()
     assert len(stats) == 2
+
+
+def test_materialize_compacted_roundtrip(spark):
+    """Writer parity: triples → compacted JSON-LD docs per graph."""
+    import json as _json
+
+    from jsonld_spark.operators.materialize import materialize_compacted
+
+    rows = [
+        ("http://e/a", "http://v/name", "Alice", True, None, None, None),
+        ("http://e/a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://v/Person", False, None, None, None),
+        ("http://e/a", "http://v/knows", "http://e/b", False, None, None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_datatype string, obj_lang string, graph string",
+    )
+    ctx = {"@vocab": "http://v/", "knows": {"@type": "@id"}}
+    (row,) = materialize_compacted(t, ctx).collect()
+    doc = _json.loads(row.jsonld)
+    node = doc[0] if isinstance(doc, list) else doc
+    assert node["@id"] == "http://e/a"
+    assert node["name"] == "Alice"
+    assert node["@type"] == "Person"
+    assert node["knows"] == "http://e/b"

@@ -159,3 +159,31 @@ def test_stateful_first_seen_across_batches(spark):
     # unbounded-state dedup: re-crawled urls NOT re-emitted
     assert len(urls) == len(set(urls))
     assert len(urls) == 60  # 50 originals + 10 genuinely new
+
+
+def test_stream_with_bounded_reader(spark, tmp_path):
+    """Streaming query with the bounded per-document reader produces the
+    same triples as the batch UDF path (canonical relabeling off)."""
+    import os
+
+    from jsonld_spark.pipeline import KGPipeline
+    from jsonld_spark.streaming.stream import stream_pages_to_triples
+
+    pages_dir = str(tmp_path / "pages_bounded")
+    os.makedirs(pages_dir)
+    write_pages_parquet(os.path.join(pages_dir, "batch0.parquet"), 80, seed=5)
+    out = str(tmp_path / "out_bounded")
+    ckpt = str(tmp_path / "ckpt_bounded")
+    q = stream_pages_to_triples(
+        spark, pages_dir, out, ckpt, available_now=True, bounded_reader=True
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out)
+
+    batch = KGPipeline(spark, canonical_bnodes=False).triples(
+        spark.read.parquet(pages_dir)
+    )
+    cols = batch.columns
+    assert {tuple(r) for r in streamed.select(cols).collect()} == {
+        tuple(r) for r in batch.select(cols).collect()
+    }
