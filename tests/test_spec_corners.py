@@ -255,3 +255,146 @@ def test_cache_version_invalidates_resume(spark, pages_path):
     s3 = p2.run(pages, out, run_id="r3")
     assert s3["skipped_buckets"] == 0
     assert s3["triples"] == s1["triples"]
+
+
+# --- round-2 expansion corners ----------------------------------------------
+
+
+def test_vocab_empty_string_resolves_to_base():
+    doc = {
+        "@context": {"@vocab": ""},
+        "@id": "http://e/doc",
+        "p": "v",
+    }
+    out = expand_document(doc, base="http://base.e/dir/")
+    assert out[0]["http://base.e/dir/p"] == [{"@value": "v"}]
+
+
+def test_vocab_relative_resolves_against_vocab():
+    doc = {
+        "@context": [{"@vocab": "http://v.e/ns#"}, {"@vocab": "sub/"}],
+        "@id": "http://e/a",
+        "p": "v",
+    }
+    out = expand_document(doc)
+    assert "http://v.e/ns#sub/p" in out[0]
+
+
+def test_id_container_map():
+    doc = {
+        "@context": {
+            "@vocab": "http://v/",
+            "byId": {"@id": "http://p/m", "@container": "@id"},
+        },
+        "byId": {"http://e/a": {"prop": "x"}, "@none": {"prop": "y"}},
+    }
+    (node,) = expand_document(doc)
+    vals = node["http://p/m"]
+    ids = {v.get("@id") for v in vals}
+    assert "http://e/a" in ids
+    assert None in ids or any("@id" not in v for v in vals)
+
+
+def test_type_none_keeps_value_untyped():
+    doc = {
+        "@context": {"t": {"@id": "http://p/x", "@type": "@none"}},
+        "t": 5,
+    }
+    (node,) = expand_document(doc)
+    assert node["http://p/x"] == [{"@value": 5}]
+
+
+def test_null_language_overrides_default():
+    doc = {
+        "@context": {
+            "@language": "en",
+            "plain": {"@id": "http://p/plain", "@language": None},
+        },
+        "plain": "text",
+        "http://p/tagged": "tagged",
+    }
+    (node,) = expand_document(doc)
+    assert node["http://p/plain"] == [{"@value": "text"}]
+    assert node["http://p/tagged"] == [{"@value": "tagged", "@language": "en"}]
+
+
+def test_scoped_context_propagates_by_default_for_property():
+    doc = {
+        "@context": {
+            "@vocab": "http://v/",
+            "outer": {"@context": {"inner": "http://scoped/inner"}},
+        },
+        "outer": {"deep": {"inner": "v"}},
+    }
+    (node,) = expand_document(doc)
+    deep = node["http://v/outer"][0]["http://v/deep"][0]
+    assert deep["http://scoped/inner"] == [{"@value": "v"}]
+
+
+def test_type_scoped_context_does_not_propagate():
+    doc = {
+        "@context": {
+            "@vocab": "http://v/",
+            "T": {"@id": "http://v/T", "@context": {"q": "http://typed/q"}},
+        },
+        "@type": "T",
+        "q": "top",
+        "child": {"q": "nested"},
+    }
+    (node,) = expand_document(doc)
+    assert node["http://typed/q"] == [{"@value": "top"}]
+    child = node["http://v/child"][0]
+    assert child["http://v/q"] == [{"@value": "nested"}]
+
+
+def test_graph_container_with_index():
+    doc = {
+        "@context": {
+            "g": {"@id": "http://p/g", "@container": ["@graph", "@index"]},
+        },
+        "g": {"k1": {"http://p/x": "v"}},
+    }
+    (node,) = expand_document(doc)
+    entry = node["http://p/g"][0]
+    assert "@graph" in entry and entry.get("@index") == "k1"
+
+
+def test_list_container_null_stays_empty():
+    doc = {
+        "@context": {"l": {"@id": "http://p/l", "@container": "@list"}},
+        "l": None,
+    }
+    out = expand_document(doc)
+    assert out == []  # null value drops the property, and the node
+
+
+def test_json_type_preserves_raw_value():
+    doc = {
+        "@context": {"j": {"@id": "http://p/j", "@type": "@json"}},
+        "j": {"z": 1, "a": [None, {"b": False}]},
+    }
+    (node,) = expand_document(doc)
+    assert node["http://p/j"] == [
+        {"@value": {"z": 1, "a": [None, {"b": False}]}, "@type": "@json"}
+    ]
+
+
+def test_index_preserved_on_values():
+    doc = {
+        "@context": {"c": {"@id": "http://p/c", "@container": "@index"}},
+        "c": {"idx1": ["a", "b"]},
+    }
+    (node,) = expand_document(doc)
+    vals = node["http://p/c"]
+    assert all(v["@index"] == "idx1" for v in vals)
+    assert {v["@value"] for v in vals} == {"a", "b"}
+
+
+def test_alias_of_type_with_array():
+    doc = {
+        "@context": {"kind": "@type", "@vocab": "http://v/"},
+        "@id": "http://e/a",
+        "kind": ["T1", "T2"],
+    }
+    (node,) = expand_document(doc)
+    assert node["@type"] == ["http://v/T1", "http://v/T2"]
