@@ -340,6 +340,27 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_orders_no_lineitem(spark, sf_dir):
+    """Anti join: orders with no lineitem rows, counted per status."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def _q_multi_type_users(spark, sf_dir):
+    """Set op: users present in BOTH 'click' and 'view' event streams
+    (INTERSECT of the two user sets)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    return clicks.intersect(views).orderBy("user_id")
+
+
 def _q_token_count_bpe(spark, sf_dir):
     return textops.token_count_bpe(_docs(spark, sf_dir))
 
@@ -432,6 +453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "events_hourly": _q_events_hourly,
         "parts_by_brand": _q_parts_by_brand,
+        "orders_no_lineitem": _q_orders_no_lineitem,
+        "multi_type_users": _q_multi_type_users,
         # dedup / text analysis
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -578,6 +601,15 @@ def oracle_sql() -> dict[str, str]:
                    max(p_size) AS max_size, s.n_suppliers
             FROM part, s WHERE p_type = 'ECONOMY'
             GROUP BY p_brand, s.n_suppliers ORDER BY p_brand""",
+        "orders_no_lineitem": """
+            SELECT o_orderstatus, count(*) AS n_orders
+            FROM orders ANTI JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        "multi_type_users": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'view'
+            ORDER BY user_id""",
         "token_count_bpe": textops.TOKEN_COUNT_BPE_SQL,
         "dedup_exact": textops.EXACT_DEDUP_SQL,
         "token_stats": textops.TOKEN_STATS_SQL,
