@@ -103,6 +103,24 @@ def _q_jsonld_nquads(spark, sf_dir):
     )
 
 
+def _q_jsonld_stream_triples(spark, sf_dir):
+    """Same lang-triple projection as jsonld_lang_triples but through the
+    bounded-memory streaming reader (streaming/reader.py) — gives the
+    generator path its own oracle-checked row."""
+    from jsonld_spark.streaming.reader import make_streaming_pages_to_triples
+    from jsonld_spark.udfs import TRIPLES_SCHEMA
+
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    fn = make_streaming_pages_to_triples(None, chunk_rows=10_000)
+    t = pages.select("url", "html").mapInPandas(fn, TRIPLES_SCHEMA)
+    return (
+        t.filter(F.col("error").isNull())
+        .filter(F.col("pred") == VOCAB + "lang")
+        .select("subj", "obj", "obj_datatype")
+        .orderBy("subj")
+    )
+
+
 # --- relational operators over driver tables --------------------------------
 
 
@@ -438,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_pred_counts": _q_jsonld_pred_counts,
         "jsonld_sameas_canonical": _q_jsonld_sameas_canonical,
         "jsonld_nquads": _q_jsonld_nquads,
+        "jsonld_stream_triples": _q_jsonld_stream_triples,
         "jsonld_node_stats": _q_jsonld_node_stats,
         "jsonld_expand_nodes": _q_jsonld_expand_nodes,
         "jsonld_flatten_nodes": _q_jsonld_flatten_nodes,
@@ -505,6 +524,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<{DOC_NS}' || CAST(doc_id AS VARCHAR) || '> <{VOCAB}source> "'
                    || source || '" .' AS nquad
             FROM documents ORDER BY nquad""",
+        "jsonld_stream_triples": f"""
+            SELECT {doc_subj} AS subj, lang AS obj,
+                   CAST(NULL AS VARCHAR) AS obj_datatype
+            FROM documents ORDER BY subj""",
         "jsonld_node_stats": f"""
             SELECT CAST(NULL AS VARCHAR) AS graph, {doc_subj} AS subj,
                    CAST(5 AS BIGINT) AS n_preds, CAST(5 AS BIGINT) AS n_triples
