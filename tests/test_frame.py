@@ -189,3 +189,75 @@ def test_frame_reverse():
     rev = out["@reverse"]["parentOf"]
     rev_ids = rev["@id"] if isinstance(rev, dict) else {r["@id"] for r in rev}
     assert "http://e/mid" in (rev_ids if isinstance(rev_ids, set) else {rev_ids})
+
+
+def test_embed_once_deduplicates_second_reference():
+    """@once (the default): the first encounter embeds, later references
+    stay node references."""
+    doc = {
+        "@context": CTX,
+        "@graph": [
+            {
+                "@id": "http://example.org/a",
+                "@type": "Top",
+                "left": {"@id": "http://example.org/shared"},
+                "right": {"@id": "http://example.org/shared"},
+            },
+            {"@id": "http://example.org/shared", "@type": "Leaf", "title": "S"},
+        ],
+    }
+    frame = {"@context": CTX, "@type": "Top"}
+    out = frame_document(doc, frame)
+    vals = [out["left"], out["right"]]
+    embedded = [v for v in vals if isinstance(v, dict) and "title" in v]
+    refs = [v for v in vals if isinstance(v, dict) and set(v) == {"@id"}]
+    assert len(embedded) == 1 and len(refs) == 1
+
+
+def test_frame_cycle_terminates_with_reference():
+    """Mutually-referencing nodes must frame without infinite embedding."""
+    doc = {
+        "@context": CTX,
+        "@graph": [
+            {"@id": "http://example.org/x", "@type": "Node",
+             "next": {"@id": "http://example.org/y"}},
+            {"@id": "http://example.org/y", "@type": "Node",
+             "next": {"@id": "http://example.org/x"}},
+        ],
+    }
+    frame = {"@context": CTX, "@type": "Node"}
+    out = frame_document(doc, frame)
+    nodes = out["@graph"] if "@graph" in out else [out]
+    # however it is rooted, some 'next' chain must bottom out in a bare ref
+    def has_ref(n, depth=0):
+        if depth > 10:
+            return False
+        nxt = n.get("next")
+        if isinstance(nxt, dict):
+            if set(nxt) == {"@id"}:
+                return True
+            return has_ref(nxt, depth + 1)
+        return False
+
+    assert any(has_ref(n) for n in nodes)
+
+
+def test_frame_nested_property_frame_filters_embeds():
+    """A sub-frame on a property restricts which nodes are embedded."""
+    frame = {
+        "@context": CTX,
+        "@type": "Library",
+        "contains": {"@type": "Book", "contains": {"@type": "Chapter"}},
+    }
+    out = frame_document(LIBRARY, frame)
+    book = out["contains"]
+    assert book["title"] == "The Republic"
+    assert book["contains"]["title"] == "The Introduction"
+
+
+def test_frame_preserves_frame_context_keys():
+    """Output is compacted with the frame's context (terms, not IRIs)."""
+    frame = {"@context": CTX, "@type": "Book"}
+    out = frame_document(LIBRARY, frame)
+    assert "creator" in out and "title" in out
+    assert not any(k.startswith("http://") for k in out if k != "@id")
