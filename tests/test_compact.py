@@ -361,3 +361,111 @@ def test_inverse_context_default_direction_term_selection():
         "etiket": "waarde",
     }
     assert rt(doc) == doc
+
+
+# --- round-2 compaction corners ---------------------------------------------
+
+
+def test_index_container_compacts_to_map():
+    doc = {
+        "@context": {"c": {"@id": "http://p/c", "@container": "@index"}},
+        "c": {"k1": "a", "k2": "b"},
+    }
+    assert rt(doc) == doc
+
+
+def test_id_container_compacts_to_map():
+    doc = {
+        "@context": {
+            "@vocab": "http://v/",
+            "byId": {"@id": "http://p/m", "@container": "@id"},
+        },
+        "byId": {"http://e/a": {"prop": "x"}},
+    }
+    assert rt(doc) == doc
+
+
+def test_reverse_folds_into_term():
+    doc = {
+        "@context": {
+            "children": {"@reverse": "http://p/parent"},
+        },
+        "@id": "http://e/root",
+        "children": {"@id": "http://e/kid"},
+    }
+    assert rt(doc) == doc
+
+
+def test_list_compacts_with_coercion():
+    doc = {
+        "@context": {
+            "ids": {"@id": "http://p/l", "@container": "@list", "@type": "@id"}
+        },
+        "ids": ["http://e/a", "http://e/b"],
+    }
+    assert rt(doc) == doc
+
+
+def test_language_container_roundtrip():
+    doc = {
+        "@context": {"label": {"@id": "http://p/l", "@container": "@language"}},
+        "label": {"de": "Hallo", "en": "Hello"},
+    }
+    assert rt(doc) == doc
+
+
+def test_graph_container_roundtrip():
+    doc = {
+        "@context": {"g": {"@id": "http://p/g", "@container": "@graph"}},
+        "g": {"http://p/x": "v"},
+    }
+    assert rt(doc) == doc
+
+
+def test_type_map_with_set_compacts_id_only_node_to_iri():
+    """Spec 12.8.9.6.3: a node with ONLY @id inside a @type map compacts
+    to the bare IRI — and re-expands to the node+type form."""
+    doc = {
+        "@context": {
+            "@vocab": "http://v/",
+            "byType": {"@id": "http://p/m", "@container": ["@type", "@set"]},
+        },
+        "byType": {"T": [{"@id": "http://e/a"}]},
+    }
+    out = rt(doc)
+    assert out["byType"] == {"T": ["http://e/a"]}
+    assert expand_document(out) == expand_document(doc)
+
+
+def test_compact_iri_picks_shortest_term():
+    doc = {
+        "@context": {
+            "long-prefix": "http://long.example/ns#",
+            "s": "http://long.example/ns#",
+        },
+        "s:thing": {"@id": "http://e/a"},
+    }
+    expanded = expand_document(doc)
+    out = compact_document(expanded, doc["@context"])
+    assert "s:thing" in out
+
+
+def test_keyword_alias_roundtrip():
+    doc = {
+        "@context": {"id": "@id", "type": "@type", "@vocab": "http://v/"},
+        "id": "http://e/a",
+        "type": "T",
+    }
+    assert rt(doc) == doc
+
+
+def test_compact_arrays_false_keeps_arrays():
+    doc = {
+        "@context": {"p": "http://p/x"},
+        "p": "v",
+    }
+    expanded = expand_document(doc)
+    out = compact_document(expanded, doc["@context"], compact_arrays=False)
+    # spec: with compactArrays false the top-level array stays an array,
+    # so the result is wrapped in @graph
+    assert out["@graph"][0]["p"] == ["v"]
