@@ -179,3 +179,88 @@ def test_materialize_compacted_roundtrip(spark):
     assert node["name"] == "Alice"
     assert node["@type"] == "Person"
     assert node["knows"] == "http://e/b"
+
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_list_with_cycle_not_folded():
+    """An rdf:rest cycle is not a well-formed list — nodes stay explicit."""
+    quads = [
+        Quad("http://e/a", "http://p/l", "_:l1", False, None, None, None),
+        Quad("_:l1", RDF_NS + "first", "x", True, XSD_STRING, None, None),
+        Quad("_:l1", RDF_NS + "rest", "_:l2", False, None, None, None),
+        Quad("_:l2", RDF_NS + "first", "y", True, XSD_STRING, None, None),
+        Quad("_:l2", RDF_NS + "rest", "_:l1", False, None, None, None),
+    ]
+    out = from_quads(quads, ordered=True)
+    top = next(n for n in out if n["@id"] == "http://e/a")
+    assert "@list" not in str(top.get("http://p/l"))
+
+
+def test_list_node_with_extra_property_not_folded():
+    """A cons cell with extra properties is not well-formed (spec 5.3)."""
+    quads = [
+        Quad("http://e/a", "http://p/l", "_:l1", False, None, None, None),
+        Quad("_:l1", RDF_NS + "first", "x", True, XSD_STRING, None, None),
+        Quad("_:l1", RDF_NS + "rest", RDF_NS + "nil", False, None, None, None),
+        Quad("_:l1", "http://p/extra", "e", True, XSD_STRING, None, None),
+    ]
+    out = from_quads(quads, ordered=True)
+    top = next(n for n in out if n["@id"] == "http://e/a")
+    (ref,) = top["http://p/l"]
+    assert ref == {"@id": "_:l1"}  # stays a node reference, list kept explicit
+
+
+def test_native_types_converts_numbers_and_booleans():
+    quads = [
+        Quad("http://e/a", "http://p/i", "42", True, XSD_INTEGER, None, None),
+        Quad(
+            "http://e/a",
+            "http://p/b",
+            "true",
+            True,
+            "http://www.w3.org/2001/XMLSchema#boolean",
+            None,
+            None,
+        ),
+        Quad(
+            "http://e/a",
+            "http://p/d",
+            "2.5E0",
+            True,
+            "http://www.w3.org/2001/XMLSchema#double",
+            None,
+            None,
+        ),
+    ]
+    (node,) = from_quads(quads, use_native_types=True)
+    assert node["http://p/i"] == [{"@value": 42}]
+    assert node["http://p/b"] == [{"@value": True}]
+    assert node["http://p/d"] == [{"@value": 2.5}]
+
+
+def test_without_native_types_keeps_lexical_forms():
+    quads = [
+        Quad("http://e/a", "http://p/i", "042", True, XSD_INTEGER, None, None),
+    ]
+    (node,) = from_quads(quads, use_native_types=False)
+    assert node["http://p/i"] == [
+        {"@value": "042", "@type": XSD_INTEGER}
+    ]
+
+
+def test_langstring_recovers_language():
+    quads = [
+        Quad("http://e/a", "http://p/t", "bonjour", True, RDF_LANGSTRING, "fr", None),
+    ]
+    (node,) = from_quads(quads)
+    assert node["http://p/t"] == [{"@value": "bonjour", "@language": "fr"}]
+
+
+def test_nil_object_becomes_empty_list():
+    quads = [
+        Quad("http://e/a", "http://p/l", RDF_NS + "nil", False, None, None, None),
+    ]
+    (node,) = from_quads(quads)
+    assert node["http://p/l"] == [{"@list": []}]
