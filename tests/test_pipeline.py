@@ -245,3 +245,50 @@ def test_giant_document_gated_before_parse():
     # same page under the limit parses fine
     ok = page_to_rows("http://page.example/big", html, cache, max_html_bytes=10_000)
     assert any(r[8] is None for r in ok)
+
+
+def test_text_byte_identical_per_url(spark):
+    """North-rule per-row invariant: extracted text per url is
+    byte-identical end-to-end.  The fused UDF reads only (url, html) —
+    text stays columnar — and even when text IS routed through an
+    Arrow-batched Python stage, the bytes survive unchanged (NFC vs NFD
+    sequences, non-BMP astral chars, control chars)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    nasty = [
+        "café",            # NFC
+        "café",           # NFD (must NOT be normalized together)
+        "\U0001F600 astral \U00010000",
+        "tab\tnewline\nnull-adjacent\x01",
+        "​⁠﻿ zero-widths",
+    ]
+    rows = [(f"http://t.example/{i}", t) for i, t in enumerate(nasty)]
+    pages = spark.createDataFrame(rows, "url string, text string")
+
+    def passthrough(batches):
+        for pdf in batches:
+            yield pdf
+
+    out = pages.mapInPandas(
+        passthrough,
+        T.StructType(
+            [T.StructField("url", T.StringType()), T.StructField("text", T.StringType())]
+        ),
+    )
+    got = {r.url: r.text for r in out.collect()}
+    for url, t in rows:
+        assert got[url] == t
+        assert got[url].encode("utf-8") == t.encode("utf-8")
+
+    # and through the actual pipeline: text is not a UDF input at all —
+    # the extraction plan reads only url+html (column pruning), so the
+    # text column cannot be altered by construction
+    full = spark.createDataFrame(
+        [(u, None, b"<html></html>", t, "en") for (u, t) in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    plan = (
+        KGPipeline(spark).extract(full)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "text" not in plan.split("ReadSchema")[-1][:200]
