@@ -113,6 +113,25 @@ class KGPipeline:
             .select("url", "error")
         )
 
+    # -- stage 1.5: recrawl dedup (batch analog of the streaming
+    #    watermark dedup) ------------------------------------------------------
+
+    @staticmethod
+    def dedup_pages(pages: DataFrame) -> DataFrame:
+        """Drop recrawled duplicates BEFORE the expensive Python stage:
+        keep one deterministic page (min url) per identical html.  A
+        hash-groupBy — shuffles a 32-char digest, not the html — then a
+        self-semi-join on the kept (url, digest) pairs."""
+        keep = (
+            pages.groupBy(F.md5("html").alias("h"))
+            .agg(F.min("url").alias("url"))
+        )
+        return pages.join(
+            keep,
+            (F.md5(pages.html) == keep.h) & (pages.url == keep.url),
+            "left_semi",
+        )
+
     # -- stage 3: deterministic bucketing ------------------------------------
 
     def with_bucket(self, df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -198,9 +217,12 @@ class KGPipeline:
         run_id: str = "run-0",
         resume: bool = True,
         link_entities: bool = False,
+        dedup: bool = False,
     ) -> dict:
         """Execute the pipeline; returns run stats."""
         t0 = time.time()
+        if dedup:
+            pages = self.dedup_pages(pages)
         pages_b = self.with_bucket(pages)
         skipped = 0
         if resume:

@@ -39,6 +39,11 @@ def main(argv=None) -> int:
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--cache-version", default="v1")
     p.add_argument("--link-entities", action="store_true")
+    p.add_argument(
+        "--dedup-pages",
+        action="store_true",
+        help="drop recrawled duplicate pages (identical html) before extraction",
+    )
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--context-cache", help="JSON file: {url: context-doc}")
     p.add_argument("--rdf-direction", choices=["i18n-datatype", "compound-literal"])
@@ -87,6 +92,7 @@ def main(argv=None) -> int:
         run_id=args.run_id,
         resume=not args.no_resume,
         link_entities=args.link_entities,
+        dedup=args.dedup_pages,
     )
     print(json.dumps(stats))
     return 0

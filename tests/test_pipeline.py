@@ -292,3 +292,15 @@ def test_text_byte_identical_per_url(spark):
         KGPipeline(spark).extract(full)._jdf.queryExecution().executedPlan().toString()
     )
     assert "text" not in plan.split("ReadSchema")[-1][:200]
+
+
+def test_dedup_pages_keeps_one_per_content(spark, pipe):
+    rows = [
+        ("http://a.e/1", b"<html>same</html>"),
+        ("http://a.e/2", b"<html>same</html>"),   # recrawl duplicate
+        ("http://a.e/3", b"<html>other</html>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = pipe.dedup_pages(pages).collect()
+    urls = sorted(r.url for r in out)
+    assert urls == ["http://a.e/1", "http://a.e/3"]  # min-url keeper
