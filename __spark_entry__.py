@@ -403,6 +403,14 @@ def _q_fingerprint(spark, sf_dir):
     return textops.fingerprint(_docs(spark, sf_dir))
 
 
+def _q_top_tokens(spark, sf_dir):
+    return textops.top_tokens(_docs(spark, sf_dir))
+
+
+def _q_sample_by_hash(spark, sf_dir):
+    return textops.sample_by_hash(_docs(spark, sf_dir))
+
+
 def _q_minhash(spark, sf_dir):
     # string projection of the signature: array columns crash the
     # driver's canonical sort (pandas factorize on lists)
@@ -481,6 +489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "top_tokens": _q_top_tokens,
+        "sample_by_hash": _q_sample_by_hash,
         "minhash_signature": _q_minhash,
         "simhash": _q_simhash,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -639,6 +649,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textops.QUALITY_SCORE_SQL,
         "lang_id": textops.LANG_ID_SQL,
         "fingerprint": textops.FINGERPRINT_SQL,
+        "top_tokens": textops.top_tokens_sql(),
+        "sample_by_hash": textops.sample_by_hash_sql(),
         "minhash_signature": textops.MINHASH_STR_SQL,
         "simhash": textops.SIMHASH_SQL,
         "jaccard_pairs": textops.jaccard_pairs_sql(),

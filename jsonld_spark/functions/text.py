@@ -532,3 +532,54 @@ JOIN sizes nb ON nb.doc_id = doc_b
 WHERE cast(floor(1000 * c / (na.n + nb.n - c)) AS bigint) >= {threshold_x1000}
 ORDER BY doc_a, doc_b
 """
+
+
+# --- corpus vocabulary / deterministic sampling ------------------------------
+
+
+def top_tokens(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Top-k tokens by document frequency (tokenizer-training prep):
+    explode → two-phase count → global top-k.  Ties broken by token so
+    the result is deterministic across partitionings."""
+    toks = (
+        docs.select(F.explode(F.array_distinct(F.expr(TOKENS_EXPR))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def top_tokens_sql(k: int = 100) -> str:
+    return f"""
+SELECT token, count(*) AS df
+FROM (SELECT unnest(list_distinct({_DUCK_TOKENS})) AS token FROM documents)
+WHERE token != ''
+GROUP BY token ORDER BY df DESC, token ASC LIMIT {k}
+"""
+
+
+def sample_by_hash(docs: DataFrame, rate_x1000: int = 100) -> DataFrame:
+    """Deterministic corpus sampling: keep a doc iff
+    md5(text) mod 1000 < rate_x1000.  Unlike rand()-based sampling this
+    is reproducible across runs/cluster sizes and consistent for
+    identical content — the property a training-data pipeline needs for
+    held-out splits."""
+    bucket = f"pmod({_spark_h32('text')}, 1000)"
+    return (
+        docs.filter(F.expr(f"{bucket} < {rate_x1000}"))
+        .select("doc_id", F.expr(f"cast({bucket} as bigint)").alias("sample_bucket"))
+        .orderBy("doc_id")
+    )
+
+
+def sample_by_hash_sql(rate_x1000: int = 100) -> str:
+    bucket = f"{_duck_h32('text')} % 1000"
+    return f"""
+SELECT doc_id, CAST({bucket} AS BIGINT) AS sample_bucket
+FROM documents WHERE {bucket} < {rate_x1000}
+ORDER BY doc_id
+"""
