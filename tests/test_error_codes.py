@@ -197,6 +197,40 @@ EXPAND_NEGATIVE = [
         {"@context": "http://unresolvable.example/ctx", "http://p": "v"},
         "loading remote context failed",
     ),
+    (
+        "invalid-keyword-alias",
+        {"@context": {"kw": "@context"}, "http://p": "v"},
+        "invalid keyword alias",
+    ),
+    (
+        "invalid-typed-value",
+        {"http://p": {"@value": "v", "@type": "relative"}},
+        "invalid typed value",
+    ),
+    (
+        "invalid-language-map-value",
+        {
+            "@context": {"t": {"@id": "http://p", "@container": "@language"}},
+            "t": {"en": 5},
+        },
+        "invalid language map value",
+    ),
+    (
+        "invalid-context-nullification",
+        {"@context": [{"@protected": True, "t": "http://p"}, None], "t": "v"},
+        "invalid context nullification",
+    ),
+    (
+        "invalid-term-direction",
+        {"@context": {"t": {"@id": "http://p", "@direction": "x"}}, "t": "v"},
+        "invalid base direction",
+    ),
+    (
+        "invalid-reverse-property-map",
+        # a keyword directly inside an @reverse map (expand.rb:282-285)
+        {"@id": "http://e/a", "@reverse": {"@id": "http://e/x"}},
+        "invalid reverse property map",
+    ),
 ]
 
 
@@ -218,6 +252,29 @@ COMPACT_NEGATIVE = [
         "IRI confused with prefix",
     ),
 ]
+
+
+def test_processing_mode_conflict_code():
+    with pytest.raises(err.JsonLdError) as exc_info:
+        expand_document(
+            {"@context": {"@version": 1.1}, "http://p": "v"},
+            processing_mode="json-ld-1.0",
+        )
+    assert exc_info.value.code == "processing mode conflict"
+
+
+def test_conflicting_indexes_code():
+    """flatten.rb:159: one node reached with two different @index values."""
+    from jsonld_spark.flatten import node_map_from_expanded
+
+    doc = {
+        "@id": "http://e/a",
+        "http://p/x": {"@id": "http://e/b", "@index": "i1", "http://p/v": "1"},
+        "http://p/y": {"@id": "http://e/b", "@index": "i2", "http://p/v": "2"},
+    }
+    with pytest.raises(err.JsonLdError) as exc_info:
+        node_map_from_expanded(expand_document(doc))
+    assert exc_info.value.code == "conflicting indexes"
 
 
 @pytest.mark.parametrize(
