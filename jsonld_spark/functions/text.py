@@ -250,7 +250,7 @@ FROM documents ORDER BY doc_id
 # --- MinHash -----------------------------------------------------------------
 
 
-def minhash_signature(docs: DataFrame) -> DataFrame:
+def minhash_signature(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """K=16 minhash signature over word-3-gram shingles.  Higher-order
     functions only — at 100 TB this is a pure map stage (no shuffle)."""
     hashes = f"transform(shingles, s -> pmod({_spark_h32('s')}, {MINHASH_P}))"
@@ -259,11 +259,10 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
         for a, b in MINHASH_AB
     )
     return (
-        docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
-        .select("doc_id", F.expr(SHINGLES_EXPR).alias("shingles"))
-        .select("doc_id", F.expr(hashes).alias("hs"))
-        .select("doc_id", F.expr(f"array({sig_items})").alias("sig"))
-        .orderBy("doc_id")
+        docs.select(id_col, F.expr(TOKENS_EXPR).alias("toks"))
+        .select(id_col, F.expr(SHINGLES_EXPR).alias("shingles"))
+        .select(id_col, F.expr(hashes).alias("hs"))
+        .select(id_col, F.expr(f"array({sig_items})").alias("sig"))
     )
 
 
@@ -315,10 +314,10 @@ SELECT doc_id, array_to_string([{sig_items}], ',') AS sig FROM h ORDER BY doc_id
 MINHASH_STR_SQL = _minhash_str_sql()
 
 
-def minhash_bands(docs: DataFrame) -> DataFrame:
+def minhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """LSH band keys: (band_id, band_hash) per doc — join on these buckets
     to get candidate near-dup pairs without the O(n²) cross join."""
-    sig = minhash_signature(docs)
+    sig = minhash_signature(docs, id_col=id_col)
     n_bands = MINHASH_K // LSH_BAND_ROWS
     bands = F.array(
         *[
@@ -338,8 +337,8 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
         ]
     )
     return (
-        sig.select("doc_id", F.explode(bands).alias("band"))
-        .select("doc_id", "band.band_id", "band.band_hash")
+        sig.select(id_col, F.explode(bands).alias("band"))
+        .select(id_col, "band.band_id", "band.band_hash")
     )
 
 

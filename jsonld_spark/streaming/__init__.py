@@ -2,7 +2,7 @@
 the bounded-memory per-document streaming reader (SURVEY §2.9)."""
 
 from .reader import make_streaming_pages_to_triples, stream_doc_quads
-from .stateful import first_seen_pages
+from .stateful import first_seen_pages, streaming_near_dup_pages
 from .stream import (
     PAGES_SCHEMA,
     stream_pages_to_triples,
@@ -17,5 +17,6 @@ __all__ = [
     "stream_doc_quads",
     "stream_pages_to_triples",
     "streaming_dedup_pages",
+    "streaming_near_dup_pages",
     "windowed_crawl_stats",
 ]

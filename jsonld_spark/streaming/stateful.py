@@ -57,3 +57,61 @@ def first_seen_pages(pages: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming near-duplicate detection (stateful LSH band registry) --------
+
+_ND_STATE_SCHEMA = T.StructType([T.StructField("first_url", T.StringType())])
+
+_ND_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("dup_of", T.StringType()),
+        T.StructField("band_id", T.IntegerType()),
+    ]
+)
+
+
+def _near_dup_fn(key, pdfs, state: GroupState):
+    import pandas as pd
+
+    urls: set[str] = set()
+    for pdf in pdfs:
+        urls.update(pdf["url"].tolist())
+    if not urls:
+        return iter(())
+    ordered = sorted(urls)
+    if state.exists:
+        (first,) = state.get
+    else:
+        # first holder of this band bucket, ever — deterministic keeper
+        first = ordered[0]
+        state.update((first,))
+        ordered = ordered[1:]
+    out = [(u, first, int(key[0])) for u in ordered if u != first]
+    if not out:
+        return iter(())
+    return iter([pd.DataFrame(out, columns=["url", "dup_of", "band_id"])])
+
+
+def streaming_near_dup_pages(pages: DataFrame) -> DataFrame:
+    """Streaming MinHash-LSH near-dup candidates across ALL micro-batches.
+
+    Each page's text produces 4 LSH band keys (JVM-side minhash exprs,
+    functions/text.py); state keyed by (band_id, band_hash) remembers the
+    FIRST url ever seen in that bucket.  Later pages landing in the same
+    bucket stream out as ``(url, dup_of, band_id)`` candidates — the
+    crawl-time analog of ``minhash_candidate_pairs`` with the quadratic
+    pair join replaced by a state-store lookup.  Candidates are per-band
+    (a url sharing several bands with its keeper emits once per band);
+    exact re-rank/dedup happens downstream, as in the batch path."""
+    from ..functions.text import minhash_bands
+
+    bands = minhash_bands(pages.select("url", "text"), id_col="url")
+    return bands.groupBy("band_id", "band_hash").applyInPandasWithState(
+        _near_dup_fn,
+        outputStructType=_ND_OUT_SCHEMA,
+        stateStructType=_ND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

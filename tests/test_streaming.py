@@ -187,3 +187,53 @@ def test_stream_with_bounded_reader(spark, tmp_path):
     assert {tuple(r) for r in streamed.select(cols).collect()} == {
         tuple(r) for r in batch.select(cols).collect()
     }
+
+
+def test_streaming_near_dup_across_batches(spark, tmp_path):
+    """A near-identical recrawl in a LATER micro-batch is flagged against
+    the first batch's page via the stateful LSH band registry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonld_spark.streaming.stateful import streaming_near_dup_pages
+
+    base_text = " ".join(f"tok{i}" for i in range(60))
+    near = base_text.replace("tok59", "changed")  # one shingle differs
+    other = " ".join(f"zz{i}" for i in range(60))
+
+    pages_dir = tmp_path / "nd_pages"
+    pages_dir.mkdir()
+
+    def write(name, rows):
+        t = pa.table(
+            {"url": [r[0] for r in rows], "text": [r[1] for r in rows]}
+        )
+        pq.write_table(t, str(pages_dir / name))
+
+    write("batch0.parquet", [("http://s.e/orig", base_text)])
+
+    schema = "url string, text string"
+    out_dir = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(pages_dir))
+        q = (
+            streaming_near_dup_pages(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    write("batch1.parquet", [("http://s.e/recrawl", near), ("http://s.e/other", other)])
+    run_once()
+
+    rows = spark.read.parquet(out_dir).collect()
+    flagged = {(r.url, r.dup_of) for r in rows}
+    assert ("http://s.e/recrawl", "http://s.e/orig") in flagged
+    assert all(u != "http://s.e/other" for u, _ in flagged)
