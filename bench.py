@@ -166,6 +166,8 @@ def _mp_throughput(cores: int, dur: float = 6.0) -> float:
 
 
 def main() -> None:
+    global SCALE_PAGES, SCALE_PAGES_PATH
+
     from jsonld_spark.sources.pages import ensure_pages
 
     if len(sys.argv) >= 3 and sys.argv[1] == "--scale-probe":
@@ -242,7 +244,13 @@ def main() -> None:
     if DO_SCALING:
         import subprocess
 
-        ensure_pages(SCALE_PAGES_PATH, SCALE_PAGES, seed=42, n_files=256)
+        try:
+            ensure_pages(SCALE_PAGES_PATH, SCALE_PAGES, seed=42, n_files=256)
+        except Exception as e:  # noqa: BLE001 — disk-pressure fallback
+            print(f"scale corpus generation failed ({e}); falling back to "
+                  f"{BENCH_PAGES}-page corpus", file=sys.stderr)
+            SCALE_PAGES = BENCH_PAGES
+            SCALE_PAGES_PATH = PAGES_PATH
 
         def probe(cores: int) -> float:
             proc = subprocess.run(
