@@ -124,3 +124,33 @@ def materialize_compacted(
             yield pd.DataFrame(out, columns=["graph", "jsonld", "n_nodes"])
 
     return base.mapInPandas(compact_fold, MATERIALIZED_SCHEMA)
+
+
+def materialize_framed(
+    triples: DataFrame,
+    frame: dict,
+    ordered: bool = True,
+    use_native_types: bool = False,
+) -> DataFrame:
+    """Writer frame parity: per-graph fromRdf + framing against ``frame``
+    (the reference Writer frames serialization output when given one,
+    writer.rb:350-357) → (graph, jsonld, n_nodes) with ``jsonld`` the
+    FRAMED document."""
+    import pandas as pd
+
+    from ..frame import frame_document
+
+    base = materialize_graphs(
+        triples, ordered=ordered, use_native_types=use_native_types
+    )
+
+    def frame_fold(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                expanded = json.loads(r.jsonld)
+                framed = frame_document(expanded, frame)
+                out.append((r.graph, json.dumps(framed, sort_keys=True), r.n_nodes))
+            yield pd.DataFrame(out, columns=["graph", "jsonld", "n_nodes"])
+
+    return base.mapInPandas(frame_fold, MATERIALIZED_SCHEMA)

@@ -264,3 +264,29 @@ def test_nil_object_becomes_empty_list():
     ]
     (node,) = from_quads(quads)
     assert node["http://p/l"] == [{"@list": []}]
+
+
+def test_materialize_framed(spark):
+    """Writer frame parity: triples → framed JSON-LD per graph."""
+    import json as _json
+
+    from jsonld_spark.operators.materialize import materialize_framed
+
+    rows = [
+        ("http://e/lib", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://v/Library", False, None, None, None),
+        ("http://e/lib", "http://v/contains", "http://e/book", False, None, None, None),
+        ("http://e/book", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://v/Book", False, None, None, None),
+        ("http://e/book", "http://v/title", "T", True, None, None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_datatype string, obj_lang string, graph string",
+    )
+    frame = {"@context": {"@vocab": "http://v/"}, "@type": "Library"}
+    (row,) = materialize_framed(t, frame).collect()
+    doc = _json.loads(row.jsonld)
+    assert doc["@type"] == "Library"
+    assert doc["contains"]["title"] == "T"  # book embedded under the library
