@@ -12,12 +12,17 @@ through a generator, so peak memory is O(largest element), not
 O(total quads).
 
 Blank-node labels: one ``BlankNodeNamer`` is shared across elements, so
-explicit ``_:x`` labels keep their document-scoped identity and the
-label sequence is IDENTICAL to the batch ``doc_to_quads`` path for
-streamable documents.  Like the reference's streaming reader (which
-uses a sequential namer, not canonicalization), streaming mode does not
-apply URDNA2015-style canonical relabeling — that is a whole-document
-pass by construction.
+explicit ``_:x`` labels keep their document-scoped identity.  Output is
+GRAPH-ISOMORPHIC to the batch ``doc_to_quads`` path (property-tested via
+canonical labeling); fresh-bnode label SEQUENCES can differ — the batch
+path mints emission-time bnodes (list cons cells) in globally-sorted
+subject order, a whole-document ordering a streaming pass cannot know.
+Like the reference's streaming reader (which uses its own sequential
+namer), streaming mode does not apply URDNA2015-style canonical
+relabeling — that is a whole-document pass by construction.  A node
+recurring in several elements re-emits its quads (the batch path's
+whole-document node map dedups them); RDF set semantics make the
+repeats harmless and the pipeline's dropDuplicates absorbs them.
 """
 
 from __future__ import annotations
