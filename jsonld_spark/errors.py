@@ -82,6 +82,23 @@ InvalidValueObjectValue = _err("InvalidValueObjectValue", "invalid value object 
 InvalidVersionValue = _err("InvalidVersionValue", "invalid @version value")
 InvalidVocabMapping = _err("InvalidVocabMapping", "invalid vocab mapping")
 IRIConfusedWithPrefix = _err("IRIConfusedWithPrefix", "IRI confused with prefix")
+InvalidFrame = _err("InvalidFrame", "invalid frame")
+# reference subclasses InvalidEmbedValue under InvalidFrame (ld.rb:180-181)
+InvalidEmbedValue = type(
+    "InvalidEmbedValue", (InvalidFrame,), {"code": "invalid @embed value"}
+)
+# RDF-star embedded nodes (expand.rb:333-338); rdfstar is out of scope so
+# this surfaces only through the @annotation warning path
+InvalidEmbeddedNode = _err("InvalidEmbeddedNode", "invalid embedded node")
+# strict key-order contract of the reference's streaming reader
+# (streaming_reader.rb); our spine-streaming design has no key-order
+# requirement, the class exists for taxonomy/API parity
+InvalidStreamingKeyOrder = _err(
+    "InvalidStreamingKeyOrder", "invalid streaming key order"
+)
+MissingIncludedReferent = _err(
+    "MissingIncludedReferent", "missing @included referent"
+)
 KeywordRedefinition = _err("KeywordRedefinition", "keyword redefinition")
 LoadingDocumentFailed = _err("LoadingDocumentFailed", "loading document failed")
 LoadingRemoteContextFailed = _err(

@@ -225,7 +225,7 @@ def frame_node(state: FrameState, subjects, frame: dict, parent, active_property
     require_all = bool(_flag(frame, state.require_all, "@requireAll"))
     omit_default = bool(_flag(frame, state.omit_default, "@omitDefault"))
     if embed not in ("@always", "@never", "@once", "@link", "@first", "@last", True, False, None):
-        raise err.JsonLdError(f"invalid @embed value {embed!r}", "invalid @embed value")
+        raise err.InvalidEmbedValue(repr(embed))
 
     matches = filter_subjects(state, subjects, frame, require_all)
     for sid in sorted(matches):
@@ -390,6 +390,34 @@ def _prune_bnodes(element, single_use: set):
     return element
 
 
+def validate_frame(frame) -> None:
+    """Frame syntax checks (reference frame.rb:459-476): the frame must
+    be a map (or one-element array of a map); @id must be the [{}]
+    wildcard or IRI strings; @type must be wildcards / {"@default": ...}
+    maps / IRI strings.  Strings are accepted as-is (compact and
+    relative IRIs resolve during frame expansion)."""
+    if isinstance(frame, list):
+        if len(frame) != 1 or not isinstance(frame[0], dict):
+            raise err.InvalidFrame(f"frame must be an object: {frame!r}")
+        frame = frame[0]
+    if not isinstance(frame, dict):
+        raise err.InvalidFrame(f"frame must be an object: {frame!r}")
+
+    ids = frame.get("@id", [])
+    ids = ids if isinstance(ids, list) else [ids]
+    if ids != [{}] and not all(isinstance(v, str) for v in ids):
+        raise err.InvalidFrame(f"invalid value of @id: {frame.get('@id')!r}")
+
+    types = frame.get("@type", [])
+    types = types if isinstance(types, list) else [types]
+    for v in types:
+        if isinstance(v, dict):
+            if set(v) - {"@default"}:
+                raise err.InvalidFrame(f"invalid value of @type: {frame.get('@type')!r}")
+        elif not isinstance(v, str):
+            raise err.InvalidFrame(f"invalid value of @type: {frame.get('@type')!r}")
+
+
 def frame_document(
     doc,
     frame,
@@ -405,6 +433,7 @@ def frame_document(
     omit_graph: bool = True,
 ):
     """API.frame equivalent (reference api.rb:382-509)."""
+    validate_frame(frame)
     expanded = expand_document(doc, base=base, cache=cache)
     expanded_frame = expand_document(frame, base=base, cache=cache, frame_expansion=True)
 

@@ -299,3 +299,26 @@ def test_expand_error_code(name, doc, code):
     assert exc_info.value.code == code, (
         f"{name}: raised {exc_info.value.code!r}, reference expects {code!r}"
     )
+
+
+# frame-syntax error codes (api.rb:380-438, frame.rb:459-476)
+FRAME_NEGATIVE = [
+    ("frame-not-object", "not-a-frame", "invalid frame"),
+    ("frame-bad-id", {"@id": True}, "invalid frame"),
+    ("frame-bad-type-map", {"@type": {"@id": "http://t"}}, "invalid frame"),
+    ("frame-bad-embed", {"@embed": "@bogus"}, "invalid @embed value"),
+]
+
+
+@pytest.mark.parametrize(
+    "name,frame,code", FRAME_NEGATIVE, ids=[c[0] for c in FRAME_NEGATIVE]
+)
+def test_frame_error_code(name, frame, code):
+    from jsonld_spark.frame import frame_document
+
+    with pytest.raises(err.JsonLdError) as exc_info:
+        frame_document({"@id": "http://e/a", "http://p": "v"}, frame)
+    assert exc_info.value.code == code
+    if code == "invalid @embed value":
+        # reference subclasses it under InvalidFrame (ld.rb:180-181)
+        assert isinstance(exc_info.value, err.InvalidFrame)
