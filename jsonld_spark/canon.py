@@ -8,12 +8,21 @@ label a function of the GRAPH, not the serialization (the north star's
 "URDNA2015-style per-document labeling").
 
 Algorithm (RDF Dataset Canonicalization shape, sized for per-document
-graphs): first-degree neighborhood hashing, then iterative label
-gossip for ties, then a deterministic serialization tie-break.  Full
-URDNA2015's N-degree path exploration is replaced by the gossip+
-tie-break (equivalent outcomes on non-pathological graphs; documents
-with adversarial automorphic bnode clusters still get deterministic —
-just not spec-exact — labels).
+graphs): first-degree neighborhood hashing, iterative label gossip
+(1-WL color refinement), then — where ties remain — URDNA2015-style
+individualization-refinement: pick the smallest tied orbit, try
+individualizing EACH member, recurse, and keep the branch whose final
+canonical serialization is lexicographically least.  Candidate choice
+therefore depends only on graph structure, never on the input's bnode
+labels or element order (cf. the reference's companion RDF::Normalize
+gem's hash-N-degree-quads step).  True automorphic orbits tie exactly
+(equal serializations) and any member yields the identical canonical
+quad set.
+
+Like URDNA2015 itself, the exploration is exponential on adversarial
+"poison" graphs; ``_BUDGET`` caps total branches explored and falls
+back to a deterministic (but serialization-dependent) order beyond it,
+so a hostile crawled document cannot pin an executor.
 """
 
 from __future__ import annotations
@@ -24,6 +33,12 @@ from .rdf_model import Quad
 
 _SELF = "\x01self"
 _OTHER = "\x01blank"
+
+# Max individualization branches explored per document before falling
+# back to the non-canonical deterministic order.  Real documents have
+# small automorphic orbits (twin list chains, symmetric @graph islands);
+# 512 branches covers orbits far beyond anything non-adversarial.
+_BUDGET = 512
 
 
 def _term_repr(term: str, me: str, labels: dict[str, str] | None):
@@ -36,11 +51,26 @@ def _term_repr(term: str, me: str, labels: dict[str, str] | None):
     return _OTHER
 
 
-def _hash_neighborhood(bnode: str, quads, labels=None) -> str:
-    lines = []
+def _incident_map(quads, bnodes) -> dict[str, list]:
+    """bnode → the quads it touches (computed ONCE; every refinement
+    round and every individualization branch reuses it)."""
+    inc: dict[str, list] = {b: [] for b in bnodes}
     for q in quads:
-        if bnode not in (q.subj, q.obj if not q.obj_is_literal else None, q.graph):
-            continue
+        seen = set()
+        if q.subj in inc:
+            seen.add(q.subj)
+        if not q.obj_is_literal and q.obj in inc:
+            seen.add(q.obj)
+        if q.graph and q.graph in inc:
+            seen.add(q.graph)
+        for b in seen:
+            inc[b].append(q)
+    return inc
+
+
+def _hash_neighborhood(bnode: str, incident, labels=None) -> str:
+    lines = []
+    for q in incident:
         lines.append(
             "|".join(
                 (
@@ -57,9 +87,105 @@ def _hash_neighborhood(bnode: str, quads, labels=None) -> str:
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()
 
 
+def _refine(hashes: dict[str, str], inc: dict[str, list], bnodes) -> dict[str, str]:
+    """Gossip (1-WL) until the partition into hash-equal groups is stable
+    or discrete.  Returns the refined hash map (values churn each round —
+    stability is judged on the PARTITION, not the hash values)."""
+
+    def partition(h):
+        groups: dict[str, list[str]] = {}
+        for b in bnodes:
+            groups.setdefault(h[b], []).append(b)
+        return frozenset(frozenset(g) for g in groups.values())
+
+    part = partition(hashes)
+    for _ in range(len(bnodes)):
+        if all(len(g) == 1 for g in part):
+            break
+        new_hashes = {
+            b: hashlib.sha256(
+                (hashes[b] + "|" + _hash_neighborhood(b, inc[b], hashes)).encode()
+            ).hexdigest()
+            for b in bnodes
+        }
+        new_part = partition(new_hashes)
+        hashes = new_hashes
+        if new_part == part:
+            break
+        part = new_part
+    return hashes
+
+
+def _serialize(quads, labels: dict[str, str]) -> str:
+    """Canonical text of the quad set under a full bnode→rank mapping.
+    Label-independent once ``labels`` is (only ranks appear)."""
+    lines = []
+    for q in quads:
+        lines.append(
+            "|".join(
+                (
+                    labels.get(q.subj, q.subj),
+                    q.pred,
+                    labels.get(q.obj, q.obj)
+                    if not q.obj_is_literal
+                    else f"L{q.obj}\x02{q.obj_datatype}\x02{q.obj_lang}",
+                    (labels.get(q.graph, q.graph) if q.graph else ""),
+                )
+            )
+        )
+    lines.sort()
+    return "\n".join(lines)
+
+
+class _Budget:
+    __slots__ = ("left",)
+
+    def __init__(self, n: int):
+        self.left = n
+
+    def spend(self) -> bool:
+        if self.left <= 0:
+            return False
+        self.left -= 1
+        return True
+
+
+def _solve(hashes, quads, inc, bnodes, budget) -> tuple[list[str], str] | None:
+    """Individualization-refinement: return (ordered bnodes, canonical
+    serialization) minimizing the serialization, or None on budget
+    exhaustion.  The order — and hence the final labels — depends only
+    on graph structure."""
+    hashes = _refine(hashes, inc, bnodes)
+    groups: dict[str, list[str]] = {}
+    for b in bnodes:
+        groups.setdefault(hashes[b], []).append(b)
+    tied = sorted((h for h, g in groups.items() if len(g) > 1))
+    if not tied:
+        order = sorted(bnodes, key=lambda b: hashes[b])
+        ranks = {b: f"_:r{i:06d}" for i, b in enumerate(order)}
+        return order, _serialize(quads, ranks)
+    # Explore the tied group with the least hash (smallest-first keeps
+    # the search canonical and the branching factor minimal early).
+    group = groups[tied[0]]
+    mark = hashlib.sha256((tied[0] + "\x03pick").encode()).hexdigest()
+    best: tuple[list[str], str] | None = None
+    for cand in group:
+        if not budget.spend():
+            return None
+        h2 = dict(hashes)
+        h2[cand] = mark
+        sub = _solve(h2, quads, inc, bnodes, budget)
+        if sub is None:
+            return None
+        if best is None or sub[1] < best[1]:
+            best = sub
+    return best
+
+
 def canonical_bnode_labels(quads: list[Quad], prefix: str = "c") -> dict[str, str]:
     """→ {old_label: canonical label} with labels ``_:c0.._:cn`` assigned
-    in canonical (content-determined) order."""
+    in canonical (content-determined) order: invariant under bnode
+    relabeling AND quad/element reordering of the same graph."""
     bnodes = set()
     for q in quads:
         if q.subj.startswith("_:"):
@@ -75,30 +201,25 @@ def canonical_bnode_labels(quads: list[Quad], prefix: str = "c") -> dict[str, st
         # common crawl case (one anonymous node per doc)
         return {next(iter(bnodes)): f"_:{prefix}0"}
 
-    # round 0: first-degree hashes
-    hashes = {b: _hash_neighborhood(b, quads) for b in bnodes}
+    inc = _incident_map(quads, bnodes)
+    # round 0: first-degree hashes (labels=None → no input labels leak)
+    hashes = {b: _hash_neighborhood(b, inc[b]) for b in bnodes}
 
-    # gossip rounds: refine ties using neighbors' current hashes
-    for _ in range(len(bnodes)):
-        groups: dict[str, list[str]] = {}
-        for b, h in hashes.items():
-            groups.setdefault(h, []).append(b)
-        if all(len(g) == 1 for g in groups.values()):
-            break
-        new_hashes = {}
-        for b in bnodes:
-            new_hashes[b] = hashlib.sha256(
-                (hashes[b] + "|" + _hash_neighborhood(b, quads, hashes)).encode()
-            ).hexdigest()
-        if new_hashes == hashes:
-            break
-        hashes = new_hashes
-
-    # deterministic final order: (hash, full serialization relative to b)
-    def tiebreak(b: str) -> tuple:
-        return (hashes[b], _hash_neighborhood(b, quads, {x: x for x in bnodes}))
-
-    ordered = sorted(bnodes, key=tiebreak)
+    solved = _solve(hashes, quads, inc, bnodes, _Budget(_BUDGET))
+    if solved is not None:
+        ordered = solved[0]
+    else:
+        # Poison-graph fallback: deterministic but serialization-
+        # dependent (documented limitation; mirrors URDNA2015
+        # implementations' call-depth guards).
+        refined = _refine(hashes, inc, bnodes)
+        ordered = sorted(
+            bnodes,
+            key=lambda b: (
+                refined[b],
+                _hash_neighborhood(b, inc[b], {x: x for x in bnodes}),
+            ),
+        )
     return {b: f"_:{prefix}{i}" for i, b in enumerate(ordered)}
 
 

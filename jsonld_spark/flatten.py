@@ -43,11 +43,25 @@ class BlankNodeNamer:
         return name
 
 
+def json_eq(a, b) -> bool:
+    """JSON-faithful equality: Python's ``==`` conflates ``0 == False``
+    and ``1 == True``; JSON (and the reference's Ruby, where
+    ``0 == false`` is falsy) distinguishes booleans from numbers, while
+    ``1 == 1.0`` stays equal in both.  Recurses into containers."""
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(json_eq(v, b[k]) for k, v in a.items())
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(json_eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+
 def _add_value_dedup(obj: dict, key: str, value) -> None:
     """Append value to obj[key] array unless an equal value exists
     (reference add_value(..., allow_duplicate: false), utils.rb:163-185)."""
     arr = obj.setdefault(key, [])
-    if value not in arr:
+    if not any(json_eq(value, existing) for existing in arr):
         arr.append(value)
 
 

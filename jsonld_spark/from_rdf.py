@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 from typing import Any
 
+from .flatten import json_eq
 from .rdf_model import (
     RDF_DIRECTION,
     RDF_FIRST,
@@ -129,7 +130,7 @@ def from_quads(
             )
 
         arr = node.setdefault(q.pred, [])
-        if value not in arr:
+        if not any(json_eq(value, existing) for existing in arr):
             arr.append(value)
 
         if is_resource:

@@ -92,3 +92,86 @@ def test_list_chain_canonical():
     base = canonicalize_quads(doc_to_quads(json.loads(json.dumps(doc))))
     shuffled = _shuffle_keys(json.loads(json.dumps(doc)), rng)
     assert set(canonicalize_quads(doc_to_quads(shuffled))) == set(base)
+
+
+def _permute_bnode_labels(quads, rng):
+    """Randomly rename every bnode label (graph unchanged)."""
+    from jsonld_spark.rdf_model import Quad
+
+    names = sorted(
+        {
+            t
+            for q in quads
+            for t in (q.subj, None if q.obj_is_literal else q.obj, q.graph)
+            if t and t.startswith("_:")
+        }
+    )
+    shuffled = names[:]
+    rng.shuffle(shuffled)
+    m = dict(zip(names, shuffled))
+    return [
+        Quad(
+            m.get(q.subj, q.subj),
+            q.pred,
+            q.obj if q.obj_is_literal else m.get(q.obj, q.obj),
+            q.obj_is_literal,
+            q.obj_datatype,
+            q.obj_lang,
+            m.get(q.graph, q.graph) if q.graph else q.graph,
+        )
+        for q in quads
+    ]
+
+
+def test_automorphic_twin_list_chains_label_independent():
+    """VERDICT r2 #1: identical twin @list chains (automorphic orbit) must
+    canonicalize to the SAME quad set regardless of input bnode labels or
+    quad order — the individualization-refinement discipline."""
+    doc = [
+        {
+            "@id": "http://ex.org/a",
+            "http://ex.org/lst": [{"@list": [{"@value": 1}, {"@value": True}]}],
+        },
+        {
+            "@id": "http://ex.org/b",
+            "http://ex.org/lst": [{"@list": [{"@value": ""}]}],
+        },
+        {
+            "@id": "http://ex.org/a",
+            "http://ex.org/lst": [{"@list": [{"@value": 1}, {"@value": True}]}],
+        },
+    ]
+    from jsonld_spark.streaming.reader import stream_doc_quads
+
+    batch = sorted(set(doc_to_quads(doc, base="http://base.e/")))
+    base = set(canonicalize_quads(batch))
+    rng = random.Random(11)
+    for _ in range(8):
+        perm = _permute_bnode_labels(batch, rng)
+        rng.shuffle(perm)
+        assert set(canonicalize_quads(perm)) == base
+    # and the streaming reader's (differently-labeled) emission agrees
+    streamed = sorted(set(stream_doc_quads(doc, base="http://base.e/")))
+    assert set(canonicalize_quads(streamed)) == base
+
+
+def test_non_automorphic_ties_split_by_structure():
+    """Two 3-cycles vs nodes that 1-WL gossip cannot separate: the
+    individualization step must still order them purely structurally —
+    invariant under label permutation and quad order."""
+    from jsonld_spark.rdf_model import Quad
+
+    def cycle(tag, n):
+        # n-cycle of bnodes via pred p, each also pointing to a literal
+        return [
+            Quad(f"_:{tag}{i}", "http://v/p", f"_:{tag}{(i + 1) % n}", False, None, None, None)
+            for i in range(n)
+        ]
+
+    quads = cycle("x", 3) + cycle("y", 3)
+    base = set(canonicalize_quads(quads))
+    rng = random.Random(7)
+    for _ in range(8):
+        perm = _permute_bnode_labels(quads, rng)
+        rng.shuffle(perm)
+        assert set(canonicalize_quads(perm)) == base

@@ -4,7 +4,7 @@ hold for ARBITRARY generated JSON-LD documents, not just fixtures."""
 import json
 import string
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from jsonld_spark import doc_to_quads, expand_document
 from jsonld_spark.compact import compact_document
@@ -188,7 +188,24 @@ def test_language_container_roundtrip(doc):
     assert q1 == q2
 
 
+@settings(deadline=None)
 @given(expanded_docs)
+@example(
+    doc=[
+        {
+            "@id": "http://ex.org/a",
+            "http://ex.org/lst": [{"@list": [{"@value": 1}, {"@value": True}]}],
+        },
+        {
+            "@id": "http://ex.org/b",
+            "http://ex.org/lst": [{"@list": [{"@value": ""}]}],
+        },
+        {
+            "@id": "http://ex.org/a",
+            "http://ex.org/lst": [{"@list": [{"@value": 1}, {"@value": True}]}],
+        },
+    ],
+).via("discovered failure")
 def test_streaming_reader_isomorphic_to_batch(doc):
     """Property: the bounded-memory streaming reader emits a graph
     ISOMORPHIC to the batch path on arbitrary top-level arrays of node
