@@ -658,8 +658,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": similarity.cosine_topk_sql(),
         "near_dup_embeddings": similarity.near_dup_embeddings_sql(),
         "ann_topk_lsh": similarity.ann_topk_lsh_sql(),
+        # the deterministic k-means quantizer is replayed in SQL (4
+        # unrolled assign/update rounds, 1e-6-quantized centroids)
+        "ann_topk_ivf": similarity.ann_topk_ivf_sql(),
         "payload_meta": multimodal.PAYLOAD_META_SQL,
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
-        # ann_topk_ivf stays rows-only: the k-means coarse quantizer is
-        # iterative (not SQL-expressible); recall is asserted in tests.
     }

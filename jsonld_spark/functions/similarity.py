@@ -201,6 +201,85 @@ ORDER BY query_id, rank
 """
 
 
+def ann_topk_ivf_sql(
+    n_queries: int = 10, k: int = 5, n_cells: int = 16, n_probe: int = 4, iters: int = 4
+) -> str:
+    """DuckDB mirror of ``ann_topk_ivf``: replays the deterministic
+    k-means training IN SQL (same sample = first max(2048, 64·K) rows by
+    vec_id, same first-K init, ``iters`` unrolled assign/update rounds),
+    then the same full-corpus assignment, probe selection, and exact
+    cosine re-rank.  Parity holds because both sides quantize centroid
+    coords to 1e-6 and compare floor(1e9·(‖c‖²−2x·c)) integer scores
+    with lowest-cell tie-breaks — float summation-order differences
+    between numpy and DuckDB vanish below the quantization grid."""
+    sample_n = max(2048, n_cells * 64)
+    assign = (
+        "SELECT vec_id, v, cell FROM ("
+        " SELECT s.vec_id, s.v, c.cell,"
+        "  floor(1000000000.0 * (list_dot_product(c.c, c.c)"
+        "   - 2.0 * list_dot_product(s.v, c.c))) AS score"
+        " FROM {src} s CROSS JOIN {cents} c)"
+        " QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) = 1"
+    )
+    steps = [
+        f"sample AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings ORDER BY vec_id LIMIT {sample_n})",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(v, x -> floor(x * 1000000.0) / 1000000.0) AS c
+  FROM sample ORDER BY vec_id LIMIT {n_cells})""",
+    ]
+    for t in range(1, iters + 1):
+        steps.append(f"a{t} AS ({assign.format(src='sample', cents=f'c{t - 1}')})")
+        steps.append(
+            f"""m{t} AS (
+  SELECT cell, ord, avg(x) AS mx FROM (
+    SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS ord FROM a{t})
+  GROUP BY cell, ord)"""
+        )
+        steps.append(
+            f"""c{t} AS (
+  SELECT c{t - 1}.cell, coalesce(nm.c, c{t - 1}.c) AS c
+  FROM c{t - 1} LEFT JOIN (
+    SELECT cell, list_transform(list(mx ORDER BY ord), x -> floor(x * 1000000.0) / 1000000.0) AS c
+    FROM m{t} GROUP BY cell) nm USING (cell))"""
+        )
+    final = f"c{iters}"
+    cos = _DUCK_COS.format(a="q.qv", b="cand.e")
+    steps.append("allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)")
+    steps.append(f"assigned AS ({assign.format(src='allv', cents=final)})")
+    steps.append(
+        f"""probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           floor(1000000000.0 * (list_dot_product(c.c, c.c)
+            - 2.0 * list_dot_product(q.v, c.c))) AS score
+    FROM (SELECT * FROM allv WHERE vec_id < {n_queries}) q CROSS JOIN {final} c)
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score ASC, cell ASC) <= {n_probe})"""
+    )
+    steps.append(
+        """cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.v AS e
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE a.vec_id != p.query_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n ".join(steps)
+        + f""",
+ q AS (SELECT vec_id AS query_id, v AS qv FROM allv WHERE vec_id < {n_queries}),
+ scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS cos_x1e6
+  FROM cand JOIN q USING (query_id)),
+ ranked AS (
+  SELECT query_id, neighbor_id, cos_x1e6,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cos_x1e6 FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+    )
+
+
 LSH_BANDS = 4
 LSH_BITS_PER_BAND = 4  # 4 bands × 4 sign bits from the 16 hyperplanes
 
@@ -232,10 +311,33 @@ def lsh_buckets(emb: DataFrame) -> DataFrame:
     ).select("vec_id", "bb.band_id", "bb.bucket")
 
 
+def _qz_centroid(a):
+    """Quantize centroid coords to 1e-6 (floor) — makes every k-means
+    iteration bit-agreeable with the DuckDB oracle mirror despite
+    float summation-order differences (the cos_x1e6 trick, applied to
+    the quantizer's own state)."""
+    import numpy as np
+
+    return np.floor(a * 1e6) / 1e6
+
+
+def _assign_scores(x, centroids):
+    """Quantized assignment scores floor(1e9·(‖c‖²−2x·c)): the d²
+    ordering, integer-scaled so numpy and DuckDB agree; ties broken by
+    lowest cell id (argmin / ORDER BY score, cell)."""
+    import numpy as np
+
+    cc = np.asarray(centroids)
+    c_norms = (cc**2).sum(axis=1)
+    return np.floor(1e9 * (c_norms[None, :] - 2.0 * (x @ cc.T)))
+
+
 def _kmeans_centroids(emb: DataFrame, n_cells: int, iters: int = 4):
     """Deterministic mini k-means on a driver-side sample (at 10^12 rows
     you train the coarse quantizer on a sample anyway); returns a
-    numpy array (n_cells, dim)."""
+    numpy array (n_cells, dim).  Init = first K sample rows; every
+    update is 1e-6-quantized and every assignment integer-scored so the
+    DuckDB oracle (ann_topk_ivf_sql) reproduces the exact centroids."""
     import numpy as np
 
     sample = np.array(
@@ -245,14 +347,13 @@ def _kmeans_centroids(emb: DataFrame, n_cells: int, iters: int = 4):
         ],
         dtype=np.float64,
     )
-    centroids = sample[:n_cells].copy()  # deterministic init: first K
+    centroids = _qz_centroid(sample[:n_cells].copy())  # deterministic init: first K
     for _ in range(iters):
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        assign = _assign_scores(sample, centroids).argmin(axis=1)
         for c in range(n_cells):
             members = sample[assign == c]
             if len(members):
-                centroids[c] = members.mean(axis=0)
+                centroids[c] = _qz_centroid(members.mean(axis=0))
     return centroids
 
 
@@ -266,15 +367,13 @@ def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
     c = centroids.copy()
 
     def fn(batches):
-        cc = np.asarray(c)
-        c_norms = (cc**2).sum(axis=1)
         for pdf in batches:
             if not len(pdf):
                 yield pd.DataFrame({"vec_id": [], "cell": []})
                 continue
             x = np.array(list(pdf["embedding"]), dtype=np.float64)
-            # argmin ||x-c||² = argmin (||c||² - 2x·c)
-            cells = (c_norms[None, :] - 2.0 * (x @ cc.T)).argmin(axis=1)
+            # argmin ||x-c||² via quantized scores (oracle-agreeable)
+            cells = _assign_scores(x, np.asarray(c)).argmin(axis=1)
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cells.astype("int32")})
 
     return emb.select("vec_id", "embedding").mapInPandas(
@@ -304,13 +403,14 @@ def ann_topk_ivf(
     centroids = _kmeans_centroids(emb, n_cells)
     assigned = emb.join(ivf_assign(emb, centroids), "vec_id")
 
-    # driver-side: which cells each query probes
+    # driver-side: which cells each query probes (quantized scores,
+    # stable sort → ties by lowest cell id, matching the SQL mirror)
     q_rows = emb.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
-    c_norms = (centroids**2).sum(axis=1)
     probe_pairs = []
     for r in q_rows:
-        x = np.array(r.embedding, dtype=np.float64)
-        order = np.argsort(c_norms - 2.0 * (centroids @ x))[:n_probe]
+        x = np.array(r.embedding, dtype=np.float64)[None, :]
+        scores = _assign_scores(x, centroids)[0]
+        order = np.argsort(scores, kind="stable")[:n_probe]
         for cell in order:
             probe_pairs.append((r.vec_id, int(cell)))
     spark = emb.sparkSession
