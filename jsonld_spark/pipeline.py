@@ -119,18 +119,25 @@ class KGPipeline:
     @staticmethod
     def dedup_pages(pages: DataFrame) -> DataFrame:
         """Drop recrawled duplicates BEFORE the expensive Python stage:
-        keep one deterministic page (min url) per identical html.  A
-        hash-groupBy — shuffles a 32-char digest, not the html — then a
-        self-semi-join on the kept (url, digest) pairs."""
-        keep = (
-            pages.groupBy(F.md5("html").alias("h"))
+        keep one deterministic page (min url) per identical html.
+
+        Scale shape: the html bytes never ride the keeper shuffle.  A
+        thin ``(url, md5(html))`` projection — 32-char digest + url per
+        page — shuffles to elect keepers, and the full pages side then
+        semi-joins on ``url`` alone.  ``url`` is the pipeline's storage
+        bucketing key (write_pages_parquet / with_bucket), so on a
+        url-bucketed pages table the join runs with no exchange on the
+        pages side at all; unbucketed, the exchange is keyed on url and
+        md5 is computed once (the previous plan keyed the join on
+        md5(html), exchanging the entire crawl's html to drop
+        duplicates and hashing every page twice)."""
+        keepers = (
+            pages.select("url", F.md5("html").alias("h"))
+            .groupBy("h")
             .agg(F.min("url").alias("url"))
+            .select("url")
         )
-        return pages.join(
-            keep,
-            (F.md5(pages.html) == keep.h) & (pages.url == keep.url),
-            "left_semi",
-        )
+        return pages.join(keepers, "url", "left_semi")
 
     # -- stage 3: deterministic bucketing ------------------------------------
 
