@@ -217,7 +217,11 @@ def _add_frame_output(parent, prop, output):
 
 
 def frame_node(state: FrameState, subjects, frame: dict, parent, active_property):
-    """frame.rb:26-215 recursive embed."""
+    """frame.rb:26-215 recursive embed.  Like the reference (frame.rb:28),
+    the frame is re-validated on EVERY recursion, so nested sub-frames
+    with invalid @id/@type values fail with InvalidFrame rather than
+    silently matching nothing."""
+    validate_frame(frame)
     if isinstance(frame, list):
         frame = frame[0] if frame else {}
     embed = _flag(frame, state.embed, "@embed") or "@once"
@@ -436,6 +440,12 @@ def frame_document(
     validate_frame(frame)
     expanded = expand_document(doc, base=base, cache=cache)
     expanded_frame = expand_document(frame, base=base, cache=cache, frame_expansion=True)
+    # validate the EXPANDED frame too (reference validates inside the
+    # recursive frame() call over expanded input, frame.rb:28): context
+    # aliases for @id/@type are resolved by now, so aliased invalid
+    # values cannot escape validation (an empty frame expands to [] —
+    # the wildcard — exactly as the reference frames with {} then)
+    validate_frame(expanded_frame[0] if expanded_frame else {})
 
     node_map, _ = node_map_from_expanded(expanded)
     node_map["@merged"] = merge_node_map_graphs(

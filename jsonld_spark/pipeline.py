@@ -113,6 +113,26 @@ class KGPipeline:
             .select("url", "error")
         )
 
+    @staticmethod
+    def drop_failed_pages(extracted: DataFrame) -> DataFrame:
+        """Batch-equivalent strictness over an ``extract``-schema frame
+        (quads + error rows): drop EVERY quad from any url that also has
+        an error row.  The bounded-memory streaming reader emits
+        at-least-partial output on mid-document failure (quads already
+        streamed for earlier spine elements stay — see
+        streaming/reader.py's error-semantics note); url is the identity
+        quads and error rows share, so the anti-join retracts a failed
+        document's partial quads page-wide.  The error-side projection is
+        thin (url only) and typically broadcasts."""
+        failed = (
+            extracted.filter(F.col("error").isNotNull()).select("url").distinct()
+        )
+        return (
+            extracted.filter(F.col("error").isNull())
+            .join(failed, "url", "left_anti")
+            .drop("error")
+        )
+
     # -- stage 1.5: recrawl dedup (batch analog of the streaming
     #    watermark dedup) ------------------------------------------------------
 

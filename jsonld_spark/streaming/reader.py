@@ -23,6 +23,17 @@ relabeling — that is a whole-document pass by construction.  A node
 recurring in several elements re-emits its quads (the batch path's
 whole-document node map dedups them); RDF set semantics make the
 repeats harmless and the pipeline's dropDuplicates absorbs them.
+
+Error semantics: AT-LEAST-PARTIAL emission.  When a document fails
+mid-spine, quads already streamed out for earlier elements (flushed
+Arrow chunks and rows still buffered) remain in the output alongside
+the error row — a bounded-memory pass cannot retract what it already
+emitted without buffering the whole document, which is the batch path.
+(The batch ``page_to_rows`` is all-or-nothing per document.)  Downstream
+that needs batch-equivalent strictness anti-joins the triples on ``url``
+against the error rows (``drop_failed_pages``): the url is the identity
+both row kinds share, so a failed document's partial quads are dropped
+page-wide.
 """
 
 from __future__ import annotations

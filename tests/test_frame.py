@@ -261,3 +261,41 @@ def test_frame_preserves_frame_context_keys():
     out = frame_document(LIBRARY, frame)
     assert "creator" in out and "title" in out
     assert not any(k.startswith("http://") for k in out if k != "@id")
+
+
+def test_validate_frame_runs_on_expanded_frame():
+    """ADVICE r2: context aliases for @id/@type must not escape
+    validation — the EXPANDED frame is validated (reference validates
+    inside every recursive frame() call, frame.rb:28)."""
+    import pytest
+
+    from jsonld_spark import errors as err
+
+    doc = {"@context": {"@vocab": "http://v/"}, "@id": "http://e/a", "name": "x"}
+    bad = {"@context": {"id": "@id"}, "id": 7}
+    with pytest.raises(err.JsonLdError):
+        frame_document(doc, bad)
+    # invalid @embed is still caught separately
+    with pytest.raises(err.InvalidEmbedValue):
+        frame_document(doc, {"@embed": "@bogus"})
+
+
+def test_validate_frame_recursion_catches_nested_invalid():
+    import pytest
+
+    from jsonld_spark import errors as err
+
+    doc = {
+        "@context": {"@vocab": "http://v/"},
+        "@id": "http://e/a",
+        "knows": {"@id": "http://e/b", "name": "y"},
+    }
+    nested = {"@context": {"@vocab": "http://v/"}, "knows": {"@type": [7]}}
+    with pytest.raises(err.JsonLdError):
+        frame_document(doc, nested)
+
+
+def test_empty_frame_still_wildcards():
+    doc = {"@context": {"@vocab": "http://v/"}, "@id": "http://e/a", "name": "x"}
+    out = frame_document(doc, {})
+    assert out and out[0]["@id"] == "http://e/a"

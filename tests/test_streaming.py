@@ -237,3 +237,45 @@ def test_streaming_near_dup_across_batches(spark, tmp_path):
     flagged = {(r.url, r.dup_of) for r in rows}
     assert ("http://s.e/recrawl", "http://s.e/orig") in flagged
     assert all(u != "http://s.e/other" for u, _ in flagged)
+
+
+def test_bounded_reader_partial_emission_and_strict_drop(spark):
+    """ADVICE r2: the bounded reader emits at-least-partial quads when a
+    document fails mid-spine; drop_failed_pages retracts them by url."""
+    import json
+
+    from jsonld_spark.pipeline import KGPipeline
+    from jsonld_spark.streaming.reader import make_streaming_pages_to_triples
+    from jsonld_spark.udfs import TRIPLES_SCHEMA
+
+    # element 1 is fine, element 2 has an invalid @id (non-string) that
+    # raises during expansion AFTER element 1's quads already streamed out
+    bad_doc = [
+        {"@id": "http://e/ok", "http://v/p": [{"@value": "good"}]},
+        {"@id": 7, "http://v/p": [{"@value": "bad"}]},
+    ]
+    good_doc = {"@id": "http://e/fine", "http://v/p": [{"@value": "x"}]}
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://bad.e/",
+                f'<script type="application/ld+json">{json.dumps(bad_doc)}</script>'.encode(),
+            ),
+            (
+                "http://good.e/",
+                f'<script type="application/ld+json">{json.dumps(good_doc)}</script>'.encode(),
+            ),
+        ],
+        "url string, html binary",
+    )
+    fn = make_streaming_pages_to_triples(None)
+    extracted = pages.mapInPandas(fn, TRIPLES_SCHEMA)
+    rows = extracted.collect()
+    partial = [r for r in rows if r.url == "http://bad.e/" and r.error is None]
+    errs = [r for r in rows if r.url == "http://bad.e/" and r.error is not None]
+    assert partial, "element 1's quads should have been emitted (at-least-partial)"
+    assert errs, "the failing element should contribute an error row"
+
+    strict = KGPipeline.drop_failed_pages(extracted).collect()
+    assert all(r.url == "http://good.e/" for r in strict)
+    assert len(strict) == 1
