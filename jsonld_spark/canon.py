@@ -28,11 +28,31 @@ so a hostile crawled document cannot pin an executor.
 from __future__ import annotations
 
 import hashlib
+import re
 
 from .rdf_model import Quad
 
 _SELF = "\x01self"
 _OTHER = "\x01blank"
+
+_BNODE_TOKEN_RE = re.compile(r"_:[A-Za-z0-9]+")
+
+
+def _map_quoted(term: str, fn) -> str:
+    """Apply ``fn`` to every bnode token of an N-Triples-star quoted term
+    (``<< … >>``), quote-aware so string-literal content is untouched."""
+    parts = re.split(r'(?<!\\)"', term)
+    for i in range(0, len(parts), 2):  # even segments are outside quotes
+        parts[i] = _BNODE_TOKEN_RE.sub(lambda m: fn(m.group(0)), parts[i])
+    return '"'.join(parts)
+
+
+def _quoted_bnodes(term: str) -> list[str]:
+    parts = re.split(r'(?<!\\)"', term)
+    out: list[str] = []
+    for i in range(0, len(parts), 2):
+        out.extend(_BNODE_TOKEN_RE.findall(parts[i]))
+    return out
 
 # Max individualization branches explored per document before falling
 # back to the non-canonical deterministic order.  Real documents have
@@ -42,6 +62,10 @@ _BUDGET = 512
 
 
 def _term_repr(term: str, me: str, labels: dict[str, str] | None):
+    if term.startswith("<<"):
+        # quoted triple: mask inner bnode tokens exactly like direct ones
+        # so input labels never leak into canonical hashing
+        return _map_quoted(term, lambda b: _term_repr(b, me, labels))
     if not term.startswith("_:"):
         return term
     if term == me:
@@ -53,14 +77,20 @@ def _term_repr(term: str, me: str, labels: dict[str, str] | None):
 
 def _incident_map(quads, bnodes) -> dict[str, list]:
     """bnode → the quads it touches (computed ONCE; every refinement
-    round and every individualization branch reuses it)."""
+    round and every individualization branch reuses it).  Bnode tokens
+    inside quoted triples count as incidence too."""
     inc: dict[str, list] = {b: [] for b in bnodes}
     for q in quads:
         seen = set()
         if q.subj in inc:
             seen.add(q.subj)
-        if not q.obj_is_literal and q.obj in inc:
-            seen.add(q.obj)
+        elif q.subj.startswith("<<"):
+            seen.update(b for b in _quoted_bnodes(q.subj) if b in inc)
+        if not q.obj_is_literal:
+            if q.obj in inc:
+                seen.add(q.obj)
+            elif q.obj.startswith("<<"):
+                seen.update(b for b in _quoted_bnodes(q.obj) if b in inc)
         if q.graph and q.graph in inc:
             seen.add(q.graph)
         for b in seen:
@@ -116,6 +146,12 @@ def _refine(hashes: dict[str, str], inc: dict[str, list], bnodes) -> dict[str, s
     return hashes
 
 
+def _apply_labels(term: str, labels: dict[str, str]) -> str:
+    if term.startswith("<<"):
+        return _map_quoted(term, lambda b: labels.get(b, b))
+    return labels.get(term, term)
+
+
 def _serialize(quads, labels: dict[str, str]) -> str:
     """Canonical text of the quad set under a full bnode→rank mapping.
     Label-independent once ``labels`` is (only ranks appear)."""
@@ -124,9 +160,9 @@ def _serialize(quads, labels: dict[str, str]) -> str:
         lines.append(
             "|".join(
                 (
-                    labels.get(q.subj, q.subj),
+                    _apply_labels(q.subj, labels),
                     q.pred,
-                    labels.get(q.obj, q.obj)
+                    _apply_labels(q.obj, labels)
                     if not q.obj_is_literal
                     else f"L{q.obj}\x02{q.obj_datatype}\x02{q.obj_lang}",
                     (labels.get(q.graph, q.graph) if q.graph else ""),
@@ -190,8 +226,13 @@ def canonical_bnode_labels(quads: list[Quad], prefix: str = "c") -> dict[str, st
     for q in quads:
         if q.subj.startswith("_:"):
             bnodes.add(q.subj)
-        if not q.obj_is_literal and q.obj.startswith("_:"):
-            bnodes.add(q.obj)
+        elif q.subj.startswith("<<"):
+            bnodes.update(_quoted_bnodes(q.subj))
+        if not q.obj_is_literal:
+            if q.obj.startswith("_:"):
+                bnodes.add(q.obj)
+            elif q.obj.startswith("<<"):
+                bnodes.update(_quoted_bnodes(q.obj))
         if q.graph and q.graph.startswith("_:"):
             bnodes.add(q.graph)
     if not bnodes:
@@ -232,9 +273,9 @@ def canonicalize_quads(quads: list[Quad], prefix: str = "c") -> list[Quad]:
     for q in quads:
         out.append(
             Quad(
-                mapping.get(q.subj, q.subj),
+                _apply_labels(q.subj, mapping),
                 mapping.get(q.pred, q.pred),
-                q.obj if q.obj_is_literal else mapping.get(q.obj, q.obj),
+                q.obj if q.obj_is_literal else _apply_labels(q.obj, mapping),
                 q.obj_is_literal,
                 q.obj_datatype,
                 q.obj_lang,

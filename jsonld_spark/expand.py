@@ -24,17 +24,26 @@ from .iri import (
     is_well_formed_language,
 )
 
-_VALUE_KEYS = frozenset({"@value", "@language", "@type", "@index", "@direction"})
+_VALUE_KEYS = frozenset(
+    {"@value", "@language", "@type", "@index", "@direction", "@annotation"}
+)
 
 
 class ExpandOptions:
-    __slots__ = ("ordered", "frame_expansion", "warnings", "base")
+    __slots__ = ("ordered", "frame_expansion", "warnings", "base", "rdfstar")
 
-    def __init__(self, ordered: bool = False, frame_expansion: bool = False, base: str | None = None):
+    def __init__(
+        self,
+        ordered: bool = False,
+        frame_expansion: bool = False,
+        base: str | None = None,
+        rdfstar: bool = False,
+    ):
         self.ordered = ordered
         self.frame_expansion = frame_expansion
         self.warnings: list[str] = []
         self.base = base  # documentUrl override for @base resolution
+        self.rdfstar = rdfstar  # JSON-LD-star (@annotation / embedded nodes)
 
 
 def _keys(element: dict, ordered: bool):
@@ -69,7 +78,7 @@ def expand(
         return None
 
     if active_property == "@default":
-        options = ExpandOptions(options.ordered, False, options.base)
+        options = ExpandOptions(options.ordered, False, options.base, options.rdfstar)
 
     td = active_context.term(active_property)
 
@@ -94,6 +103,13 @@ def expand(
             if "@list" in container and (
                 isinstance(expanded_item, list)
             ):
+                if any(
+                    isinstance(n, dict) and "@annotation" in n
+                    for n in expanded_item
+                ):
+                    raise err.InvalidAnnotation(
+                        "a list element must not contain @annotation"
+                    )
                 expanded_item = {"@list": expanded_item}
             if isinstance(expanded_item, list):
                 result.extend(expanded_item)
@@ -227,6 +243,19 @@ def _finalize(result, active_property, active_context, options):
                 # @set object w/ @index collapses, dropping @index
                 return inner
             return inner
+    elif "@annotation" in result:
+        # expand.rb:192-205: @annotation values must be node objects
+        # without @id, and @annotation is invalid on top-level objects
+        if not all(
+            _is_node_object(o) and "@id" not in o for o in result["@annotation"]
+        ):
+            raise err.InvalidAnnotation(
+                "@annotation must reference node objects without @id"
+            )
+        if (active_property or "@graph") in ("@graph", "@included"):
+            raise err.InvalidAnnotation(
+                "@annotation must not be used on a top-level object"
+            )
 
     if list(result) == ["@language"]:
         return None
@@ -276,11 +305,29 @@ def _expand_object(
                 raise err.CollidingKeywords(expanded_property)
 
             if expanded_property == "@id":
+                if options.rdfstar and active_property == "@annotation":
+                    # an annotation must not contain @id (expand.rb:297)
+                    raise err.InvalidAnnotation(
+                        "an annotation must not contain a property expanding to @id"
+                    )
                 if isinstance(value, str):
                     exp = active_context.expand_iri(
                         value, document_relative=True, base=options.base
                     )
                     result["@id"] = exp if exp is not None else value
+                elif options.rdfstar and isinstance(value, dict) and not frame:
+                    # JSON-LD-star embedded node (expand.rb:327-342): must
+                    # expand to exactly ONE statement and carry no @reverse
+                    rei = expand(value, None, active_context, options)
+                    if isinstance(rei, list):
+                        rei = rei[0] if len(rei) == 1 else None
+                    if isinstance(rei, dict) and "@reverse" in rei:
+                        raise err.InvalidEmbeddedNode("embedded node with @reverse")
+                    if _embedded_statement_count(rei) != 1:
+                        raise err.InvalidEmbeddedNode(
+                            f"embedded node must describe a single statement: {value!r}"
+                        )
+                    result["@id"] = rei
                 elif frame and (
                     value == {}
                     or isinstance(value, list)
@@ -385,7 +432,12 @@ def _expand_object(
                     continue  # free-floating list dropped
                 lst = expand(value, active_property, active_context, options)
                 lst = lst if isinstance(lst, list) else [lst]
-                result["@list"] = [v for v in lst if v is not None]
+                lst = [v for v in lst if v is not None]
+                if any(isinstance(n, dict) and "@annotation" in n for n in lst):
+                    raise err.InvalidAnnotation(
+                        "a list element must not contain @annotation"
+                    )
+                result["@list"] = lst
                 continue
 
             if expanded_property == "@set":
@@ -427,12 +479,18 @@ def _expand_object(
                 continue
 
             if expanded_property == "@annotation":
-                # RDF-star annotations are out of scope (the reference
-                # silently skips them unless rdfstar, expand.rb:617-619);
-                # drop WITH a warning row so annotated input is observable
-                # in lineage instead of silently losing data
-                options.warnings.append(
-                    f"unsupported @annotation (RDF-star) dropped at {key!r}"
+                if not options.rdfstar:
+                    # the reference silently skips @annotation unless
+                    # rdfstar (expand.rb:617-619); drop WITH a warning row
+                    # so annotated input is observable in lineage instead
+                    # of silently losing data
+                    options.warnings.append(
+                        f"unsupported @annotation (RDF-star) dropped at {key!r}"
+                    )
+                    continue
+                exp = expand(value, "@annotation", active_context, options)
+                result["@annotation"] = (
+                    exp if isinstance(exp, list) else ([] if exp is None else [exp])
                 )
                 continue
 
@@ -524,6 +582,33 @@ def _expand_object(
 
 def _is_node_object(v) -> bool:
     return isinstance(v, dict) and "@value" not in v and "@list" not in v and "@set" not in v
+
+
+def _embedded_statement_count(node) -> int:
+    """Statements an expanded embedded node would yield in toRdf —
+    the reference counts item_to_rdf's enumerator (expand.rb:332-341);
+    nested embedded @id subjects contribute the quoted term, not extra
+    asserted statements."""
+    if not isinstance(node, dict):
+        return 0
+    n = 0
+    for k, vals in node.items():
+        if k == "@id":
+            continue
+        if k == "@type":
+            n += len(vals) if isinstance(vals, list) else 1
+        elif k == "@reverse":
+            n += sum(len(v) for v in vals.values()) if isinstance(vals, dict) else 1
+        elif k.startswith("@"):
+            continue
+        else:
+            for v in vals if isinstance(vals, list) else [vals]:
+                if isinstance(v, dict) and "@list" in v:
+                    # list conversion yields first/rest cons statements
+                    n += 1 + 2 * len(v["@list"])
+                else:
+                    n += 1
+    return n
 
 
 def _expand_language_map(value: dict, td, active_context: Context, options):
@@ -620,6 +705,7 @@ def expand_document(
     frame_expansion: bool = False,
     processing_mode: str = "json-ld-1.1",
     warnings_out: list | None = None,
+    rdfstar: bool = False,
 ) -> list:
     """Top-level API.expand equivalent (reference api.rb:183-208).
 
@@ -635,7 +721,9 @@ def expand_document(
         ctx = ctx.parse(ec, base_url=base)
     if context is not None:
         ctx = ctx.parse(context, base_url=base)
-    options = ExpandOptions(ordered=ordered, frame_expansion=frame_expansion, base=base)
+    options = ExpandOptions(
+        ordered=ordered, frame_expansion=frame_expansion, base=base, rdfstar=rdfstar
+    )
     expanded = expand(doc, None, ctx, options)
     if warnings_out is not None:
         warnings_out.extend(options.warnings)

@@ -65,6 +65,32 @@ def _add_value_dedup(obj: dict, key: str, value) -> None:
         arr.append(value)
 
 
+def _rename_embedded_bnodes(node, namer: BlankNodeNamer):
+    """Recursively rename @id bnode labels inside an embedded (JSON-LD-star)
+    object (reference flatten.rb:253-264 rename_bnodes)."""
+    if isinstance(node, list):
+        return [_rename_embedded_bnodes(n, namer) for n in node]
+    if isinstance(node, dict):
+        out = {}
+        for k, v in node.items():
+            if k == "@id" and isinstance(v, str) and v.startswith("_:"):
+                v = namer.get_name(v)
+            out[k] = _rename_embedded_bnodes(v, namer)
+        return out
+    return node
+
+
+def _star_subject_for(active_subject, active_property, element):
+    """The embedded-triple node standing for (active_subject,
+    active_property, element) — flatten.rb:69-72."""
+    as_ = (
+        active_subject["@id"]
+        if isinstance(active_subject, dict) and set(active_subject) == {"@id"}
+        else active_subject
+    )
+    return {"@id": as_, active_property: [element]}
+
+
 def create_node_map(
     element,
     node_map: dict,
@@ -73,8 +99,18 @@ def create_node_map(
     active_subject=None,
     active_property: str | None = None,
     list_: dict | None = None,
+    reverse: bool = False,
+    rename_embedded: bool = True,
 ) -> None:
-    """W3C Node Map Generation. Mutates ``node_map`` (and ``element``)."""
+    """W3C Node Map Generation. Mutates ``node_map`` (and ``element``).
+
+    JSON-LD-star: ``@annotation`` members fold into embedded-triple node
+    entries keyed by the JCS serialization of the star subject
+    (flatten.rb:60-150); ``reverse`` is an explicit flag (the reference's
+    ``reverse:`` kwarg) because star subjects make dict
+    ``active_subject`` values legitimate in forward position too."""
+    from .rdf_model import jcs_canonicalize
+
     if isinstance(element, list):
         for item in element:
             create_node_map(
@@ -85,6 +121,8 @@ def create_node_map(
                 active_subject=active_subject,
                 active_property=active_property,
                 list_=list_,
+                reverse=reverse,
+                rename_embedded=rename_embedded,
             )
         return
 
@@ -92,9 +130,14 @@ def create_node_map(
         return
 
     graph = node_map.setdefault(active_graph, {})
-    subject_node = (
-        graph.get(active_subject) if isinstance(active_subject, str) else None
-    )
+    if reverse:
+        subject_node = None
+    elif isinstance(active_subject, str):
+        subject_node = graph.get(active_subject)
+    elif isinstance(active_subject, dict):
+        subject_node = graph.get(jcs_canonicalize(active_subject))
+    else:
+        subject_node = None
 
     # 3: relabel bnode @type values
     if "@type" in element:
@@ -109,6 +152,21 @@ def create_node_map(
 
     # 4: value object
     if "@value" in element:
+        if "@annotation" in element:
+            # JSON-LD-star: reify (subject, property, this value) as an
+            # embedded-triple node and hang the annotations off it
+            # (flatten.rb:60-83; element is shared, so popping @annotation
+            # first keeps the star subject annotation-free)
+            anns = element.pop("@annotation")
+            star_subject = _star_subject_for(active_subject, active_property, element)
+            anns = [dict(a, **{"@id": star_subject}) for a in anns]
+            create_node_map(
+                element=anns,
+                node_map=node_map,
+                namer=namer,
+                active_graph=active_graph,
+                rename_embedded=False,
+            )
         if list_ is None:
             if subject_node is not None and active_property is not None:
                 _add_value_dedup(subject_node, active_property, element)
@@ -140,17 +198,28 @@ def create_node_map(
         id_ = element.pop("@id")
         if isinstance(id_, str) and id_.startswith("_:"):
             id_ = namer.get_name(id_)
+        elif isinstance(id_, dict) and rename_embedded:
+            # JSON-LD-star embedded statement as @id: index the graph by
+            # the canonical (JCS) serialization (flatten.rb:104-108).
+            # Internally-built star subjects (rename_embedded=False) are
+            # assembled from ALREADY-renamed ids — renaming again would
+            # mint labels that diverge from the asserted triple's
+            id_ = _rename_embedded_bnodes(id_, namer)
     else:
         id_ = namer.get_name()
-    if not isinstance(id_, str):
+    if isinstance(id_, dict):
+        ser_id = jcs_canonicalize(id_)
+    elif isinstance(id_, str):
+        ser_id = id_
+    else:
         return  # frame wildcards etc. — not valid here
 
-    if id_ not in graph:
-        graph[id_] = {"@id": id_}
-    node = graph[id_]
+    if ser_id not in graph:
+        graph[ser_id] = {"@id": id_}
+    node = graph[ser_id]
 
     # 6.5/6.6: link from referencing node
-    if isinstance(active_subject, dict):
+    if reverse:
         # reverse reference: active_subject is the referenced node def
         _add_value_dedup(node, active_property, active_subject)
     elif active_property is not None:
@@ -160,6 +229,29 @@ def create_node_map(
                 _add_value_dedup(subject_node, active_property, reference)
         else:
             list_["@list"].append(reference)
+
+    # JSON-LD-star: node-object annotations reify this edge
+    # (flatten.rb:126-150)
+    if "@annotation" in element:
+        anns = element.pop("@annotation")
+        as_ = (
+            active_subject["@id"]
+            if isinstance(active_subject, dict) and set(active_subject) == {"@id"}
+            else active_subject
+        )
+        if reverse:
+            star_subject = {"@id": id_, active_property: [{"@id": as_}]}
+        else:
+            star_subject = {"@id": as_, active_property: [{"@id": id_}]}
+        anns = [dict(a, **{"@id": star_subject}) for a in anns]
+        create_node_map(
+            element=anns,
+            node_map=node_map,
+            namer=namer,
+            active_graph=active_graph,
+            active_subject=star_subject,
+            rename_embedded=False,
+        )
 
     # 6.7: @type merge
     if "@type" in element:
@@ -188,13 +280,14 @@ def create_node_map(
                     active_graph=active_graph,
                     active_subject=referenced,
                     active_property=prop,
+                    reverse=True,
                 )
 
     # 6.10: @graph
     if "@graph" in element:
         sub = element.pop("@graph")
         create_node_map(
-            element=sub, node_map=node_map, namer=namer, active_graph=id_
+            element=sub, node_map=node_map, namer=namer, active_graph=ser_id
         )
 
     # 6.11: @included
@@ -252,10 +345,52 @@ def merge_node_map_graphs(node_map: dict) -> dict:
     return merged
 
 
-def flatten_expanded(expanded, ordered: bool = False) -> list:
+def create_annotations(graph: dict) -> dict:
+    """Inverse of the JSON-LD-star reification in create_node_map
+    (reference flatten.rb:216-246): fold each embedded-triple node-map
+    entry (key of the form of a canonicalized JSON object) back into an
+    ``@annotation`` member on the matching value of the referenced node.
+    Mutates and returns ``graph`` (one graph's node map)."""
+    from .rdf_model import jcs_canonicalize
+
+    for key in sorted(
+        (k for k in graph if k.startswith("{")), key=len, reverse=True
+    ):
+        annotation = graph[key]
+        emb = dict(annotation.get("@id") or {})
+        id_ = emb.pop("@id", None)
+        if len(emb) != 1:
+            continue
+        prop, value = next(iter(emb.items()))
+        if isinstance(id_, dict):
+            id_ = jcs_canonicalize(id_)
+        node = graph.get(id_)
+        if node is None or prop not in node:
+            continue
+        for emb_value in node[prop]:
+            if not json_eq(emb_value, value[0]):
+                continue
+            del graph[key]
+            ann = {k: v for k, v in annotation.items() if k != "@id"}
+            if ann:
+                _add_value_dedup(emb_value, "@annotation", ann)
+            break
+    return graph
+
+
+def flatten_expanded(
+    expanded, ordered: bool = False, create_annotations_: bool = False
+) -> list:
     """Flatten an already-expanded document → flattened expanded array
-    (W3C Flattening Algorithm steps 2-7, no compaction)."""
+    (W3C Flattening Algorithm steps 2-7, no compaction).
+
+    ``create_annotations_`` mirrors the reference's ``createAnnotations``
+    flag (api.rb:315-321): re-fold embedded-triple entries into
+    ``@annotation`` members before assembling the output."""
     node_map, _ = node_map_from_expanded(expanded)
+    if create_annotations_:
+        for g in node_map.values():
+            create_annotations(g)
     default_graph = node_map["@default"]
     for graph_name in sorted(k for k in node_map if k != "@default"):
         entry = default_graph.setdefault(graph_name, {"@id": graph_name})

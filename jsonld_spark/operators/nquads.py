@@ -24,7 +24,9 @@ def _escape(col: Column) -> Column:
 
 
 def _resource(col: Column) -> Column:
-    return F.when(col.startswith("_:"), col).otherwise(
+    # quoted triples (N-Quads-star `<< … >>`, already serialized by the
+    # rdfstar toRdf path) pass through like bnodes
+    return F.when(col.startswith("_:") | col.startswith("<<"), col).otherwise(
         F.concat(F.lit("<"), col, F.lit(">"))
     )
 

@@ -78,6 +78,7 @@ class KGPipeline:
         produce_generalized_rdf: bool = False,
         canonical_bnodes: bool = True,
         num_buckets: int = 64,
+        rdfstar: bool = False,
     ):
         self.spark = spark
         self.cache_version = cache_version
@@ -85,6 +86,7 @@ class KGPipeline:
         self.produce_generalized_rdf = produce_generalized_rdf
         self.canonical_bnodes = canonical_bnodes
         self.num_buckets = num_buckets
+        self.rdfstar = rdfstar
         self.cache_bc = (
             spark.sparkContext.broadcast(cache_entries) if cache_entries else None
         )
@@ -99,6 +101,7 @@ class KGPipeline:
             self.rdf_direction,
             self.produce_generalized_rdf,
             self.canonical_bnodes,
+            rdfstar=self.rdfstar,
         )
         # column pruning: only url+html cross the Arrow boundary
         return pages.select("url", "html").mapInPandas(fn, TRIPLES_SCHEMA)

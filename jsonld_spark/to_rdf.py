@@ -46,6 +46,26 @@ def _valid_resource(term: str) -> bool:
     return is_bnode(term) or is_absolute_iri(term)
 
 
+def _nt_term(obj, lit: bool, dt, lang) -> str:
+    """N-Triples text of one term (for quoted-triple serialization)."""
+    if not lit:
+        if obj.startswith(("_:", "<<")):
+            return obj
+        return f"<{obj}>"
+    esc = (
+        obj.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+    if lang is not None and dt == RDF_LANGSTRING:
+        return f'"{esc}"@{lang}'
+    if dt is not None and dt != XSD_STRING:
+        return f'"{esc}"^^<{dt}>'
+    return f'"{esc}"'
+
+
 class _RdfEmitter:
     def __init__(
         self,
@@ -68,9 +88,56 @@ class _RdfEmitter:
             head = self.parse_list(item["@list"], graph_name)
             return (head, False, None, None)
         id_ = item.get("@id")
+        if isinstance(id_, dict):
+            # JSON-LD-star embedded statement as object → quoted triple
+            quoted = self.embedded_to_term(id_, graph_name)
+            return None if quoted is None else (quoted, False, None, None)
         if not isinstance(id_, str) or not _valid_resource(id_):
             return None
         return (id_, False, None, None)
+
+    # -- JSON-LD-star: embedded statement → N-Triples-star quoted term -------
+
+    def embedded_to_term(self, node: dict, graph_name) -> str | None:
+        """``<< s p o >>`` text for the single statement an embedded node
+        describes (validated to exactly one during expansion,
+        to_rdf.rb:89-91).  Quoted statements are NOT asserted — nothing
+        is appended to ``self.quads`` for the embedded triple itself."""
+        sid = node.get("@id")
+        if isinstance(sid, dict):
+            s = self.embedded_to_term(sid, graph_name)
+        elif isinstance(sid, str) and _valid_resource(sid):
+            s = sid
+        elif sid is None:
+            s = self.namer.get_name()
+        else:
+            return None
+        if s is None:
+            return None
+        for prop in sorted(node):
+            if prop == "@id":
+                continue
+            if prop == "@type":
+                vals = node[prop]
+                t = vals[0] if isinstance(vals, list) else vals
+                if not (isinstance(t, str) and _valid_resource(t)):
+                    return None
+                return f"<< {_nt_term(s, False, None, None)} <{RDF_TYPE}> {_nt_term(t, False, None, None)} >>"
+            if prop.startswith("@"):
+                continue
+            if not _valid_resource(prop):
+                return None
+            vals = node[prop]
+            item = vals[0] if isinstance(vals, list) else vals
+            term = self.object_to_term(item, graph_name)
+            if term is None:
+                return None
+            obj, lit, dt, lang = term
+            return (
+                f"<< {_nt_term(s, False, None, None)} <{prop}> "
+                f"{_nt_term(obj, lit, dt, lang)} >>"
+            )
+        return None
 
     def value_to_literal(self, item: dict, graph_name):
         value = item["@value"]
@@ -169,8 +236,14 @@ class _RdfEmitter:
 
     # -- node emission -------------------------------------------------------
 
-    def node_to_quads(self, id_: str, node: dict, graph_name) -> None:
-        if not _valid_resource(id_):
+    def node_to_quads(self, id_, node: dict, graph_name) -> None:
+        if isinstance(node.get("@id"), dict):
+            # JSON-LD-star: the node's subject is an embedded statement —
+            # emit annotation triples with the quoted triple as subject
+            id_ = self.embedded_to_term(node["@id"], graph_name)
+            if id_ is None:
+                return
+        elif not _valid_resource(id_):
             return
         for prop in sorted(node):
             values = node[prop]
@@ -219,9 +292,14 @@ def doc_to_quads(
     produce_generalized_rdf: bool = False,
     processing_mode: str = "json-ld-1.1",
     warnings_out: list | None = None,
+    rdfstar: bool = False,
 ) -> list[Quad]:
     """Full toRdf path for one parsed JSON document
-    (reference api.rb:526-563)."""
+    (reference api.rb:526-563).  ``rdfstar=True`` enables JSON-LD-star:
+    @annotation reification and embedded statements, emitted as
+    N-Triples-star ``<< s p o >>`` quoted-term strings in the subj/obj
+    slots (they stay ordinary strings through the Spark triples table —
+    partitioning/joins are unaffected)."""
     expanded = expand_document(
         doc,
         base=base,
@@ -229,6 +307,7 @@ def doc_to_quads(
         expand_context=expand_context,
         processing_mode=processing_mode,
         warnings_out=warnings_out,
+        rdfstar=rdfstar,
     )
     return expanded_to_quads(
         expanded,

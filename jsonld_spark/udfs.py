@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re as _re
 from typing import Iterator
 
 from pyspark.sql import types as T
@@ -75,6 +76,23 @@ def salt_bnode(url: str, script_index: int, label: str) -> str:
     return "_:h" + h[:24]
 
 
+_BNODE_TOKEN_RE = _re.compile(r"_:[A-Za-z0-9]+")
+
+
+def _salt_quoted_term(url: str, script_index: int, term: str) -> str:
+    """Salt bnode labels INSIDE an N-Triples-star quoted term so the
+    labels referenced by an annotation triple match the salted global
+    ids of the asserted triple.  Quote-aware: segments inside string
+    literals are left untouched (a literal may legitimately contain
+    the text ``_:``)."""
+    parts = _re.split(r'(?<!\\)"', term)
+    for i in range(0, len(parts), 2):  # even segments are outside quotes
+        parts[i] = _BNODE_TOKEN_RE.sub(
+            lambda m: salt_bnode(url, script_index, m.group(0)), parts[i]
+        )
+    return '"'.join(parts)
+
+
 def page_to_rows(
     url: str,
     html,
@@ -85,6 +103,7 @@ def page_to_rows(
     canonical_bnodes: bool = True,
     emit_warnings: bool = True,
     max_html_bytes: int = 64_000_000,
+    rdfstar: bool = False,
 ) -> list[tuple]:
     """All triple/error rows for one page (pure Python — unit-testable
     without Spark).  Expansion warnings (dropped keys, malformed
@@ -119,6 +138,7 @@ def page_to_rows(
                 rdf_direction=rdf_direction,
                 produce_generalized_rdf=produce_generalized_rdf,
                 warnings_out=warnings,
+                rdfstar=rdfstar,
             )
         except JsonLdError as e:
             rows.append((url, None, None, None, None, None, None, None, e.code))
@@ -154,12 +174,16 @@ def page_to_rows(
             # shuffle and parquet
             dt = None if q.obj_datatype == XSD_STRING else q.obj_datatype
             s = salt_bnode(url, si, q.subj) if q.subj.startswith("_:") else q.subj
+            if s.startswith("<<"):
+                s = _salt_quoted_term(url, si, s)
             p = salt_bnode(url, si, q.pred) if q.pred.startswith("_:") else q.pred
             o = (
                 salt_bnode(url, si, q.obj)
                 if (not q.obj_is_literal and q.obj.startswith("_:"))
                 else q.obj
             )
+            if not q.obj_is_literal and o.startswith("<<"):
+                o = _salt_quoted_term(url, si, o)
             g = (
                 salt_bnode(url, si, q.graph)
                 if (q.graph is not None and q.graph.startswith("_:"))
@@ -178,6 +202,7 @@ def make_pages_to_triples(
     produce_generalized_rdf: bool = False,
     canonical_bnodes: bool = True,
     max_html_bytes: int = 64_000_000,
+    rdfstar: bool = False,
 ):
     """Build the mapInPandas function.  ``cache_bc`` is a Spark broadcast
     of the raw context-cache dict (url → context JSON)."""
@@ -200,6 +225,7 @@ def make_pages_to_triples(
                         produce_generalized_rdf=produce_generalized_rdf,
                         canonical_bnodes=canonical_bnodes,
                         max_html_bytes=max_html_bytes,
+                        rdfstar=rdfstar,
                     )
                 )
             yield pd.DataFrame(out, columns=TRIPLE_COLS)
