@@ -17,6 +17,7 @@ network — see pipeline.py).
 from __future__ import annotations
 
 import json
+import re
 from typing import Any, Mapping
 
 from . import errors as err
@@ -92,6 +93,39 @@ class ContextCache:
 
 
 EMPTY_CACHE = ContextCache()
+
+_JSON_CT_RE = re.compile(r"application/(\w[\w.-]*\+)?json$")
+
+
+def _resolve_remote_document(body, ctx_url: str, cache: ContextCache):
+    """loadRemoteDocument content-negotiation semantics over the offline
+    cache (reference api.rb:645-690).  A cache entry may be a wrapped
+    RemoteDocument — ``{"@remote-document": true, "contentType": ...,
+    "contextUrl": [...], "document": ...}`` — mirroring what an HTTP
+    loader would return.  For a non-ld+json JSON content type: zero or
+    one ``rel=http://www.w3.org/ns/json-ld#context`` link is followed
+    (resolved against the document URL); more than one raises
+    ``multiple context link headers`` exactly like the reference."""
+    if not (isinstance(body, dict) and body.get("@remote-document")):
+        return body
+    ct = body.get("contentType", "application/ld+json")
+    links = body.get("contextUrl") or []
+    if isinstance(links, str):
+        links = [links]
+    doc = body.get("document")
+    if ct != "application/ld+json" and _JSON_CT_RE.match(ct or ""):
+        if len(links) > 1:
+            raise err.MultipleContextLinkHeaders(
+                f"expected at most 1 Link header with rel=jsonld:context, "
+                f"got {len(links)} at {ctx_url}"
+            )
+        if links:
+            linked_url = resolve_iri(ctx_url, links[0])
+            linked = cache.get(linked_url)
+            if linked is None:
+                raise err.LoadingRemoteContextFailed(linked_url)
+            return _resolve_remote_document(linked, linked_url, cache)
+    return doc
 
 
 class TermDefinition:
@@ -285,6 +319,7 @@ class Context:
                 body = result.cache.get(ctx_url)
                 if body is None:
                     raise err.LoadingRemoteContextFailed(ctx_url)
+                body = _resolve_remote_document(body, ctx_url, result.cache)
                 if not isinstance(body, dict) or "@context" not in body:
                     # allow a bare context object in the cache
                     if isinstance(body, dict):

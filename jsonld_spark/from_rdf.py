@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 from typing import Any
 
+from . import errors as err
 from .flatten import json_eq
 from .rdf_model import (
     RDF_DIRECTION,
@@ -56,8 +57,9 @@ def _literal_to_object(
     elif datatype == RDF_JSON:
         try:
             converted = json.loads(obj)
-        except ValueError:
-            pass
+        except ValueError as e:
+            # reference raises on malformed @json lexicals (from_rdf.rb:217)
+            raise err.InvalidJsonLiteral(f"{obj!r}: {e}") from e
         result["@type"] = "@json"
     elif (
         rdf_direction == "i18n-datatype"

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+from .. import errors as err
 from ..context import Context, ContextCache
 from ..errors import JsonLdError
 from ..expand import ExpandOptions, expand
@@ -93,13 +94,28 @@ def stream_doc_quads(
     produce_generalized_rdf: bool = False,
     processing_mode: str = "json-ld-1.1",
     warnings_out: list | None = None,
+    strict_order: bool = False,
 ) -> Iterator[Quad]:
     """Generator over the document's quads with bounded memory.
 
     Streams element-by-element along the document's top-level spine when
     one exists; falls back to the batch path (identical output) for
     documents without a streamable spine.
+
+    ``strict_order=True`` enforces the reference StreamingReader's
+    single-pass key-order constraint (streaming_reader.rb raises
+    ``invalid streaming key order`` when ``@context`` follows other
+    entries, since a one-pass reader would already have emitted under
+    the wrong context).  Off by default: this reader receives parsed
+    documents, so tolerating late ``@context`` is free — the flag exists
+    for spec-parity validation.
     """
+    if strict_order and isinstance(doc, dict):
+        keys = list(doc)
+        if "@context" in keys and keys.index("@context") > 0:
+            raise err.InvalidStreamingKeyOrder(
+                f"@context must come first in streaming mode, got keys {keys!r}"
+            )
     ctx = Context(
         base=base, processing_mode=processing_mode, cache=cache or ContextCache()
     )
