@@ -9,7 +9,12 @@ top-level array (or one ``@graph`` wrapper) holding millions of sibling
 entities.  This module streams that spine: the shared context is parsed
 once, then each element runs expand → node-map → emit independently
 through a generator, so peak memory is O(largest element), not
-O(total quads).
+O(total quads).  The second-most-common giant shape — ONE top-level
+node object with a multi-million-element property array — streams
+property-item by property-item (``_stream_node_properties``, the
+analog of the reference's parse_property, streaming_reader.rb:425-575);
+only documents using other keywords at the top level (@reverse,
+@included, @index, @nest, value/list objects) fall back to batch.
 
 Blank-node labels: one ``BlankNodeNamer`` is shared across elements, so
 explicit ``_:x`` labels keep their document-scoped identity.  Output is
@@ -43,6 +48,7 @@ from typing import Iterator
 from .. import errors as err
 from ..context import Context, ContextCache
 from ..errors import JsonLdError
+from ..iri import is_keyword
 from ..expand import ExpandOptions, expand
 from ..flatten import BlankNodeNamer, create_node_map
 from ..rdf_model import Quad
@@ -83,6 +89,121 @@ def _streamable_spine(doc, ctx: Context, base: str | None):
             # bnode-named graphs need whole-doc label coordination
             return None
     return doc[graph_key], graph_name, ctx
+
+
+def _streamable_node(doc, ctx: Context, base: str | None):
+    """→ (ctx, id_value, type_key, prop_keys) when the document is a
+    top-level NODE OBJECT whose non-context keys are @id/@type/plain
+    properties — the second-most-common giant-document shape (one entity
+    with a multi-million-element property array).  Mirrors the
+    reference's parse_property streaming (streaming_reader.rb:425-575);
+    other keywords (@graph handled by the spine probe, @reverse,
+    @included, @index, @nest, @set, @list, @value) fall back to batch."""
+    if not isinstance(doc, dict):
+        return None
+    if "@context" in doc:
+        ctx = ctx.parse(doc["@context"], base_url=base)
+    id_key = None
+    type_key = None
+    prop_keys: list[str] = []
+    for key in doc:
+        if key == "@context":
+            continue
+        expanded = ctx.expand_iri(key, vocab=True)
+        if expanded == "@id" and id_key is None:
+            id_key = key
+        elif expanded == "@type" and type_key is None:
+            type_key = key
+        elif isinstance(expanded, str) and is_keyword(expanded):
+            return None
+        else:
+            # IRI properties AND droppable keys both stream: per-item
+            # expansion applies the same drop-with-warning rule as batch
+            prop_keys.append(key)
+    if not prop_keys and type_key is None:
+        return None  # id-only / empty: batch's free-floating drop applies
+    if id_key is not None and not isinstance(doc[id_key], str):
+        return None  # embedded/invalid @id → batch path (error parity)
+    return ctx, (doc[id_key] if id_key is not None else None), type_key, prop_keys
+
+
+def _type_scoped(ctx: Context, type_values) -> Context:
+    """Apply type-scoped contexts exactly as expansion steps 11-12 do
+    (expand.py) — needed once so every property mini-document expands
+    under the node's scoped context."""
+    from ..context import UNSET
+
+    tvals = type_values if isinstance(type_values, list) else [type_values]
+    for t in sorted(v for v in tvals if isinstance(v, str)):
+        ttd = ctx.term(t)
+        if ttd is not None and ttd.local_context is not UNSET:
+            ctx = ctx.parse(
+                ttd.local_context,
+                base_url=ttd.base_url,
+                propagate=False,
+                override_protected=False,
+            )
+    return ctx
+
+
+def _stream_node_properties(
+    doc,
+    probe,
+    base,
+    rdf_direction,
+    produce_generalized_rdf,
+    warnings_out,
+) -> Iterator[Quad]:
+    """Stream one node object property-item by property-item: each item
+    becomes a mini-document ``{"@id": subject, key: item}`` expanded and
+    emitted independently, so peak memory is O(largest single value),
+    not O(node's total quad count)."""
+    ctx, sid_raw, type_key, prop_keys = probe
+    options = ExpandOptions(base=base)
+    namer = BlankNodeNamer()
+    # anonymous top-level node: a synthetic explicit label keeps the
+    # subject identical across mini-documents (the shared namer renames
+    # it consistently; canonical labeling downstream is unaffected)
+    subject = sid_raw if sid_raw is not None else "_:jsonldstreamtop"
+
+    def minidocs():
+        if type_key is not None:
+            # shell: @id + @type (type quads; also re-included in every
+            # property mini-doc below so type-SCOPED contexts apply —
+            # propagate=False scoping cannot be pre-applied to a fresh
+            # expansion, it reverts via previous_context.  The duplicate
+            # type quads this re-inclusion emits are absorbed by the
+            # documented set semantics.)
+            yield {"@id": subject, type_key: doc[type_key]}, ctx
+        # container probing uses the scoped ctx (a type-scoped context
+        # may redefine a term's @container)
+        scoped = (
+            _type_scoped(ctx, doc[type_key]) if type_key is not None else ctx
+        )
+
+        def with_type(md: dict) -> dict:
+            if type_key is not None:
+                md[type_key] = doc[type_key]
+            return md
+
+        for key in prop_keys:
+            values = doc[key]
+            td = scoped.term(key)
+            container = td.container_mapping if td else frozenset()
+            if "@list" in container or not isinstance(values, list):
+                # @list containers need the WHOLE array in one expansion
+                # (one cons chain); maps (@language/@index/... containers)
+                # and single values likewise expand as one unit
+                yield with_type({"@id": subject, key: values}), ctx
+                continue
+            for item in values:
+                yield with_type({"@id": subject, key: [item]}), ctx
+
+    yield from _emit_elements(
+        minidocs(), None, namer, options, rdf_direction, produce_generalized_rdf
+    )
+    if warnings_out is not None:
+        warnings_out.extend(options.warnings)
 
 
 def stream_doc_quads(
@@ -127,6 +248,17 @@ def stream_doc_quads(
 
     spine = _streamable_spine(doc, ctx, base)
     if spine is None:
+        node_probe = _streamable_node(doc, ctx, base)
+        if node_probe is not None:
+            yield from _stream_node_properties(
+                doc,
+                node_probe,
+                base,
+                rdf_direction,
+                produce_generalized_rdf,
+                warnings_out,
+            )
+            return
         from ..to_rdf import doc_to_quads
 
         yield from doc_to_quads(
@@ -146,13 +278,29 @@ def stream_doc_quads(
         return
     options = ExpandOptions(base=base)
     namer = BlankNodeNamer()  # shared: document-scoped _:labels + one sequence
-    for element in elements:
+    yield from _emit_elements(
+        ((el, ctx) for el in elements),
+        graph_name,
+        namer,
+        options,
+        rdf_direction,
+        produce_generalized_rdf,
+    )
+    if warnings_out is not None:
+        warnings_out.extend(options.warnings)
+
+
+def _emit_elements(
+    pairs, graph_name, namer, options, rdf_direction, produce_generalized_rdf
+) -> Iterator[Quad]:
+    """Expand + node-map + emit each (element, ctx) pair independently —
+    the bounded buffer, same role as the reference's provisional-
+    statement window."""
+    for element, ctx in pairs:
         expanded = expand(element, None, ctx, options)
         if expanded is None:
             continue
         expanded = expanded if isinstance(expanded, list) else [expanded]
-        # per-element node map + emission — the bounded buffer, same role
-        # as the reference's provisional-statement window
         node_map: dict[str, dict] = {"@default": {}}
         create_node_map(expanded, node_map, namer)
         emitter = _RdfEmitter(namer, rdf_direction, produce_generalized_rdf)
@@ -165,8 +313,6 @@ def stream_doc_quads(
                 emitter.node_to_quads(id_, graph[id_], g)
         yield from emitter.quads
         emitter.quads.clear()
-    if warnings_out is not None:
-        warnings_out.extend(options.warnings)
 
 
 def make_streaming_pages_to_triples(

@@ -117,3 +117,25 @@ def test_streaming_spark_parity(spark):
     b = {tuple(r) for r in batch.select(cols).collect()}
     assert s == b
     assert len(s) > 0
+
+
+def test_node_property_stream_is_lazy():
+    """Property streaming: a poisoned LATER property item only raises
+    after the earlier items' quads have been yielded — memory stays
+    bounded by one property value, not the node."""
+    doc = {
+        "@context": CTX,
+        "@id": "http://e.com/org",
+        "member": [
+            {"@id": "http://e.com/m0"},
+            {"@id": True},  # invalid — raises only when reached
+        ],
+    }
+    it = stream_doc_quads(doc, base="http://base.e/")
+    first = next(it)
+    assert first.obj == "http://e.com/m0"
+    try:
+        next(it)
+    except Exception:
+        return
+    raise AssertionError("poison item did not raise")
