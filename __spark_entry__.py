@@ -53,6 +53,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- JSON-LD spine queries (full UDF path, SQL-predictable output) ----------
 
 
+def _q_jsonld_rdfstar(spark, sf_dir):
+    """JSON-LD-star pipeline: annotated `linked` edges emit one asserted
+    triple + one quoted-term (<< s p o >>) annotation triple per doc."""
+    from jsonld_spark.sources.doc_pages import pages_from_documents_annotated
+
+    pages = pages_from_documents_annotated(_docs(spark, sf_dir))
+    return (
+        KGPipeline(spark, rdfstar=True)
+        .triples(pages)
+        .select("subj", "pred", "obj", "obj_datatype")
+        .orderBy("subj", "pred")
+    )
+
+
 def _q_jsonld_lang(spark, sf_dir):
     t = _doc_triples(spark, sf_dir)
     return (
@@ -471,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_compact_keys": _q_jsonld_compact_keys,
         "jsonld_frame_documents": _q_jsonld_frame_documents,
         "jsonld_materialize": _q_jsonld_materialize,
+        "jsonld_rdfstar_annotations": _q_jsonld_rdfstar,
         # relational operators
         "tpch_q1": _q_tpch_q1,
         "top_revenue_join": _q_top_revenue_join,
@@ -554,6 +569,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
                    CAST(7 AS BIGINT) AS n_keys
             FROM documents ORDER BY url""",
+        "jsonld_rdfstar_annotations": f"""
+            WITH base AS (
+              SELECT '{DOC_NS}' || CAST(doc_id AS VARCHAR) AS doc,
+                     '{CANON_NS}' || CAST(doc_id % 100 AS VARCHAR) AS canon,
+                     CAST(doc_id % 7 AS VARCHAR) AS conf
+              FROM documents)
+            SELECT doc AS subj, '{VOCAB}linked' AS pred, canon AS obj,
+                   CAST(NULL AS VARCHAR) AS obj_datatype FROM base
+            UNION ALL
+            SELECT '<< <' || doc || '> <{VOCAB}linked> <' || canon || '> >>',
+                   '{VOCAB}confidence', conf, '{XSD_INTEGER}' FROM base
+            ORDER BY subj, pred""",
         "jsonld_frame_documents": f"""
             SELECT 'http://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
                    {doc_subj} AS framed_id

@@ -66,3 +66,30 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
+
+
+def pages_from_documents_annotated(docs: DataFrame) -> DataFrame:
+    """JSON-LD-star variant of :func:`pages_from_documents`: each page's
+    block annotates its ``linked`` edge —
+    ``{"@id": canon, "@annotation": {"confidence": doc_id % 7}}`` — so
+    the rdfstar pipeline must emit exactly one asserted triple plus one
+    quoted-term annotation triple per document, both SQL-predictable."""
+    jsonld = F.concat(
+        F.lit(
+            '<html><head><script type="application/ld+json">'
+            '{"@context":{"@vocab":"' + VOCAB + '"},'
+        ),
+        F.lit('"@id":"' + DOC_NS),
+        F.col("doc_id").cast("string"),
+        F.lit('","linked":{"@id":"' + CANON_NS),
+        F.pmod(F.col("doc_id"), F.lit(100)).cast("string"),
+        F.lit('","@annotation":{"confidence":'),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit("}}}</script></head><body></body></html>"),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("http://docs.example/star/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.encode(jsonld, "utf-8").alias("html"),
+    )
