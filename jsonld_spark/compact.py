@@ -315,7 +315,9 @@ def compact(
         ctx = ctx.parse(td.local_context, base_url=td.base_url, override_protected=True)
         td = ctx.term(active_property)
 
-    if "@value" in element or list(element) == ["@id"]:
+    # a value object / node reference carrying @annotation must stay an
+    # object so the annotation survives (compact.rb:68)
+    if ("@value" in element or list(element) == ["@id"]) and "@annotation" not in element:
         res = compact_value(ctx, active_property, element)
         if not isinstance(res, (dict, list)):
             return res
@@ -345,8 +347,17 @@ def compact(
         if expanded_property == "@id":
             if isinstance(expanded_value, str):
                 value = compact_iri(ctx, expanded_value, vocab=False)
+            elif isinstance(expanded_value, dict):
+                # JSON-LD-star embedded statement: compact recursively
+                # (compact.rb:104-108)
+                value = compact(expanded_value, ctx, "@id", compact_arrays, ordered)
             else:
-                value = [compact_iri(ctx, v, vocab=False) for v in expanded_value]
+                value = [
+                    compact(v, ctx, "@id", compact_arrays, ordered)
+                    if isinstance(v, dict)
+                    else compact_iri(ctx, v, vocab=False)
+                    for v in expanded_value
+                ]
             alias = compact_iri(ctx, "@id", vocab=True)
             result[alias] = value
             continue

@@ -189,7 +189,9 @@ def term_to_nquads(quad: Quad) -> str:
     """Serialize the object term of a quad."""
     if not quad.obj_is_literal:
         o = quad.obj
-        return o if is_bnode(o) else f"<{o}>"
+        if is_bnode(o) or o.startswith("<<"):
+            return o
+        return f"<{o}>"
     lex = _escape_literal(quad.obj)
     if quad.obj_lang:
         return f'"{lex}"@{quad.obj_lang}'
@@ -198,8 +200,15 @@ def term_to_nquads(quad: Quad) -> str:
     return f'"{lex}"'
 
 
+def _res_to_nquads(term: str) -> str:
+    # quoted triples (N-Quads-star) and bnodes serialize bare
+    if is_bnode(term) or term.startswith("<<"):
+        return term
+    return f"<{term}>"
+
+
 def quad_to_nquads(quad: Quad) -> str:
-    s = quad.subj if is_bnode(quad.subj) else f"<{quad.subj}>"
+    s = _res_to_nquads(quad.subj)
     p = quad.pred if is_bnode(quad.pred) else f"<{quad.pred}>"
     o = term_to_nquads(quad)
     if quad.graph is not None:
@@ -250,6 +259,83 @@ def _unescape(s: str) -> str:
     return _re.sub(r"\\U[0-9A-Fa-f]{8}|\\u[0-9A-Fa-f]{4}|\\.", sub, s)
 
 
+def _split_quoted(line: str):
+    """If ``line`` starts with an N-Quads-star quoted term, return
+    (quoted_term, rest); else None.  Nesting-aware and quote-aware
+    (a literal inside the quoted term may contain '<<' / '>>')."""
+    if not line.startswith("<<"):
+        return None
+    depth = 0
+    i = 0
+    in_str = False
+    n = len(line)
+    while i < n:
+        c = line[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif line.startswith("<<", i):
+            depth += 1
+            i += 2
+            continue
+        elif line.startswith(">>", i):
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return line[:i], line[i:].lstrip()
+            continue
+        i += 1
+    raise ValueError(f"unbalanced quoted triple: {line!r}")
+
+
+def _parse_star_line(line: str):
+    """Parse one N-Quads-star line (quoted term in subject and/or object
+    position); returns a Quad or None when the line has no quoted term."""
+    sq = _split_quoted(line)
+    if sq is not None:
+        q_subj, rest = sq
+        m = _re.match(rf"\A{_NQ_IRI}\s+", rest)
+        if m is None:
+            raise ValueError(f"bad N-Quads-star line: {line!r}")
+        pred = m.group(1)
+        rest = rest[m.end():]
+        oq = _split_quoted(rest)
+        if oq is not None:
+            obj, tail = oq
+            g = _parse_graph_tail(tail.strip(), line)
+            return Quad(q_subj, pred, obj, False, None, None, g)
+        inner = parse_nquads(f"_:q <{pred}> " + rest)[0]
+        return Quad(
+            q_subj, inner.pred, inner.obj, inner.obj_is_literal,
+            inner.obj_datatype, inner.obj_lang, inner.graph,
+        )
+    idx = line.find(" <<")
+    if idx != -1 and line[:idx].count('"') % 2 == 0:
+        head = line[:idx].strip()
+        hm = _re.match(rf"\A(?:{_NQ_IRI}|{_NQ_BNODE})\s+{_NQ_IRI}\s*\Z", head)
+        if hm is not None:
+            subj = hm.group(1) if hm.group(1) is not None else hm.group(2)
+            pred = hm.group(3)
+            obj, tail = _split_quoted(line[idx + 1:].lstrip())
+            g = _parse_graph_tail(tail.strip(), line)
+            return Quad(subj, pred, obj, False, None, None, g)
+    return None
+
+
+def _parse_graph_tail(tail: str, line: str):
+    if tail == ".":
+        return None
+    gm = _re.match(rf"\A(?:{_NQ_IRI}|{_NQ_BNODE})\s*\.\s*\Z", tail)
+    if gm is None:
+        raise ValueError(f"bad N-Quads-star line: {line!r}")
+    return gm.group(1) if gm.group(1) is not None else gm.group(2)
+
+
 def parse_nquads(text: str) -> list[Quad]:
     quads = []
     # NOT str.splitlines(): it splits on \x1c-\x1e/\x85/  etc.,
@@ -257,6 +343,10 @@ def parse_nquads(text: str) -> list[Quad]:
     for line in text.split("\n"):
         line = line.strip()
         if not line or line.startswith("#"):
+            continue
+        star = _parse_star_line(line)
+        if star is not None:
+            quads.append(star)
             continue
         m = _NQ_RE.match(line)
         if m is None:

@@ -284,3 +284,99 @@ def test_pipeline_rdfstar_quoted_terms_salted(spark):
     off = pipe_off.extract(pages).collect()
     assert not any((r.subj or "").startswith("<<") for r in off)
     assert any((r.error or "").startswith("warning:") for r in off)
+
+
+# -- compaction of embedded nodes / annotations (compact_spec.rb:3222-3392) --
+
+
+def test_compact_embedded_object_cases():
+    from jsonld_spark.compact import compact_document
+
+    ctx = {"ex": "http://example/"}
+    # object-iii
+    inp = [{"@id": "http://example/s",
+            "http://example/p": [{"@id": {"@id": "http://example/s1",
+                                          "http://example/p1": [{"@id": "http://example/o1"}]}}]}]
+    out = compact_document(inp, ctx)
+    assert out == {"@context": ctx, "@id": "ex:s",
+                   "ex:p": {"@id": {"@id": "ex:s1", "ex:p1": {"@id": "ex:o1"}}}}
+    # object-iil (literal value inside embedded node)
+    inp = [{"@id": "http://example/s",
+            "http://example/p": [{"@id": {"@id": "http://example/s1",
+                                          "http://example/p1": [{"@value": "o1"}]}}]}]
+    out = compact_document(inp, ctx)
+    assert out == {"@context": ctx, "@id": "ex:s",
+                   "ex:p": {"@id": {"@id": "ex:s1", "ex:p1": "o1"}}}
+    # recursive-subject
+    inp = [{"@id": {"@id": {"@id": "http://example/s2",
+                            "http://example/p2": [{"@id": "http://example/o2"}]},
+                    "http://example/p1": [{"@id": "http://example/o1"}]},
+            "http://example/p": [{"@id": "http://example/o"}]}]
+    out = compact_document(inp, ctx)
+    assert out == {"@context": ctx,
+                   "@id": {"@id": {"@id": "ex:s2", "ex:p2": {"@id": "ex:o2"}},
+                           "ex:p1": {"@id": "ex:o1"}},
+                   "ex:p": {"@id": "ex:o"}}
+
+
+def test_compact_annotation_roundtrips():
+    from jsonld_spark.compact import compact_document
+
+    ctx = {"ex": "http://e/"}
+    for doc in [
+        {"@id": "http://e/bob",
+         "http://e/knows": {"@id": "http://e/fred",
+                            "@annotation": {"http://e/certainty": 0.8}}},
+        {"@id": "http://e/bob",
+         "http://e/age": {"@value": 23, "@annotation": {"http://e/c": "hi"}}},
+        {"@id": {"@id": "http://e/rei", "http://e/prop": "value"},
+         "http://e/prop": "value2"},
+    ]:
+        expanded = expand_document(json.loads(json.dumps(doc)), rdfstar=True)
+        compacted = compact_document(json.loads(json.dumps(expanded)), ctx)
+        re_expanded = expand_document(json.loads(json.dumps(compacted)), rdfstar=True)
+        assert re_expanded == expanded, (doc, compacted)
+
+
+def test_nquads_star_roundtrip():
+    """N-Quads-star interop: quoted terms (nested, with '>>' inside
+    literals, in subject and object position) survive serialize → parse."""
+    from jsonld_spark.rdf_model import Quad, parse_nquads, quads_to_nquads
+
+    XS = "http://www.w3.org/2001/XMLSchema#string"
+    qs = [
+        Quad("<< <http://e/b> <http://e/k> <http://e/f> >>", "http://e/c",
+             "hi", True, XS, None, None),
+        Quad('<< << <http://e/r> <http://e/p> "v3" >> <http://e/p> "v" >>',
+             "http://e/p", "v2", True, XS, None, None),
+        Quad("http://e/x", "http://e/ref",
+             "<< <http://e/b> <http://e/k> _:b0 >>", False, None, None,
+             "http://g/1"),
+        Quad('<< <http://e/b> <http://e/k> "has >> inside" >>', "http://e/c",
+             "ok", True, XS, None, None),
+        Quad('<< <http://e/b> <http://e/k> "x"^^<http://e/dt> >>',
+             "http://e/c", "3", True,
+             "http://www.w3.org/2001/XMLSchema#integer", None, "_:g0"),
+    ]
+    assert sorted(parse_nquads(quads_to_nquads(qs))) == sorted(qs)
+
+
+def test_pipeline_rdfstar_nquads_roundtrip(spark):
+    """Full circle: rdfstar pipeline → N-Quads-star sink text → parse."""
+    from jsonld_spark.operators.nquads import nquad_col
+    from jsonld_spark.pipeline import KGPipeline
+    from jsonld_spark.rdf_model import parse_nquads
+
+    doc = {"@id": "http://e/bob",
+           "http://e/knows": {"@id": "http://e/fred",
+                              "@annotation": {"http://e/c": "high"}}}
+    html = ('<script type="application/ld+json">' + json.dumps(doc)
+            + "</script>").encode()
+    pages = spark.createDataFrame([("http://p.e/", html)],
+                                  "url string, html binary")
+    rows = (KGPipeline(spark, rdfstar=True).triples(pages)
+            .select(nquad_col().alias("nq")).collect())
+    text = "\n".join(r.nq for r in rows)
+    back = parse_nquads(text)
+    assert len(back) == 2
+    assert any(q.subj.startswith("<<") for q in back)
