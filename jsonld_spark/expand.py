@@ -301,6 +301,9 @@ def _expand_object(
             if expanded_property in result and expanded_property not in (
                 "@included",
                 "@type",
+                "@reverse",  # a term-level reverse property may have
+                # populated the @reverse map already (expand.rb:289
+                # KEYS_INCLUDED_TYPE_REVERSE)
             ):
                 raise err.CollidingKeywords(expanded_property)
 
@@ -461,7 +464,11 @@ def _expand_object(
                     # double reverse → forward
                     for prop, items in expanded["@reverse"].items():
                         _add_value(result, prop, items)
-                if isinstance(expanded, dict):
+                if isinstance(expanded, dict) and (
+                    set(expanded) - {"@reverse"}
+                ):
+                    # only create the @reverse map when non-double-reverse
+                    # members remain (expand.rb:586: `|| value.length > 1`)
                     rev = result.setdefault("@reverse", {})
                     for prop, items in expanded.items():
                         if prop == "@reverse":
@@ -542,12 +549,13 @@ def _expand_object(
             )
             expanded_value = {"@list": ev}
 
-        if "@graph" in container and not (container & {"@id", "@index"}):
+        if (container - {"@set"}) == {"@graph"}:
+            # a pure @graph container wraps EVERY value — even one that
+            # already expanded to a graph object (expand.rb:777-782, no
+            # graph? exemption: {"@graph": {...}} nests a graph in a graph)
             ev = expanded_value if isinstance(expanded_value, list) else [expanded_value]
             expanded_value = [
-                v if isinstance(v, dict) and set(v) <= {"@graph", "@index"} and "@graph" in v
-                else {"@graph": v if isinstance(v, list) else [v]}
-                for v in ev
+                {"@graph": v if isinstance(v, list) else [v]} for v in ev
             ]
 
         if key_td is not None and key_td.reverse_property:
@@ -562,17 +570,26 @@ def _expand_object(
 
     # step 14: process nested values
     for nest_key in nests:
+        # the nest term's own scoped context applies to the nested
+        # content (expand.rb:815-822 — an alias of @nest may carry a
+        # property-scoped @context)
+        nest_ctx = active_context
+        ntd = active_context.term(nest_key)
+        if ntd is not None and ntd.local_context is not UNSET:
+            nest_ctx = active_context.parse(
+                ntd.local_context, base_url=ntd.base_url, override_protected=True
+            )
         nested_values = element[nest_key]
         nvs = nested_values if isinstance(nested_values, list) else [nested_values]
         for nv in nvs:
             if not isinstance(nv, dict) or any(
-                active_context.expand_iri(k, vocab=True) == "@value" for k in nv
+                nest_ctx.expand_iri(k, vocab=True) == "@value" for k in nv
             ):
                 raise err.InvalidNestValue(repr(nv))
             _expand_object(
                 nv,
                 active_property,
-                active_context,
+                nest_ctx,
                 result,
                 [],
                 input_type,
@@ -644,19 +661,28 @@ def _expand_index_map(key, value, td, container, active_context: Context, option
     result = []
     index_key = (td.index_mapping if td else None) or "@index"
     as_graph = "@graph" in container
+    # container_context (expand.rb:681-693): @type maps clear type-scoped
+    # terms via previous_context; @id maps apply the term's own scoped
+    # context (e.g. a scoped @base resolving the map keys)
+    if "@type" in container and active_context.previous_context is not None:
+        container_context = active_context.previous_context
+    elif "@id" in container and td is not None and td.local_context is not UNSET:
+        container_context = active_context.parse(
+            td.local_context, base_url=td.base_url, propagate=False
+        )
+    else:
+        container_context = active_context
     for index in _keys(value, options.ordered):
         items = value[index]
-        map_context = active_context
-        if container & {"@id", "@type"}:
-            # id/type maps may revert to previous context per item handled by
-            # from_map; for @type, the index term's scoped context applies
-            if "@type" in container:
-                itd = active_context.term(index)
-                if itd is not None and itd.local_context is not UNSET:
-                    map_context = active_context.parse(
-                        itd.local_context, base_url=itd.base_url
-                    )
-        expanded_index = active_context.expand_iri(index, vocab=True)
+        map_context = container_context
+        if "@type" in container:
+            # the index term's scoped context applies when expanding values
+            itd = container_context.term(index)
+            if itd is not None and itd.local_context is not UNSET:
+                map_context = container_context.parse(
+                    itd.local_context, base_url=itd.base_url, propagate=False
+                )
+        expanded_index = container_context.expand_iri(index, vocab=True)
         items = items if isinstance(items, list) else [items]
         expanded_items = expand(items, key, map_context, options, from_map=True)
         expanded_items = (
@@ -669,9 +695,14 @@ def _expand_index_map(key, value, td, container, active_context: Context, option
                 item = {"@graph": item if isinstance(item, list) else [item]}
             if "@index" in container and expanded_index != "@none":
                 if index_key != "@index":
-                    # property-valued index (@index: prop)
-                    idx_prop = active_context.expand_iri(index_key, vocab=True)
-                    reexp = active_context.expand_value(index_key, index)
+                    # property-valued index (@index: prop) — illegal on
+                    # value objects (expand.rb:723-724)
+                    if "@value" in item:
+                        raise err.InvalidValueObject(
+                            f"attempt to add illegal key to value object: {index_key}"
+                        )
+                    idx_prop = container_context.expand_iri(index_key, vocab=True)
+                    reexp = container_context.expand_value(index_key, index)
                     item = dict(item)
                     prev = item.get(idx_prop, [])
                     item[idx_prop] = [reexp] + (
@@ -683,7 +714,7 @@ def _expand_index_map(key, value, td, container, active_context: Context, option
             elif "@id" in container and expanded_index != "@none":
                 if "@id" not in item:
                     item = dict(item)
-                    item["@id"] = active_context.expand_iri(
+                    item["@id"] = container_context.expand_iri(
                         index, document_relative=True, base=options.base
                     )
             elif "@type" in container and expanded_index != "@none":
