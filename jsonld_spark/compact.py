@@ -162,10 +162,12 @@ def compact_iri(
             if isinstance(value, dict) and "@list" in value and not value["@list"]:
                 type_language = "@any"
         preferred_values.append("@any")
-        # lang-range fallback: "de_ltr" also matches "de"
+        # "de_ltr" also matches a term keyed by direction alone ("_ltr")
+        # (context.rb:1532-1535)
         for pv in list(preferred_values):
             if isinstance(pv, str) and "_" in pv:
-                preferred_values.append(pv.split("_")[0])
+                preferred_values.append("_" + pv.split("_")[-1])
+                break
         term = select_term(ctx, iri, containers, type_language, preferred_values)
         if term is not None:
             return term
@@ -310,10 +312,32 @@ def compact(
 
     assert isinstance(element, dict)
 
-    # scoped context of active_property applies
+    # revert any previously type-scoped context (compact.rb:54-58) —
+    # non-propagating contexts apply to the node that carried the type,
+    # not to nested node objects
+    if (
+        ctx.previous_context is not None
+        and "@value" not in element
+        and list(element) != ["@id"]
+    ):
+        ctx = ctx.previous_context
+
+    # scoped context of active_property applies — term definitions are
+    # looked up in the ORIGINAL (possibly type-scoped) context
+    # (compact.rb:60-66)
+    td = active_context.term(active_property)
     if td is not None and td.local_context is not UNSET:
         ctx = ctx.parse(td.local_context, base_url=td.base_url, override_protected=True)
         td = ctx.term(active_property)
+
+    # a list object inside a @list container compacts to a bare (nested)
+    # array — JSON-LD 1.1 lists of lists (compact.rb:77-80)
+    if (
+        "@list" in element
+        and td is not None
+        and "@list" in td.container_mapping
+    ):
+        return compact(element["@list"], ctx, active_property, compact_arrays, ordered)
 
     # a value object / node reference carrying @annotation must stay an
     # object so the annotation survives (compact.rb:68)
@@ -364,13 +388,18 @@ def compact(
 
         if expanded_property == "@type":
             types = [
-                compact_iri(ctx, t, vocab=True) if isinstance(t, str) else t
+                compact_iri(active_context, t, vocab=True) if isinstance(t, str) else t
                 for t in _ensure_list(expanded_value)
             ]
             alias = compact_iri(ctx, "@type", vocab=True)
             atd = ctx.term(alias)
+            # @set containers arrayify @type on NODE objects only — a
+            # value object's @type stays a string (compact.rb:127-130
+            # `!value?(element)`)
             as_array = (not compact_arrays) or (
-                atd is not None and "@set" in atd.container_mapping
+                atd is not None
+                and "@set" in atd.container_mapping
+                and "@value" not in element
             )
             result[alias] = types if (len(types) > 1 or as_array) else types[0]
             continue
@@ -410,6 +439,13 @@ def compact(
         if expanded_property == "@included":
             compacted = compact(expanded_value, ctx, None, compact_arrays, ordered)
             alias = compact_iri(ctx, "@included", vocab=True)
+            atd = ctx.term(alias)
+            if (
+                atd is not None
+                and "@set" in atd.container_mapping
+                and not isinstance(compacted, list)
+            ):
+                compacted = [compacted]
             result[alias] = compacted
             continue
 
@@ -459,19 +495,39 @@ def compact(
                     nest_result[item_prop] = compacted_item
                 continue
 
-            if isinstance(expanded_item, dict) and _is_graph_obj(expanded_item) and "@graph" in container:
-                if "@id" in container:
-                    key = compact_iri(ctx, expanded_item.get("@id", "@none"), vocab=False) if "@id" in expanded_item else compact_iri(ctx, "@none", vocab=True)
+            if isinstance(expanded_item, dict) and _is_graph_obj(expanded_item):
+                # graph-object compaction (compact.rb:245-286): a graph
+                # object carrying @id only enters a bare @graph container
+                # through an @id map; otherwise it re-wraps explicitly —
+                # dropping into the container would lose the graph name
+                simple = "@id" not in expanded_item
+                if "@graph" in container and (
+                    "@id" in container or ("@index" in container and simple)
+                ):
+                    if "@id" in container and "@id" in expanded_item:
+                        key = compact_iri(ctx, expanded_item["@id"], vocab=False)
+                    elif "@index" in container and "@index" in expanded_item:
+                        key = expanded_item["@index"]
+                    else:
+                        key = compact_iri(ctx, "@none", vocab=True)
                     m = nest_result.setdefault(item_prop, {})
                     _add_compact_value(m, key, compacted_item, as_array)
-                elif "@index" in container:
-                    key = expanded_item.get("@index", compact_iri(ctx, "@none", vocab=True))
-                    m = nest_result.setdefault(item_prop, {})
-                    _add_compact_value(m, key, compacted_item, as_array)
-                else:
+                elif "@graph" in container and simple:
                     if isinstance(compacted_item, list) and len(compacted_item) > 1:
                         compacted_item = {compact_iri(ctx, "@included", vocab=True): compacted_item}
                     _add_compact_value(nest_result, item_prop, compacted_item, as_array)
+                else:
+                    alias = compact_iri(ctx, "@graph", vocab=True)
+                    wrapped = {alias: compacted_item}
+                    if "@id" in expanded_item:
+                        wrapped[compact_iri(ctx, "@id", vocab=True)] = compact_iri(
+                            ctx, expanded_item["@id"], vocab=False
+                        )
+                    if "@index" in expanded_item:
+                        wrapped[compact_iri(ctx, "@index", vocab=True)] = (
+                            expanded_item["@index"]
+                        )
+                    _add_compact_value(nest_result, item_prop, wrapped, as_array)
                 continue
 
             if container & {"@language", "@index", "@id", "@type"} and "@graph" not in container:

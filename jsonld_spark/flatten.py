@@ -414,13 +414,22 @@ def flatten_document(
     cache=None,
     expand_context=None,
     ordered: bool = False,
+    rdfstar: bool = False,
+    create_annotations_: bool = False,
 ) -> Any:
     """API.flatten equivalent (reference api.rb:290-351), sans compaction
     unless ``context`` given (compaction wired in compact.py)."""
     expanded = expand_document(
-        doc, base=base, cache=cache, expand_context=expand_context, ordered=ordered
+        doc,
+        base=base,
+        cache=cache,
+        expand_context=expand_context,
+        ordered=ordered,
+        rdfstar=rdfstar,
     )
-    flattened = flatten_expanded(expanded, ordered=ordered)
+    flattened = flatten_expanded(
+        expanded, ordered=ordered, create_annotations_=create_annotations_
+    )
     if context is not None:
         from .compact import compact_document
 

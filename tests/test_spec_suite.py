@@ -214,3 +214,184 @@ def test_expand_spec_sweep():
     assert passed + failed >= 150, f"extraction broke: only {passed + failed} runnable"
     rate = passed / (passed + failed)
     assert rate >= 0.98, f"{failed} failures ({rate:.1%}): {failures[:15]}"
+
+
+COMPACT_SPEC = "/root/reference/spec/compact_spec.rb"
+FLATTEN_SPEC = "/root/reference/spec/flatten_spec.rb"
+
+
+def _extract_with_context(path: str) -> list[dict]:
+    src = open(path).read()
+    cases = []
+    seen = set()
+    for m in re.finditer(
+        r"(?:'((?:[^'\\]|\\.)+)'|\"((?:[^\"\\]|\\.)+)\")\s*(?::|\s*=>)\s*\{",
+        src,
+    ):
+        name = m.group(1) or m.group(2)
+        try:
+            block = _case_block(src, m.end() - 1)
+        except ValueError:
+            continue
+        if "input:" not in block:
+            continue
+        case = {"name": name}
+        for field in ("input", "output", "context"):
+            fm = re.search(field + r":\s*%\(", block)
+            if fm:
+                try:
+                    case[field], _ = _balanced_paren(block, fm.end() - 1)
+                except ValueError:
+                    pass
+        em = re.search(r"exception:\s*JSON::LD::JsonLdError::(\w+)", block)
+        if em:
+            case["exception"] = em.group(1)
+        for pname in ("base", "processingMode"):
+            pm = re.search(r"\b" + pname + r":\s*['\"]([^'\"]+)['\"]", block)
+            if pm:
+                case[pname] = pm.group(1)
+        cm = re.search(r"\bcompactArrays:\s*(true|false)", block)
+        if cm:
+            case["compactArrays"] = cm.group(1) == "true"
+        if re.search(
+            r"remote_doc|loader|library:|validate:|compactToRelative", block
+        ) or "#{" in block:
+            case["skip"] = "unsupported spec params"
+        key = (name, case.get("input", "")[:80])
+        if key in seen:
+            continue
+        seen.add(key)
+        cases.append(case)
+    return cases
+
+
+def _sweep(cases, run_case, min_runnable, min_rate, known=()):
+    passed = failed = 0
+    failures = []
+    for c in cases:
+        if c.get("skip") or c["name"] in known:
+            continue
+        outcome = run_case(c)
+        if outcome is None:
+            continue
+        passed += outcome
+        failed += not outcome
+        if not outcome:
+            failures.append(c["name"])
+    assert passed + failed >= min_runnable, (
+        f"extraction broke: only {passed + failed} runnable"
+    )
+    rate = passed / (passed + failed)
+    assert rate >= min_rate, f"{failed} failures ({rate:.1%}): {failures[:20]}"
+
+
+@pytest.mark.skipif(not os.path.exists(COMPACT_SPEC), reason="no reference")
+def test_compact_spec_sweep():
+    """compact_spec.rb corpus: ≥99% of runnable cases (143/143 at
+    round 3; the failure list prints on regression)."""
+    from jsonld_spark.compact import compact_document
+
+    def run_case(c):
+        try:
+            doc = json.loads(c["input"])
+            ctx_src = c.get("context") or c.get("output")
+            ctx = json.loads(ctx_src) if ctx_src else None
+            if isinstance(ctx, dict) and "@context" in ctx:
+                ctx = ctx["@context"]
+        except Exception:
+            return None
+        expected = None
+        if "output" in c:
+            try:
+                expected = json.loads(c["output"])
+            except Exception:
+                return None
+        kw = {}
+        if "base" in c:
+            kw["base"] = c["base"]
+
+        def run(star: bool):
+            expanded = expand_document(
+                json.loads(json.dumps(doc)), rdfstar=star, **kw
+            )
+            return compact_document(
+                expanded,
+                json.loads(json.dumps(ctx)),
+                base=kw.get("base"),
+                compact_arrays=c.get("compactArrays", True),
+            )
+
+        try:
+            got, exc = run(False), None
+        except err.JsonLdError as e:
+            got, exc = None, type(e).__name__
+        except Exception as e:  # noqa: BLE001
+            got, exc = None, f"PYERR:{type(e).__name__}"
+        if "exception" in c:
+            return exc == c["exception"]
+        if expected is None:
+            return None
+        if got is not None and jsonld_equiv(got, expected):
+            return True
+        try:
+            got2 = run(True)
+        except Exception:  # noqa: BLE001
+            return False
+        return got2 is not None and jsonld_equiv(got2, expected)
+
+    _sweep(_extract_with_context(COMPACT_SPEC), run_case, 130, 0.99)
+
+
+@pytest.mark.skipif(not os.path.exists(FLATTEN_SPEC), reason="no reference")
+def test_flatten_spec_sweep():
+    """flatten_spec.rb corpus: ≥99% of runnable cases (all pass at
+    round 3)."""
+    from jsonld_spark.flatten import flatten_document
+
+    def run_case(c):
+        try:
+            doc = json.loads(c["input"])
+            ctx = json.loads(c["context"]) if "context" in c else None
+        except Exception:
+            return None
+        expected = None
+        if "output" in c:
+            try:
+                expected = json.loads(c["output"])
+            except Exception:
+                return None
+        kw = {}
+        if "base" in c:
+            kw["base"] = c["base"]
+        def run(star: bool):
+            return flatten_document(
+                json.loads(json.dumps(doc)), ctx, rdfstar=star, **kw
+            )
+
+        try:
+            got, exc = run(False), None
+        except err.JsonLdError as e:
+            got, exc = None, type(e).__name__
+        except Exception as e:  # noqa: BLE001
+            got, exc = None, f"PYERR:{type(e).__name__}"
+        if "exception" in c:
+            if exc == c["exception"]:
+                return True
+            try:
+                run(True)
+                return False
+            except err.JsonLdError as e2:
+                return type(e2).__name__ == c["exception"]
+            except Exception:  # noqa: BLE001
+                return False
+        if expected is None:
+            return None
+        if got is not None and jsonld_equiv(got, expected):
+            return True
+        try:
+            got2 = run(True)
+        except Exception:  # noqa: BLE001
+            return False
+        return got2 is not None and jsonld_equiv(got2, expected)
+
+    _sweep(_extract_with_context(FLATTEN_SPEC), run_case, 30, 0.99)
