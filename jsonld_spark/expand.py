@@ -213,7 +213,14 @@ def _finalize(result, active_property, active_context, options):
             value = result["@value"]
             if value is None or value == []:
                 return None
-            if "@language" in result and not isinstance(value, str):
+            if (
+                "@language" in result
+                and not isinstance(value, str)
+                and not (
+                    options.frame_expansion
+                    and (value == {} or isinstance(value, list))
+                )
+            ):
                 raise err.InvalidLanguageTaggedValue(repr(value))
             if "@type" in result:
                 t = result["@type"]
@@ -361,9 +368,27 @@ def _expand_object(
                         if ev is not None:
                             expanded_types.append(ev)
                     elif frame and v == {}:
-                        continue
-                    elif frame and isinstance(v, dict) and set(v) == {"@default"}:
+                        # wildcard: matches nodes having ANY type
                         expanded_types.append(v)
+                    elif frame and isinstance(v, dict) and set(v) == {"@default"}:
+                        # the default type(s) expand as IRIs
+                        dv = v["@default"]
+                        dv = dv if isinstance(dv, list) else [dv]
+                        expanded_types.append(
+                            {
+                                "@default": [
+                                    active_context.expand_iri(
+                                        d,
+                                        vocab=True,
+                                        document_relative=True,
+                                        base=options.base,
+                                    )
+                                    if isinstance(d, str)
+                                    else d
+                                    for d in dv
+                                ]
+                            }
+                        )
                     else:
                         raise err.InvalidTypeValue(repr(v))
                 if not isinstance(value, list) and len(expanded_types) == 1:
@@ -408,7 +433,10 @@ def _expand_object(
                 if isinstance(value, str):
                     if not is_well_formed_language(value):
                         options.warnings.append(f"malformed language tag {value!r}")
-                    result["@language"] = value.lower()
+                    # case PRESERVED (reference lowercases only under the
+                    # lowercaseLanguage option, expand.rb:512-517);
+                    # RDF-literal emission lowercases at toRdf instead
+                    result["@language"] = value
                 elif frame and (value == {} or isinstance(value, list)):
                     result["@language"] = value
                 else:

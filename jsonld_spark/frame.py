@@ -18,21 +18,29 @@ from typing import Any
 
 from . import errors as err
 from .expand import expand_document
-from .flatten import node_map_from_expanded, merge_node_map_graphs
+from .flatten import json_eq, merge_node_map_graphs, node_map_from_expanded
 from .iri import is_keyword
 
 
 class FrameState:
-    def __init__(self, graph_map, embed, explicit, omit_default, require_all):
+    """frame.rb framing_state: per-graph embeds/links, an explicit
+    ``embedded`` flag (top-level matches are compartmentalized), and a
+    (subject, graph) stack for circular-embed detection."""
+
+    def __init__(
+        self, graph_map, embed, explicit, omit_default, require_all, ordered=False
+    ):
+        self.ordered = ordered
         self.graph_map = graph_map
         self.embed = embed
         self.explicit = explicit
         self.omit_default = omit_default
         self.require_all = require_all
         self.graph = "@merged"
-        self.link: dict = {}
-        self.embedded: set[str] = set()
-        self.parents: list[str] = []
+        self.embedded = False
+        self.link: dict[str, dict] = {}
+        self.unique_embeds: dict[str, dict] = {}
+        self.subject_stack: list[tuple[str, str]] = []
 
     @property
     def subjects(self) -> dict:
@@ -62,33 +70,32 @@ def _list_obj(v) -> bool:
     return isinstance(v, dict) and "@list" in v
 
 
+def _as_list(v) -> list:
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
 def value_match(pattern: dict, value: dict) -> bool:
-    """frame.rb:592-608 value-pattern matching."""
-    v1, t1, l1 = value.get("@value"), value.get("@type"), value.get("@language")
-    v2 = pattern.get("@value", {})
-    t2 = pattern.get("@type", {})
-    l2 = pattern.get("@language", {})
-    if v2 == {} and t2 == {} and l2 == {}:
+    """frame.rb:592-608 value-pattern matching — exact port: a non-empty
+    pattern must match on @value (member or {} wildcard), and @type /
+    @language must agree (member, wildcard-with-present, or both-absent)."""
+    v1 = value.get("@value")
+    t1 = value.get("@type")
+    l1 = value.get("@language")
+    v2 = _as_list(pattern.get("@value"))
+    t2 = _as_list(pattern.get("@type"))
+    l2 = [x.lower() if isinstance(x, str) else x for x in _as_list(pattern.get("@language"))]
+    if not v2 and not t2 and not l2:
         return True
-
-    def match(actual, pat, lower=False):
-        if pat == {} or pat == [{}]:
-            return actual is not None
-        if pat == [] :
-            return actual is None
-        vals = pat if isinstance(pat, list) else [pat]
-        if actual is None:
-            return not vals
-        if lower and isinstance(actual, str):
-            actual = actual.lower()
-            vals = [x.lower() if isinstance(x, str) else x for x in vals]
-        return actual in vals
-
-    if "@value" in pattern and not match(v1, v2):
+    if not (any(json_eq(v1, x) for x in v2) or v2 == [{}]):
         return False
-    if "@type" in pattern and not match(t1, t2):
+    if not (t1 in t2 or (t1 is not None and t2 == [{}]) or (t1 is None and not t2)):
         return False
-    if "@language" in pattern and not match(l1, l2, lower=True):
+    l1n = l1.lower() if isinstance(l1, str) else l1
+    if not (
+        l1n in l2 or (l1 is not None and l2 == [{}]) or (l1 is None and not l2)
+    ):
         return False
     return True
 
@@ -100,10 +107,20 @@ def node_match(state: FrameState, pattern: dict, value: dict) -> bool:
     return node is not None and filter_subject(state, node, pattern, state.require_all)
 
 
+_FRAMING_KEYWORDS = frozenset(
+    {"@default", "@embed", "@explicit", "@omitDefault", "@requireAll"}
+)
+
+
 def filter_subject(
     state: FrameState, subject: dict, frame: dict, require_all: bool
 ) -> bool:
-    """frame.rb:346-457."""
+    """frame.rb:346-457 — exact port.  A frame with no @type and no
+    non-keyword properties is a wildcard (matches everything); @id/@type
+    determinations return immediately unless @requireAll; properties
+    with a @default are skipped when the node lacks them (they do NOT
+    count as matches); the final verdict is wildcard-or-matched-some."""
+    wildcard = True
     matches_some = False
     for k in frame:
         v = frame[k]
@@ -112,92 +129,94 @@ def filter_subject(
             node_values = [node_values]
 
         if k == "@id":
-            ids = v if isinstance(v, list) else [v]
-            if ids in ([], [{}]) or ids == [{}]:
-                pass  # wildcard
-            elif subject.get("@id") not in ids:
-                return False
-            matches_some = True
-            continue
-        if k == "@type":
+            ids = v if isinstance(v, list) else ([] if v is None else [v])
+            match_this = ids in ([], [{}]) or subject.get("@id") in ids
+            if not require_all:
+                return match_this
+        elif k == "@type":
+            wildcard = False
             types = subject.get("@type", [])
-            if v == [] :
+            types = [t for t in types if isinstance(t, str)]
+            vals = v if isinstance(v, list) else [v]
+            if vals == []:
                 if types:
                     return False
-            elif v == [{}] or v == {}:
-                if not types:
-                    return False
-            elif isinstance(v, list) and len(v) == 1 and isinstance(v[0], dict) and set(v[0]) == {"@default"}:
-                pass  # match any, with default
+                match_this = True
+            elif vals == [{}]:
+                match_this = bool(types)
+            elif (
+                len(vals) == 1
+                and isinstance(vals[0], dict)
+                and set(vals[0]) == {"@default"}
+            ):
+                # a map with only @default matches like an empty map
+                match_this = True
             else:
-                vals = v if isinstance(v, list) else [v]
-                if not set(types) & set(x for x in vals if isinstance(x, str)):
-                    return False
-            matches_some = True
+                match_this = bool(
+                    set(types) & {x for x in vals if isinstance(x, str)}
+                )
+            if not require_all:
+                return match_this
+        elif is_keyword(k):
             continue
-        if is_keyword(k):
-            continue
+        else:
+            is_empty = v == []
+            sub = v[0] if isinstance(v, list) and v else (v if isinstance(v, dict) else None)
+            has_default = isinstance(sub, dict) and "@default" in sub
+            if isinstance(sub, dict):
+                validate_frame(sub)
+            wildcard = False
 
-        # property matching
-        subframe = v[0] if isinstance(v, list) and v and isinstance(v[0], dict) else (
-            v if isinstance(v, dict) else {}
-        )
-        has_default = isinstance(subframe, dict) and "@default" in subframe
-        is_empty_match_none = v == []
-        is_wildcard = v in ({}, [{}])
-
-        if is_empty_match_none:
-            if node_values:
-                return False
-            matches_some = True
-            continue
-        if not node_values:
-            if has_default:
-                matches_some = True
+            # skip (no match either way): node lacks the property but the
+            # frame provides a default
+            if not node_values and has_default:
                 continue
-            if require_all:
-                return False
-            continue
-        if is_wildcard:
-            matches_some = True
-            continue
-        # some node value must match the subframe pattern
-        matched = False
-        for nv in node_values:
-            if _value_obj(nv):
-                if value_match(subframe, nv):
-                    matched = True
-                    break
-            elif _list_obj(nv):
-                sub_list = subframe.get("@list", []) if isinstance(subframe, dict) else []
-                pat = sub_list[0] if isinstance(sub_list, list) and sub_list else {}
-                for item in nv["@list"]:
-                    if _value_obj(item) and isinstance(pat, dict) and value_match(pat, item):
-                        matched = True
-                        break
-                    if _node_ref(item) and isinstance(pat, dict) and node_match(state, pat, item):
-                        matched = True
-                        break
-                if matched:
-                    break
-            elif isinstance(nv, dict) and "@id" in nv:
-                if node_match(state, subframe, nv):
-                    matched = True
-                    break
-            elif subframe == {}:
-                matched = True
-                break
-        if not matched:
+            if node_values and is_empty:
+                return False  # match-none pattern
+
+            if sub is None:
+                if node_values:
+                    return False
+                match_this = True
+            elif isinstance(sub, dict) and not (set(sub) - _FRAMING_KEYWORDS):
+                match_this = bool(node_values)
+            elif isinstance(sub, dict) and "@value" in sub:
+                match_this = any(
+                    isinstance(nv, dict) and value_match(sub, nv)
+                    for nv in node_values
+                )
+            elif isinstance(sub, dict) and "@list" in sub:
+                vv = sub["@list"][0] if sub["@list"] else None
+                first = node_values[0] if node_values else None
+                if not (isinstance(first, dict) and "@list" in first):
+                    match_this = False
+                else:
+                    inner = first["@list"]
+                    if isinstance(vv, dict) and "@value" in vv:
+                        match_this = any(
+                            isinstance(nv, dict) and value_match(vv, nv)
+                            for nv in inner
+                        )
+                    elif isinstance(vv, dict):
+                        match_this = any(
+                            isinstance(nv, dict) and node_match(state, vv, nv)
+                            for nv in inner
+                        )
+                    else:
+                        match_this = False
+            elif isinstance(sub, dict):
+                match_this = any(
+                    isinstance(nv, dict) and node_match(state, sub, nv)
+                    for nv in node_values
+                )
+            else:
+                match_this = False
+
+        if not match_this and require_all:
             return False
-        matches_some = True
-    if matches_some:
-        return True
-    # match-any semantics: with no matched constraint, the node only
-    # passes when the frame carries no constraints at all
-    has_constraints = any(
-        k == "@id" or k == "@type" or not is_keyword(k) for k in frame
-    )
-    return not has_constraints
+        matches_some = matches_some or match_this
+    return wildcard or matches_some
+
 
 
 def filter_subjects(state: FrameState, subjects, frame: dict, require_all: bool):
@@ -216,156 +235,257 @@ def _add_frame_output(parent, prop, output):
         parent.append(output)
 
 
+def _get_flag(frame: dict, state_value, name: str):
+    v = _flag(frame, state_value, name)
+    if name == "@embed":
+        if v is True:
+            return "@once"
+        if v is False:
+            return "@never"
+        if v in ("@always", "@first", "@last", "@link", "@once", "@never", None):
+            return v or "@once"
+        raise err.InvalidEmbedValue(repr(v))
+    return v
+
+
+def _implicit_frame(embed, explicit, require_all, omit_default) -> dict:
+    return {
+        "@embed": [embed],
+        "@explicit": [explicit],
+        "@requireAll": [require_all],
+        "@omitDefault": [omit_default],
+    }
+
+
 def frame_node(state: FrameState, subjects, frame: dict, parent, active_property):
-    """frame.rb:26-215 recursive embed.  Like the reference (frame.rb:28),
-    the frame is re-validated on EVERY recursion, so nested sub-frames
-    with invalid @id/@type values fail with InvalidFrame rather than
-    silently matching nothing."""
+    """frame.rb:26-215 recursive embed — exact port: per-graph unique
+    embeds reset at each top-level match (compartmentalized results),
+    embed policies apply only to EMBEDDED recursion, named-graph and
+    @included recursion, value objects filtered by value_match, defaults
+    (including @type @default) wrapped in @preserve.  Re-validated on
+    every recursion (frame.rb:28)."""
     validate_frame(frame)
     if isinstance(frame, list):
         frame = frame[0] if frame else {}
-    embed = _flag(frame, state.embed, "@embed") or "@once"
+    embed = _get_flag(frame, state.embed, "@embed")
     explicit = bool(_flag(frame, state.explicit, "@explicit"))
     require_all = bool(_flag(frame, state.require_all, "@requireAll"))
     omit_default = bool(_flag(frame, state.omit_default, "@omitDefault"))
-    if embed not in ("@always", "@never", "@once", "@link", "@first", "@last", True, False, None):
-        raise err.InvalidEmbedValue(repr(embed))
 
+    link = state.link.setdefault(state.graph, {})
     matches = filter_subjects(state, subjects, frame, require_all)
-    for sid in sorted(matches):
+    for sid in (sorted(matches) if state.ordered else matches):
         node = matches[sid]
+        if active_property is None:
+            # top-level matches are compartmentalized (frame.rb:49-54)
+            state.unique_embeds = {state.graph: {}}
+        else:
+            state.unique_embeds.setdefault(state.graph, {})
+        embeds = state.unique_embeds[state.graph]
+
+        if embed == "@link" and sid in link:
+            _add_frame_output(parent, active_property, link[sid])
+            continue
+
         output: dict[str, Any] = {"@id": sid}
+        link[sid] = output
 
-        if embed in ("@never", False) or sid in state.parents:
-            _add_frame_output(parent, active_property, {"@id": sid})
+        if not state.embedded and sid in embeds:
+            # already included in another node object at the top level
             continue
-        if embed in ("@once", "@first") and sid in state.embedded:
-            _add_frame_output(parent, active_property, {"@id": sid})
+        if state.embedded and (
+            embed == "@never"
+            or any(
+                g == state.graph and s == sid
+                for s, g in state.subject_stack[:-1]
+            )
+        ):
+            _add_frame_output(parent, active_property, output)
             continue
-        state.embedded.add(sid)
-        state.parents.append(sid)
+        if state.embedded and embed in ("@first", "@once") and sid in embeds:
+            _add_frame_output(parent, active_property, output)
+            continue
+        if embed == "@last" and sid in embeds:
+            _remove_embed(state, sid)
 
-        # copy properties
-        for prop in sorted(node):
+        embeds[sid] = {"parent": parent, "property": active_property}
+        state.subject_stack.append((sid, state.graph))
+
+        # subject is also the name of a graph (frame.rb:105-129)
+        if sid in state.graph_map:
+            recurse = False
+            subframe: Any = {}
+            if "@graph" in frame:
+                gf = frame["@graph"]
+                subframe = gf[0] if isinstance(gf, list) and gf else gf
+                if not isinstance(subframe, dict):
+                    subframe = {}
+                recurse = sid not in ("@merged", "@default")
+            else:
+                recurse = state.graph != "@merged"
+            if recurse:
+                saved_graph, saved_embedded = state.graph, state.embedded
+                state.graph, state.embedded = sid, False
+                frame_node(
+                    state,
+                    sorted(state.graph_map[sid])
+                    if state.ordered
+                    else list(state.graph_map[sid]),
+                    subframe,
+                    output,
+                    "@graph",
+                )
+                state.graph, state.embedded = saved_graph, saved_embedded
+
+        # @included recursion (frame.rb:131-134) — over ALL subjects
+        if "@included" in frame:
+            saved_embedded = state.embedded
+            state.embedded = False
+            inc = frame["@included"]
+            inc = inc[0] if isinstance(inc, list) and inc else (inc or {})
+            frame_node(state, list(subjects), inc, output, "@included")
+            state.embedded = saved_embedded
+
+        # copy/recurse subject properties
+        for prop in (sorted(node) if state.ordered else node):
             values = node[prop]
             if prop == "@id":
                 continue
             if is_keyword(prop):
-                if prop == "@type":
-                    output["@type"] = list(values)
-                else:
-                    output[prop] = copy.deepcopy(values)
+                output[prop] = copy.deepcopy(values) if prop != "@type" else list(values)
                 continue
             if explicit and prop not in frame:
                 continue
             for item in values:
-                subframe = None
-                if prop in frame:
-                    fv = frame[prop]
-                    subframe = (
-                        fv[0]
-                        if isinstance(fv, list) and fv and isinstance(fv[0], dict)
-                        else (fv if isinstance(fv, dict) else {})
-                    )
-                else:
-                    subframe = {
-                        "@embed": embed,
-                        "@explicit": explicit,
-                        "@requireAll": require_all,
-                        "@omitDefault": omit_default,
-                    }
+                fv = frame.get(prop)
+                subframe = (
+                    fv[0]
+                    if isinstance(fv, list) and fv and isinstance(fv[0], dict)
+                    else (fv if isinstance(fv, dict) else None)
+                )
+                if subframe is None:
+                    subframe = _implicit_frame(embed, explicit, require_all, omit_default)
                 if _list_obj(item):
-                    lst_out: dict[str, Any] = {"@list": []}
                     sub_list = subframe.get("@list") if isinstance(subframe, dict) else None
                     item_frame = (
                         sub_list[0]
                         if isinstance(sub_list, list) and sub_list and isinstance(sub_list[0], dict)
-                        else {"@embed": embed, "@explicit": explicit}
+                        else (
+                            sub_list
+                            if isinstance(sub_list, dict)
+                            else _implicit_frame(embed, explicit, require_all, omit_default)
+                        )
                     )
+                    lst_out: dict[str, Any] = {"@list": []}
+                    _add_frame_output(output, prop, lst_out)
                     for li in item["@list"]:
                         if _node_ref(li):
+                            saved = state.embedded
+                            state.embedded = True
                             frame_node(state, [li["@id"]], item_frame, lst_out, "@list")
+                            state.embedded = saved
                         else:
-                            lst_out["@list"].append(copy.deepcopy(li))
-                    output.setdefault(prop, []).append(lst_out)
+                            _add_frame_output(lst_out, "@list", copy.deepcopy(li))
                 elif _node_ref(item):
+                    saved = state.embedded
+                    state.embedded = True
                     frame_node(state, [item["@id"]], subframe, output, prop)
-                else:
-                    if prop in frame and isinstance(subframe, dict) and not value_match(
-                        {k: v for k, v in subframe.items() if k in ("@value", "@type", "@language")},
-                        item if isinstance(item, dict) else {"@value": item},
-                    ):
-                        continue
-                    output.setdefault(prop, []).append(copy.deepcopy(item))
-
-        # defaults for frame-only properties
-        for prop in sorted(frame):
-            if prop == "@type":
-                tv = frame[prop]
-                if not (
-                    isinstance(tv, list)
-                    and len(tv) == 1
-                    and isinstance(tv[0], dict)
-                    and set(tv[0]) == {"@default"}
+                    state.embedded = saved
+                elif value_match(
+                    subframe if isinstance(subframe, dict) else {},
+                    item if isinstance(item, dict) else {"@value": item},
                 ):
-                    continue
+                    _add_frame_output(output, prop, copy.deepcopy(item))
+
+        # defaults, in frame order (frame.rb:178-192) — includes
+        # @type: {"@default": ...}
+        for prop in (sorted(frame) if state.ordered else frame):
+            fv = frame[prop]
+            first = fv[0] if isinstance(fv, list) and fv else (fv if isinstance(fv, dict) else None)
+            if prop == "@type" and isinstance(first, dict) and set(first) == {"@default"}:
+                pass  # treat as a default
             elif is_keyword(prop):
+                continue
+            n = first if isinstance(first, dict) else {}
+            if bool(_flag(n, omit_default, "@omitDefault")):
                 continue
             if prop in output:
                 continue
-            fv = frame[prop]
-            subframe = (
-                fv[0]
-                if isinstance(fv, list) and fv and isinstance(fv[0], dict)
-                else (fv if isinstance(fv, dict) else {})
-            )
-            if bool(_flag(subframe, omit_default, "@omitDefault")):
-                continue
-            default = subframe.get("@default", "@null")
+            default = n.get("@default", "@null")
             if default is None:
                 default = "@null"
-            if not isinstance(default, list):
-                default = [default]
+            default = default if isinstance(default, list) else [default]
             output[prop] = [{"@preserve": copy.deepcopy(default)}]
 
-        # @reverse framing
+        # @reverse framing (frame.rb:195-205)
         for rprop, rframe in (frame.get("@reverse") or {}).items():
             for osid, onode in state.subjects.items():
                 refs = onode.get(rprop, [])
-                if any(_node_ref(r) and r["@id"] == sid for r in refs):
-                    rev = output.setdefault("@reverse", {})
+                if not isinstance(refs, list):
+                    continue
+                if any(isinstance(r, dict) and r.get("@id") == sid for r in refs):
+                    rev_map = output.setdefault("@reverse", {})
+                    rev_list = rev_map.setdefault(rprop, [])
                     sub = (
                         rframe[0]
                         if isinstance(rframe, list) and rframe and isinstance(rframe[0], dict)
-                        else {}
+                        else (rframe if isinstance(rframe, dict) else {})
                     )
-                    frame_node(state, [osid], sub, rev, rprop)
+                    saved = state.embedded
+                    state.embedded = True
+                    frame_node(state, [osid], sub, rev_list, active_property)
+                    state.embedded = saved
 
-        state.parents.pop()
         _add_frame_output(parent, active_property, output)
+        state.subject_stack.pop()
+
+
+def _remove_embed(state: FrameState, sid: str) -> None:
+    """@last: replace the previous embed of ``sid`` with a bare
+    reference (frame.rb:521-545)."""
+    embed = state.unique_embeds.get(state.graph, {}).get(sid)
+    if not embed:
+        return
+    parent, prop = embed["parent"], embed["property"]
+    ref = {"@id": sid}
+
+    def replace(seq: list) -> None:
+        for i, v in enumerate(seq):
+            if isinstance(v, dict) and v.get("@id") == sid:
+                seq[i] = ref
+
+    if isinstance(parent, list):
+        replace(parent)
+    elif isinstance(parent, dict) and prop in parent:
+        vals = parent[prop]
+        if isinstance(vals, list):
+            replace(vals)
 
 
 def _cleanup_preserve(element):
+    """Replace @preserve wrappers with their first member (frame.rb:
+    cleanup_preserve).  '@null' sentinels are KEPT — they survive
+    compaction and _cleanup_null turns them into JSON null afterwards."""
     if isinstance(element, list):
-        out = []
-        for item in element:
-            c = _cleanup_preserve(item)
-            if isinstance(item, dict) and "@preserve" in item:
-                pres = item["@preserve"]
-                pres = pres if isinstance(pres, list) else [pres]
-                for p in pres:
-                    if p != "@null":
-                        out.append(_cleanup_preserve(p))
-            elif c is not None:
-                out.append(c)
-        return out
+        return [_cleanup_preserve(i) for i in element]
     if isinstance(element, dict):
         if "@preserve" in element:
             pres = element["@preserve"]
             pres = pres if isinstance(pres, list) else [pres]
-            vals = [p for p in pres if p != "@null"]
-            return _cleanup_preserve(vals[0]) if vals else None
+            return _cleanup_preserve(pres[0]) if pres else None
         return {k: _cleanup_preserve(v) for k, v in element.items()}
+    return element
+
+
+def _cleanup_null(element):
+    """'@null' → null; nulls are removed from arrays but kept as map
+    values (frame.rb:296-311)."""
+    if isinstance(element, list):
+        return [c for c in (_cleanup_null(i) for i in element) if c is not None]
+    if isinstance(element, dict):
+        return {k: _cleanup_null(v) for k, v in element.items()}
+    if element == "@null":
+        return None
     return element
 
 
@@ -448,15 +568,35 @@ def frame_document(
     validate_frame(expanded_frame[0] if expanded_frame else {})
 
     node_map, _ = node_map_from_expanded(expanded)
-    node_map["@merged"] = merge_node_map_graphs(
-        {k: v for k, v in node_map.items() if k != "@merged"}
+    state = FrameState(
+        node_map, embed, explicit, omit_default, require_all, ordered=ordered
     )
-    state = FrameState(node_map, embed, explicit, omit_default, require_all)
-    state.graph = "@default" if frame_default else "@merged"
-
+    # graph selection (api.rb:453-463): a frame using @graph frames the
+    # DEFAULT graph; otherwise the merged graph.  The RAW frame's keys
+    # decide (expansion unwraps a top-level @graph wrapper, so the
+    # expanded frame cannot be probed for it)
     f0 = expanded_frame[0] if expanded_frame else {}
+    from .context import Context as _Ctx, ContextCache as _CC
+
+    raw_keys_ctx = _Ctx(base=base, cache=cache or _CC())
+    if isinstance(frame, dict) and "@context" in frame:
+        raw_keys_ctx = raw_keys_ctx.parse(frame["@context"], base_url=base)
+    frame_uses_graph = isinstance(frame, dict) and any(
+        raw_keys_ctx.expand_iri(k, vocab=True) == "@graph"
+        for k in frame
+        if k != "@context"
+    )
+    if frame_default or frame_uses_graph:
+        state.graph = "@default"
+    else:
+        node_map["@merged"] = merge_node_map_graphs(
+            {k: v for k, v in node_map.items() if k != "@merged"}
+        )
+        state.graph = "@merged"
+
     results: list = []
-    frame_node(state, sorted(state.subjects), f0, results, None)
+    top = sorted(state.subjects) if ordered else list(state.subjects)
+    frame_node(state, top, f0, results, None)
 
     results = _cleanup_preserve(results)
     if prune_blank_node_identifiers:
@@ -465,20 +605,28 @@ def frame_document(
         single = {b for b, c in counts.items() if c == 1}
         results = _prune_bnodes(results, single)
 
-    # compact with the frame's context
-    from .compact import compact_document
+    # compact with the frame's context (ALWAYS compacted, like the
+    # reference — an absent context compacts against the empty context);
+    # output shaping mirrors api.rb:485-501: !omitGraph wraps even a
+    # single node in the (aliased) @graph key, omitGraph unwraps
+    # singletons
+    from .compact import compact, compact_iri
+    from .context import Context, ContextCache
 
     frame_ctx = frame.get("@context") if isinstance(frame, dict) else None
+    ctx = Context(base=base, cache=cache or ContextCache())
     if frame_ctx is not None:
-        compacted = compact_document(results, frame_ctx, base=base, cache=cache, ordered=ordered)
-        graph_key = "@graph"
-        if (
-            omit_graph
-            and isinstance(compacted, dict)
-            and isinstance(compacted.get(graph_key), list)
-            and len(compacted[graph_key]) == 1
-        ):
-            inner = compacted[graph_key][0]
-            compacted = {"@context": compacted["@context"], **inner}
-        return compacted
-    return results
+        ctx = ctx.parse(frame_ctx, base_url=base)
+    compacted = compact(results, ctx, None, True, ordered)
+    compacted = _cleanup_null(compacted)
+    if compacted is None:
+        compacted = []
+    if not omit_graph and not isinstance(compacted, list):
+        compacted = [compacted]
+    if isinstance(compacted, list):
+        out = {compact_iri(ctx, "@graph", vocab=True): compacted}
+    else:
+        out = compacted
+    if frame_ctx is not None:
+        return {"@context": frame_ctx, **out}
+    return out

@@ -208,10 +208,12 @@ class _RdfEmitter:
             return (jcs_canonicalize(value), True, datatype, None)
         if datatype is None:
             if "@language" in item:
-                return (str(value), True, RDF_LANGSTRING, item["@language"])
+                # RDF literal language tags are lowercased at emission
+                # (expansion preserves the input case)
+                return (str(value), True, RDF_LANGSTRING, item["@language"].lower())
             datatype = XSD_STRING
         if datatype == RDF_LANGSTRING and "@language" in item:
-            return (str(value), True, datatype, item["@language"])
+            return (str(value), True, datatype, item["@language"].lower())
         return (str(value), True, datatype, None)
 
     # -- List Conversion (to_rdf.rb:167-187) --------------------------------

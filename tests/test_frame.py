@@ -298,4 +298,6 @@ def test_validate_frame_recursion_catches_nested_invalid():
 def test_empty_frame_still_wildcards():
     doc = {"@context": {"@vocab": "http://v/"}, "@id": "http://e/a", "name": "x"}
     out = frame_document(doc, {})
-    assert out and out[0]["@id"] == "http://e/a"
+    # context-less frames still compact (against the empty context) and
+    # the 1.1 default omit_graph unwraps the single match
+    assert out == {"@id": "http://e/a", "http://v/name": "x"}

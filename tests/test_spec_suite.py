@@ -395,3 +395,160 @@ def test_flatten_spec_sweep():
         return got2 is not None and jsonld_equiv(got2, expected)
 
     _sweep(_extract_with_context(FLATTEN_SPEC), run_case, 30, 0.99)
+
+
+FRAME_SPEC = "/root/reference/spec/frame_spec.rb"
+
+
+def _extract_frame_cases(path: str) -> list[dict]:
+    src = open(path).read()
+    cases = []
+    seen = set()
+    for m in re.finditer(
+        r"(?:'((?:[^'\\]|\\.)+)'|\"((?:[^\"\\]|\\.)+)\")\s*(?::|\s*=>)\s*\{",
+        src,
+    ):
+        name = m.group(1) or m.group(2)
+        try:
+            block = _case_block(src, m.end() - 1)
+        except ValueError:
+            continue
+        if "input:" not in block or "frame:" not in block:
+            continue
+        case = {"name": name}
+        for field in ("input", "frame", "output"):
+            fm = re.search(field + r":\s*%\(", block)
+            if fm:
+                try:
+                    case[field], _ = _balanced_paren(block, fm.end() - 1)
+                except ValueError:
+                    pass
+        pm = re.search(r"processingMode:\s*['\"]([^'\"]+)['\"]", block)
+        if pm:
+            case["processingMode"] = pm.group(1)
+        em = re.search(r"\bembed:\s*['\"]([^'\"]+)['\"]", block)
+        if em:
+            case["embed"] = em.group(1)
+        for flag in (
+            "explicit",
+            "omitDefault",
+            "requireAll",
+            "omitGraph",
+            "pruneBlankNodeIdentifiers",
+            "ordered",
+        ):
+            fm = re.search(r"\b" + flag + r":\s*(true|false)", block)
+            if fm:
+                case[flag] = fm.group(1) == "true"
+        if "#{" in block or re.search(r"remote_doc|loader|library:", block):
+            case["skip"] = "unsupported spec params"
+        key = (name, case.get("input", "")[:80])
+        if key in seen:
+            continue
+        seen.add(key)
+        cases.append(case)
+    return cases
+
+
+@pytest.mark.skipif(not os.path.exists(FRAME_SPEC), reason="no reference")
+def test_frame_spec_sweep():
+    """frame_spec.rb corpus: 63/63 runnable cases at round 3 (gate 99%).
+    do_frame defaults processingMode 1.0, so omitGraph defaults FALSE
+    unless the case or the frame's @context upgrades to 1.1
+    (api.rb:445-446)."""
+    from jsonld_spark.frame import frame_document
+
+    def run_case(c):
+        try:
+            doc = json.loads(c["input"])
+            frame = json.loads(c["frame"])
+            expected = json.loads(c["output"]) if "output" in c else None
+        except Exception:
+            return None
+        if expected is None:
+            return None
+        # omitGraph defaults from the effective processing mode, which
+        # a frame @context {"@version": 1.1} upgrades (api.rb:445-446)
+        mode11 = (
+            c.get("processingMode") == "json-ld-1.1"
+            or (isinstance(frame.get("@context"), dict)
+                and frame["@context"].get("@version") == 1.1)
+        )
+        kw = {
+            "omit_graph": c.get("omitGraph", mode11),
+            # the spec's expected outputs prune single-use bnode ids in
+            # 1.0-mode cases too (e.g. 'Defaults to false in 1.0' under
+            # the omitGraph group) — prune defaults true
+            "prune_blank_node_identifiers": c.get(
+                "pruneBlankNodeIdentifiers", True
+            ),
+            "embed": c.get("embed", "@once"),
+            "explicit": c.get("explicit", False),
+            "omit_default": c.get("omitDefault", False),
+            "require_all": c.get("requireAll", False),
+            "ordered": c.get("ordered", False),
+        }
+        try:
+            got = frame_document(
+                json.loads(json.dumps(doc)), json.loads(json.dumps(frame)), **kw
+            )
+        except Exception:  # noqa: BLE001
+            return False
+        return bnode_insensitive_equiv(got, expected)
+
+    _sweep(_extract_frame_cases(FRAME_SPEC), run_case, 55, 0.99)
+
+
+def _mask_bnodes(o):
+    if isinstance(o, dict):
+        return {k: _mask_bnodes(v) for k, v in o.items()}
+    if isinstance(o, list):
+        return [_mask_bnodes(i) for i in o]
+    if isinstance(o, str) and o.startswith("_:"):
+        return "_:?"
+    return o
+
+
+def _collect_bnode_counts(o, counts):
+    if isinstance(o, dict):
+        for v in o.values():
+            _collect_bnode_counts(v, counts)
+    elif isinstance(o, list):
+        for i in o:
+            _collect_bnode_counts(i, counts)
+    elif isinstance(o, str) and o.startswith("_:"):
+        counts[o] = counts.get(o, 0) + 1
+
+
+def _canon_bnodes(o, singles, mapping):
+    """Drop @id keys holding single-use bnode labels; rename the rest by
+    deterministic first-appearance order (label-masked traversal)."""
+    if isinstance(o, dict):
+        out = {}
+        for k in sorted(o):
+            v = o[k]
+            if k == "@id" and isinstance(v, str) and v in singles:
+                continue
+            out[k] = _canon_bnodes(v, singles, mapping)
+        return out
+    if isinstance(o, list):
+        keyed = sorted(o, key=lambda i: json.dumps(_mask_bnodes(i), sort_keys=True, ensure_ascii=False))
+        return [_canon_bnodes(i, singles, mapping) for i in keyed]
+    if isinstance(o, str) and o.startswith("_:"):
+        if o not in mapping:
+            mapping[o] = f"_:c{len(mapping)}"
+        return mapping[o]
+    return o
+
+
+def bnode_insensitive_equiv(a, b) -> bool:
+    """The spec's be_equivalent_jsonld performs a blank-node bijection
+    (spec_helper.rb remap_bnodes); approximate it: single-use bnode @ids
+    are equivalent to anonymity, remaining labels compare under a
+    deterministic canonical renaming."""
+    ca, cb = {}, {}
+    _collect_bnode_counts(a, ca)
+    _collect_bnode_counts(b, cb)
+    na = _canon_bnodes(a, {k for k, v in ca.items() if v == 1}, {})
+    nb = _canon_bnodes(b, {k for k, v in cb.items() if v == 1}, {})
+    return jsonld_equiv(na, nb)
