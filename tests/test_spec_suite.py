@@ -552,3 +552,134 @@ def bnode_insensitive_equiv(a, b) -> bool:
     na = _canon_bnodes(a, {k for k, v in ca.items() if v == 1}, {})
     nb = _canon_bnodes(b, {k for k, v in cb.items() if v == 1}, {})
     return jsonld_equiv(na, nb)
+
+
+TO_RDF_SPEC = "/root/reference/spec/to_rdf_spec.rb"
+FROM_RDF_SPEC = "/root/reference/spec/from_rdf_spec.rb"
+
+
+def _extract_rdf_cases(path: str) -> list[dict]:
+    src = open(path).read()
+    cases = []
+    seen = set()
+    for m in re.finditer(
+        r"(?:'((?:[^'\\]|\\.)+)'|\"((?:[^\"\\]|\\.)+)\"|(\w+))\s*(?::|\s*=>)\s*\{",
+        src,
+    ):
+        name = m.group(1) or m.group(2) or m.group(3)
+        try:
+            block = _case_block(src, m.end() - 1)
+        except ValueError:
+            continue
+        if "input:" not in block:
+            continue
+        case = {"name": name}
+        for field in ("input", "output", "context"):
+            fm = re.search(field + r":\s*%\(", block)
+            if fm:
+                try:
+                    case[field], _ = _balanced_paren(block, fm.end() - 1)
+                except ValueError:
+                    pass
+        em = re.search(r"exception:\s*JSON::LD::JsonLdError::(\w+)", block)
+        if em:
+            case["exception"] = em.group(1)
+        for pname in ("base", "processingMode", "rdfDirection"):
+            pm = re.search(r"\b" + pname + r":\s*['\"]([^'\"]+)['\"]", block)
+            if pm:
+                case[pname] = pm.group(1)
+        for flag in ("produceGeneralizedRdf", "useNativeTypes", "useRdfType", "rdfstar", "ordered"):
+            fm = re.search(r"\b" + flag + r":\s*(true|false)", block)
+            if fm:
+                case[flag] = fm.group(1) == "true"
+        if "#{" in block or re.search(r"remote_doc|loader|library:|write:", block):
+            case["skip"] = "unsupported spec params"
+        key = (name, case.get("input", "")[:80])
+        if key in seen:
+            continue
+        seen.add(key)
+        cases.append(case)
+    return cases
+
+
+@pytest.mark.skipif(not os.path.exists(TO_RDF_SPEC), reason="no reference")
+def test_to_rdf_spec_sweep():
+    """to_rdf_spec.rb hash-style cases: JSON-LD input → quads compared
+    against the Turtle expectation under canonical bnode labeling
+    (graph isomorphism, the matcher the spec uses via RDF::Repository)."""
+    from jsonld_spark.canon import canonicalize_quads
+    from jsonld_spark.sources.turtle import parse_turtle
+    from jsonld_spark.to_rdf import doc_to_quads
+
+    def run_case(c):
+        try:
+            doc = json.loads(c["input"])
+        except Exception:
+            return None
+        if "exception" in c:
+            # star cases get rdfstar via a group-level merge the
+            # extractor can't see — accept a match in either mode
+            for star in (c.get("rdfstar", False), True):
+                try:
+                    doc_to_quads(
+                        json.loads(json.dumps(doc)),
+                        base=c.get("base"),
+                        rdfstar=star,
+                    )
+                except err.JsonLdError as e:
+                    if type(e).__name__ == c["exception"]:
+                        return True
+                except Exception:  # noqa: BLE001
+                    pass
+            return False
+        if "output" not in c:
+            return None
+        try:
+            want = parse_turtle(c["output"], base=c.get("base"))
+        except Exception:
+            return None  # beyond the Turtle subset
+        try:
+            got = doc_to_quads(
+                json.loads(json.dumps(doc)),
+                base=c.get("base"),
+                rdf_direction=c.get("rdfDirection"),
+                produce_generalized_rdf=c.get("produceGeneralizedRdf", False),
+                processing_mode=c.get("processingMode", "json-ld-1.1"),
+                rdfstar=c.get("rdfstar", False),
+            )
+        except Exception:  # noqa: BLE001
+            return False
+        return set(canonicalize_quads(sorted(set(got)))) == set(
+            canonicalize_quads(sorted(set(want)))
+        )
+
+    _sweep(_extract_rdf_cases(TO_RDF_SPEC), run_case, 20, 0.95)
+
+
+@pytest.mark.skipif(not os.path.exists(FROM_RDF_SPEC), reason="no reference")
+def test_from_rdf_spec_sweep():
+    """from_rdf_spec.rb hash-style cases: Turtle input → fromRdf JSON."""
+    from jsonld_spark.from_rdf import from_quads
+    from jsonld_spark.sources.turtle import parse_turtle
+
+    def run_case(c):
+        if "output" not in c:
+            return None
+        try:
+            quads = parse_turtle(c["input"])
+            expected = json.loads(c["output"])
+        except Exception:
+            return None
+        try:
+            got = from_quads(
+                quads,
+                ordered=True,
+                use_native_types=c.get("useNativeTypes", False),
+                use_rdf_type=c.get("useRdfType", False),
+                rdf_direction=c.get("rdfDirection"),
+            )
+        except Exception:  # noqa: BLE001
+            return False
+        return bnode_insensitive_equiv(got, expected)
+
+    _sweep(_extract_rdf_cases(FROM_RDF_SPEC), run_case, 6, 0.95)
