@@ -70,6 +70,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     checkpoint_every: int = 1,
+    dictionary_encode: bool = False,
 ) -> DataFrame:
     """→ DataFrame(id, comp): every vertex labeled with the lexicographic
     minimum IRI of its component (the canonical representative).
@@ -81,7 +82,24 @@ def connected_components(
     — between truncations the convergence probe and the next round each
     recompute an extra round of lineage, which costs more than the
     saved local-disk write.  Default 1; the knob stays for clusters
-    whose checkpoint store (object storage) is slower than recompute."""
+    whose checkpoint store (object storage) is slower than recompute.
+
+    ``dictionary_encode=True`` assigns each vertex a dense 8-byte id in
+    LEXICOGRAPHIC IRI ORDER (one global sort via a window rank) and runs
+    every iteration on longs; the result decodes back to IRIs at the
+    end.  Order preservation keeps the semantics identical: min-id ==
+    min-IRI.  The trade: one sort + two decode joins buys O(log d)
+    rounds whose shuffles, checkpoints and min-aggregations move 8-byte
+    longs instead of IRIs.  Interleaved A/B on the 800k-edge bench
+    subset (short ~25-byte synthetic IRIs, 2 reps each): a WASH locally
+    (23.3/22.7 s encoded vs 24.0/20.1 s plain — within VM noise), so
+    the default stays False; the knob is for crawls whose IRIs run
+    50-100+ bytes and whose alias graphs need more rounds, where the
+    per-round byte savings dominate the one-time encode."""
+    if dictionary_encode:
+        return _connected_components_encoded(
+            edges, src, dst, max_iter, checkpoint_every
+        )
     _ensure_checkpoint_dir(edges)
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -131,9 +149,65 @@ def connected_components(
     return labels
 
 
-def canonical_mapping(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def _connected_components_encoded(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    checkpoint_every: int,
+) -> DataFrame:
+    """Dictionary-encoded CC: vertices → dense longs in lexicographic
+    order, iterate on longs, decode once at the end."""
+    from pyspark.sql import Window
+
+    _ensure_checkpoint_dir(edges)
+    verts = (
+        edges.select(F.col(src).alias("iri"))
+        .union(edges.select(F.col(dst).alias("iri")))
+        .distinct()
+    )
+    # order-preserving dense ids: rank over the global IRI sort.  The
+    # single-partition window is the textbook zipWithIndex trade-off;
+    # Spark's WindowExec spills, and this runs ONCE vs O(log d)
+    # string-shuffling rounds.  (At extreme scale swap in a two-phase
+    # per-partition offset assignment; semantics are unchanged as long
+    # as ids are assigned in sorted order.)
+    vert_ids = verts.withColumn(
+        "vid", F.row_number().over(Window.orderBy("iri")).cast("long")
+    ).checkpoint()
+
+    e_src = vert_ids.select(F.col("iri").alias("_s"), F.col("vid").alias("src_id"))
+    e_dst = vert_ids.select(F.col("iri").alias("_d"), F.col("vid").alias("dst_id"))
+    enc_edges = (
+        edges.join(e_src, edges[src] == e_src._s)
+        .join(e_dst, edges[dst] == e_dst._d)
+        .select("src_id", "dst_id")
+    )
+    labels = connected_components(
+        enc_edges,
+        src="src_id",
+        dst="dst_id",
+        max_iter=max_iter,
+        checkpoint_every=checkpoint_every,
+    )
+    id_map = vert_ids.select(F.col("vid").alias("id"), F.col("iri").alias("id_iri"))
+    comp_map = vert_ids.select(
+        F.col("vid").alias("comp"), F.col("iri").alias("comp_iri")
+    )
+    return (
+        labels.join(id_map, "id")
+        .join(comp_map, "comp")
+        .select(F.col("id_iri").alias("id"), F.col("comp_iri").alias("comp"))
+    )
+
+
+def canonical_mapping(
+    edges: DataFrame, max_iter: int = 25, dictionary_encode: bool = False
+) -> DataFrame:
     """→ DataFrame(iri, canon) for IRIs whose canonical form differs."""
-    labels = connected_components(edges, max_iter=max_iter)
+    labels = connected_components(
+        edges, max_iter=max_iter, dictionary_encode=dictionary_encode
+    )
     return labels.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias("iri"), F.col("comp").alias("canon")
     )

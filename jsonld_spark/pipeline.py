@@ -172,7 +172,11 @@ class KGPipeline:
     # -- stage 4: entity linking ---------------------------------------------
 
     def linked_triples(
-        self, triples: DataFrame, max_iter: int = 25, dedup: bool = True
+        self,
+        triples: DataFrame,
+        max_iter: int = 25,
+        dedup: bool = True,
+        dictionary_encode: bool = False,
     ) -> DataFrame:
         from .operators.graph import (
             SAME_AS_PREDICATES,
@@ -182,7 +186,9 @@ class KGPipeline:
         )
 
         edges = sameas_edges(triples)
-        mapping = canonical_mapping(edges, max_iter=max_iter)
+        mapping = canonical_mapping(
+            edges, max_iter=max_iter, dictionary_encode=dictionary_encode
+        )
         linked = link_entities(triples, mapping)
         # canonicalization makes sameAs rows degenerate (x sameAs x) and
         # collapses distinct rows into duplicates — clean both up

@@ -116,3 +116,28 @@ def test_cc_uses_reliable_checkpoint(spark):
     e = _edges(spark, [("b", "a"), ("c", "b")])
     connected_components(e)
     assert spark.sparkContext.getCheckpointDir() is not None
+
+
+def test_connected_components_dictionary_encoded_equivalence(spark):
+    """dictionary_encode=True must produce the identical (id, comp)
+    mapping — ids are assigned in lexicographic IRI order, so min-id
+    equals min-IRI."""
+    from jsonld_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            ("http://e/a", "http://e/b"),
+            ("http://e/b", "http://e/c"),
+            ("http://e/x", "http://e/y"),
+            ("http://e/c", "http://e/a"),
+            ("http://e/m", "http://e/a"),
+        ],
+        "src string, dst string",
+    )
+    plain = {(r.id, r.comp) for r in connected_components(edges).collect()}
+    enc = {
+        (r.id, r.comp)
+        for r in connected_components(edges, dictionary_encode=True).collect()
+    }
+    assert plain == enc
+    assert ("http://e/m", "http://e/a") in enc
