@@ -366,6 +366,7 @@ class Context:
                 body = result.cache.get(imp_url)
                 if body is None:
                     raise err.LoadingRemoteContextFailed(imp_url)
+                body = _resolve_remote_document(body, imp_url, result.cache)
                 imported = body.get("@context", body) if isinstance(body, dict) else None
                 if not isinstance(imported, dict):
                     raise err.InvalidRemoteContext(imp_url)

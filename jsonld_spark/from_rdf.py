@@ -87,6 +87,32 @@ def _literal_to_object(
     return result
 
 
+def _star_representation(term: str, use_native_types: bool, rdf_direction):
+    """{'@id': <embedded statement dict>} for an N-Triples-star quoted
+    term (reference resource_representation on RDF::Statement,
+    from_rdf.rb:196-207).  Nested quoting recurses."""
+    from .rdf_model import parse_quoted_term
+
+    q = parse_quoted_term(term)
+    if q.subj.startswith("<<"):
+        emb: dict = _star_representation(q.subj, False, rdf_direction)
+    else:
+        emb = {"@id": q.subj}
+    if q.pred == RDF_TYPE and not q.obj_is_literal and not q.obj.startswith("<<"):
+        emb["@type"] = q.obj
+    else:
+        if q.obj_is_literal:
+            o = _literal_to_object(
+                q.obj, q.obj_datatype, q.obj_lang, use_native_types, rdf_direction
+            )
+        elif q.obj.startswith("<<"):
+            o = _star_representation(q.obj, use_native_types, rdf_direction)
+        else:
+            o = {"@id": q.obj}
+        emb[q.pred] = [o]
+    return {"@id": emb}
+
+
 def from_quads(
     quads: list[Quad],
     ordered: bool = False,
@@ -105,7 +131,16 @@ def from_quads(
         node_map = graph_map.setdefault(gname, {})
         if gname != DEFAULT_GRAPH:
             default_graph.setdefault(gname, {"@id": gname})
-        node = node_map.setdefault(q.subj, {"@id": q.subj})
+        if q.subj.startswith("<<"):
+            # JSON-LD-star: a quoted-term subject keys the node map by
+            # the JCS of its embedded representation (from_rdf.rb:51-55)
+            from .rdf_model import jcs_canonicalize
+
+            rep = _star_representation(q.subj, use_native_types, rdf_direction)
+            subj_key = jcs_canonicalize(rep["@id"])
+            node = node_map.setdefault(subj_key, rep)
+        else:
+            node = node_map.setdefault(q.subj, {"@id": q.subj})
 
         if (
             rdf_direction == "compound-literal"
@@ -115,7 +150,8 @@ def from_quads(
             compound_map.setdefault(gname, {})[q.subj] = True
 
         is_resource = not q.obj_is_literal
-        if is_resource:
+        obj_is_star = is_resource and q.obj.startswith("<<")
+        if is_resource and not obj_is_star:
             node_map.setdefault(q.obj, {"@id": q.obj})
 
         if q.pred == RDF_TYPE and not use_rdf_type and is_resource:
@@ -124,8 +160,12 @@ def from_quads(
                 node["@type"].append(q.obj)
             continue
 
-        if is_resource:
-            value: dict[str, Any] = {"@id": q.obj}
+        if obj_is_star:
+            value: dict[str, Any] = _star_representation(
+                q.obj, use_native_types, rdf_direction
+            )
+        elif is_resource:
+            value = {"@id": q.obj}
         else:
             value = _literal_to_object(
                 q.obj, q.obj_datatype, q.obj_lang, use_native_types, rdf_direction
@@ -135,7 +175,7 @@ def from_quads(
         if not any(json_eq(value, existing) for existing in arr):
             arr.append(value)
 
-        if is_resource:
+        if is_resource and not obj_is_star:
             if q.obj == RDF_NIL:
                 nil = node_map[q.obj]
                 usages = nil.setdefault("usages", [])

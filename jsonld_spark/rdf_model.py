@@ -336,6 +336,18 @@ def _parse_graph_tail(tail: str, line: str):
     return gm.group(1) if gm.group(1) is not None else gm.group(2)
 
 
+def parse_quoted_term(term: str) -> Quad:
+    """Parse the inside of an N-Triples-star quoted term ``<< s p o >>``
+    into a Quad (graph always None).  Nested quoting supported."""
+    if not (term.startswith("<<") and term.endswith(">>")):
+        raise ValueError(f"not a quoted term: {term!r}")
+    inner = term[2:-2].strip() + " ."
+    quads = parse_nquads(inner)
+    if len(quads) != 1:
+        raise ValueError(f"quoted term must hold one statement: {term!r}")
+    return quads[0]
+
+
 def parse_nquads(text: str) -> list[Quad]:
     quads = []
     # NOT str.splitlines(): it splits on \x1c-\x1e/\x85/  etc.,

@@ -380,3 +380,50 @@ def test_pipeline_rdfstar_nquads_roundtrip(spark):
     back = parse_nquads(text)
     assert len(back) == 2
     assert any(q.subj.startswith("<<") for q in back)
+
+
+def test_from_rdf_star_roundtrip():
+    """Full circle (from_rdf.rb:196-207 parity): annotated JSON-LD →
+    quoted-term quads → fromRdf (embedded @id representation, JCS-keyed)
+    → create_annotations refold == the original flattened document."""
+    from jsonld_spark.flatten import flatten_expanded
+    from jsonld_spark.from_rdf import from_quads
+
+    doc = {"@id": "http://e/bob",
+           "http://e/knows": {"@id": "http://e/fred",
+                              "@annotation": {"http://e/certainty": {"@value": "high"}}}}
+    quads = doc_to_quads(json.loads(json.dumps(doc)), rdfstar=True)
+    back = from_quads(quads, ordered=True)
+    star_nodes = [n for n in back if isinstance(n.get("@id"), dict)]
+    assert len(star_nodes) == 1
+    assert star_nodes[0]["@id"] == {
+        "@id": "http://e/bob",
+        "http://e/knows": [{"@id": "http://e/fred"}],
+    }
+    refolded = flatten_expanded(json.loads(json.dumps(back)), create_annotations_=True)
+    orig = flatten_expanded(
+        expand_document(json.loads(json.dumps(doc)), rdfstar=True),
+        create_annotations_=True,
+    )
+    assert refolded == orig
+
+
+def test_from_rdf_star_nested_and_type():
+    """Nested quoted subjects and rdf:type inside embedded statements."""
+    from jsonld_spark.from_rdf import from_quads
+    from jsonld_spark.rdf_model import Quad
+
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    quads = [
+        Quad('<< << <http://e/r> <http://e/p> "v" >> <http://e/q> <http://e/o> >>',
+             "http://e/c", "x", True,
+             "http://www.w3.org/2001/XMLSchema#string", None, None),
+        Quad(f"<< <http://e/s> <{RDF_TYPE}> <http://e/T> >>",
+             "http://e/c", "y", True,
+             "http://www.w3.org/2001/XMLSchema#string", None, None),
+    ]
+    out = from_quads(quads, ordered=True)
+    ids = [n["@id"] for n in out if isinstance(n.get("@id"), dict)]
+    assert {"@id": {"@id": "http://e/r", "http://e/p": [{"@value": "v"}]},
+            "http://e/q": [{"@id": "http://e/o"}]} in ids
+    assert {"@id": "http://e/s", "@type": "http://e/T"} in ids
