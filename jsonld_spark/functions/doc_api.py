@@ -68,17 +68,29 @@ def _apply(pages: DataFrame, op: Callable, cache_entries: dict | None) -> DataFr
     )
 
 
-def expand_docs(pages: DataFrame, cache_entries: dict | None = None) -> DataFrame:
+def expand_docs(
+    pages: DataFrame, cache_entries: dict | None = None, rdfstar: bool = False
+) -> DataFrame:
     return _apply(
         pages,
-        lambda doc, base, cache: expand_document(doc, base=base, cache=cache),
+        lambda doc, base, cache: expand_document(
+            doc, base=base, cache=cache, rdfstar=rdfstar
+        ),
         cache_entries,
     )
 
 
-def flatten_docs(pages: DataFrame, cache_entries: dict | None = None) -> DataFrame:
+def flatten_docs(
+    pages: DataFrame,
+    cache_entries: dict | None = None,
+    rdfstar: bool = False,
+    create_annotations_: bool = False,
+) -> DataFrame:
     def op(doc, base, cache):
-        return flatten_expanded(expand_document(doc, base=base, cache=cache))
+        return flatten_expanded(
+            expand_document(doc, base=base, cache=cache, rdfstar=rdfstar),
+            create_annotations_=create_annotations_,
+        )
 
     return _apply(pages, op, cache_entries)
 

@@ -153,13 +153,14 @@ def _stream_node_properties(
     rdf_direction,
     produce_generalized_rdf,
     warnings_out,
+    rdfstar=False,
 ) -> Iterator[Quad]:
     """Stream one node object property-item by property-item: each item
     becomes a mini-document ``{"@id": subject, key: item}`` expanded and
     emitted independently, so peak memory is O(largest single value),
     not O(node's total quad count)."""
     ctx, sid_raw, type_key, prop_keys = probe
-    options = ExpandOptions(base=base)
+    options = ExpandOptions(base=base, rdfstar=rdfstar)
     namer = BlankNodeNamer()
     # anonymous top-level node: a synthetic explicit label keeps the
     # subject identical across mini-documents (the shared namer renames
@@ -216,6 +217,7 @@ def stream_doc_quads(
     processing_mode: str = "json-ld-1.1",
     warnings_out: list | None = None,
     strict_order: bool = False,
+    rdfstar: bool = False,
 ) -> Iterator[Quad]:
     """Generator over the document's quads with bounded memory.
 
@@ -257,6 +259,7 @@ def stream_doc_quads(
                 rdf_direction,
                 produce_generalized_rdf,
                 warnings_out,
+                rdfstar=rdfstar,
             )
             return
         from ..to_rdf import doc_to_quads
@@ -270,13 +273,14 @@ def stream_doc_quads(
             produce_generalized_rdf=produce_generalized_rdf,
             processing_mode=processing_mode,
             warnings_out=warnings_out,
+            rdfstar=rdfstar,
         )
         return
 
     elements, graph_name, ctx = spine
     if graph_name is not None and not _valid_resource(graph_name):
         return
-    options = ExpandOptions(base=base)
+    options = ExpandOptions(base=base, rdfstar=rdfstar)
     namer = BlankNodeNamer()  # shared: document-scoped _:labels + one sequence
     yield from _emit_elements(
         ((el, ctx) for el in elements),
@@ -321,6 +325,7 @@ def make_streaming_pages_to_triples(
     rdf_direction: str | None = None,
     produce_generalized_rdf: bool = False,
     chunk_rows: int = 50_000,
+    rdfstar: bool = False,
 ):
     """mapInPandas factory for giant-document crawls: quads stream out in
     ≤``chunk_rows`` Arrow batches, so one multi-million-quad page cannot
@@ -375,6 +380,7 @@ def make_streaming_pages_to_triples(
                             cache=cache,
                             rdf_direction=rdf_direction,
                             produce_generalized_rdf=produce_generalized_rdf,
+                            rdfstar=rdfstar,
                         ):
                             dt = (
                                 None

@@ -427,3 +427,25 @@ def test_from_rdf_star_nested_and_type():
     assert {"@id": {"@id": "http://e/r", "http://e/p": [{"@value": "v"}]},
             "http://e/q": [{"@id": "http://e/o"}]} in ids
     assert {"@id": "http://e/s", "@type": "http://e/T"} in ids
+
+
+def test_streaming_reader_rdfstar_parity():
+    """The bounded reader honors rdfstar on spine AND node-property
+    paths — quoted-term output isomorphic to batch."""
+    from jsonld_spark.canon import canonicalize_quads
+    from jsonld_spark.streaming.reader import stream_doc_quads
+
+    docs = [
+        [{"@id": "http://e/b",
+          "http://e/k": [{"@id": "http://e/f",
+                          "@annotation": [{"http://e/c": [{"@value": "hi"}]}]}]}],
+        {"@id": "http://e/b",
+         "http://e/k": {"@id": "http://e/f", "@annotation": {"http://e/c": "hi"}}},
+    ]
+    for doc in docs:
+        b = set(canonicalize_quads(sorted(set(
+            doc_to_quads(json.loads(json.dumps(doc)), base="http://b/", rdfstar=True)))))
+        s = set(canonicalize_quads(sorted(set(
+            stream_doc_quads(json.loads(json.dumps(doc)), base="http://b/", rdfstar=True)))))
+        assert s == b
+        assert any(q.subj.startswith("<<") for q in b)
