@@ -83,6 +83,7 @@ def stream_pages_to_triples(
     dedup_watermark: str | None = None,
     available_now: bool = True,
     bounded_reader: bool = False,
+    rdfstar: bool = False,
 ):
     """Start (and return) the streaming query writing triple parquet.
 
@@ -96,12 +97,14 @@ def stream_pages_to_triples(
     pages = read_pages_stream(spark, pages_dir)
     if dedup_watermark:
         pages = streaming_dedup_pages(pages, dedup_watermark)
-    pipe = KGPipeline(spark, cache_entries, cache_version=cache_version)
+    pipe = KGPipeline(spark, cache_entries, cache_version=cache_version, rdfstar=rdfstar)
     if bounded_reader:
         from ..udfs import TRIPLES_SCHEMA
         from .reader import make_streaming_pages_to_triples
 
-        fn = make_streaming_pages_to_triples(pipe.cache_bc, cache_version)
+        fn = make_streaming_pages_to_triples(
+            pipe.cache_bc, cache_version, rdfstar=rdfstar
+        )
         extracted = pages.select("url", "html").mapInPandas(fn, TRIPLES_SCHEMA)
     else:
         extracted = pipe.extract(pages)
