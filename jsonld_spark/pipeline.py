@@ -254,8 +254,18 @@ class KGPipeline:
         resume: bool = True,
         link_entities: bool = False,
         dedup: bool = False,
+        table_format: str = "parquet",
     ) -> dict:
-        """Execute the pipeline; returns run stats."""
+        """Execute the pipeline; returns run stats.
+
+        ``table_format`` selects the sink data source.  The sandbox ships
+        no Iceberg runtime jar, so the default (and all tests) use
+        parquet with the same layout; on a cluster with
+        iceberg-spark-runtime on the classpath pass
+        ``table_format="iceberg"`` and the identical plan writes the
+        partitioned Iceberg table the north rule names — dynamic
+        partition overwrite has the same idempotent-resume semantics in
+        both sources."""
         t0 = time.time()
         if dedup:
             pages = self.dedup_pages(pages)
@@ -296,7 +306,8 @@ class KGPipeline:
             # regardless of how the session was built (e.g. spark-submit).
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("part_id")
-            .parquet(triples_path)
+            .format(table_format)
+            .save(triples_path)
         )
 
         lineage = (

@@ -93,6 +93,7 @@ def main(argv=None) -> int:
         resume=not args.no_resume,
         link_entities=args.link_entities,
         dedup=args.dedup_pages,
+        table_format=args.format,
     )
     print(json.dumps(stats))
     return 0
