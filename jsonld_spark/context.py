@@ -125,6 +125,14 @@ def _resolve_remote_document(body, ctx_url: str, cache: ContextCache):
             if linked is None:
                 raise err.LoadingRemoteContextFailed(linked_url)
             return _resolve_remote_document(linked, linked_url, cache)
+    elif ct != "application/ld+json" and ct is not None:
+        # Neither ld+json nor any +json type (e.g. text/html): the
+        # reference's loader fails with "loading document failed"
+        # (api.rb:660-668) rather than silently treating the body as
+        # JSON-LD.
+        raise err.LoadingRemoteContextFailed(
+            f"{ctx_url}: unsupported content type {ct!r}"
+        )
     return doc
 
 

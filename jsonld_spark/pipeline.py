@@ -147,20 +147,32 @@ class KGPipeline:
         Scale shape: the html bytes never ride the keeper shuffle.  A
         thin ``(url, md5(html))`` projection — 32-char digest + url per
         page — shuffles to elect keepers, and the full pages side then
-        semi-joins on ``url`` alone.  ``url`` is the pipeline's storage
-        bucketing key (write_pages_parquet / with_bucket), so on a
-        url-bucketed pages table the join runs with no exchange on the
-        pages side at all; unbucketed, the exchange is keyed on url and
-        md5 is computed once (the previous plan keyed the join on
-        md5(html), exchanging the entire crawl's html to drop
-        duplicates and hashing every page twice)."""
+        joins the keeper set on ``url`` alone, keeping the join key on
+        the storage bucketing key (write_pages_parquet / with_bucket):
+        on a url-bucketed pages table the join runs with no exchange on
+        the pages side at all.  Digest equality is enforced AFTER the
+        join by a map-side filter, so a url that recrawled with CHANGED
+        content keeps only the payloads actually elected — a url-only
+        semi-join would resurrect its duplicate-html rows whenever any
+        one of its payloads won a hash group.  The keeper digests are
+        carried as a per-url SET and matched with ``array_contains``
+        rather than a digest equality: Catalyst extracts an equi-filter
+        ``md5(html) == h`` into the join keys, which would put
+        md5(html) back on the pages-side exchange — the exact shuffle
+        this plan exists to avoid (the digest set per url is tiny: one
+        entry per distinct elected payload)."""
         keepers = (
             pages.select("url", F.md5("html").alias("h"))
             .groupBy("h")
             .agg(F.min("url").alias("url"))
-            .select("url")
+            .groupBy("url")
+            .agg(F.collect_set("h").alias("hs"))
         )
-        return pages.join(keepers, "url", "left_semi")
+        return (
+            pages.join(keepers, "url", "inner")
+            .filter(F.array_contains(F.col("hs"), F.md5("html")))
+            .select(*pages.columns)
+        )
 
     # -- stage 3: deterministic bucketing ------------------------------------
 
@@ -263,9 +275,15 @@ class KGPipeline:
         parquet with the same layout; on a cluster with
         iceberg-spark-runtime on the classpath pass
         ``table_format="iceberg"`` and the identical plan writes the
-        partitioned Iceberg table the north rule names — dynamic
-        partition overwrite has the same idempotent-resume semantics in
-        both sources."""
+        partitioned Iceberg table the north rule names.  Dynamic
+        partition overwrite is wired per source: parquet honors the
+        per-writer ``partitionOverwriteMode`` option; Iceberg ignores
+        that file-datasource option, so the Iceberg branch sets its own
+        ``overwrite-mode=dynamic`` write option AND pins the session
+        conf ``spark.sql.sources.partitionOverwriteMode=dynamic`` for
+        the write — without both, a resumed run on a default-configured
+        session would full-truncate the triples table (the exact loss
+        resume exists to prevent)."""
         t0 = time.time()
         if dedup:
             pages = self.dedup_pages(pages)
@@ -294,7 +312,7 @@ class KGPipeline:
             triples = self.with_bucket(triples.drop("part_id"))
 
         triples_path = os.path.join(out_dir, "triples")
-        (
+        writer = (
             triples.repartition("part_id")
             .sortWithinPartitions("subj", "pred")
             .write.mode("overwrite")
@@ -307,8 +325,27 @@ class KGPipeline:
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("part_id")
             .format(table_format)
-            .save(triples_path)
         )
+        if table_format == "iceberg":
+            # Iceberg IGNORES the file-datasource partitionOverwriteMode
+            # option above; it honors its own write option plus the
+            # session conf.  Set both so a default-configured session
+            # (static overwrite) cannot full-truncate the table on
+            # resume.
+            writer = writer.option("overwrite-mode", "dynamic")
+            spark = triples.sparkSession
+            prev_pom = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                writer.save(triples_path)
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev_pom
+                )
+        else:
+            writer.save(triples_path)
 
         lineage = (
             raw.groupBy("part_id")

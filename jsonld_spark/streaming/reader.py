@@ -146,6 +146,38 @@ def _type_scoped(ctx: Context, type_values) -> Context:
     return ctx
 
 
+def _unused_bnode_label(doc) -> str:
+    """A synthetic bnode label guaranteed absent from ``doc``.  The
+    shared ``BlankNodeNamer`` maps equal OLD labels to the same new id,
+    so if the anonymous-top-node sentinel collided with a label the
+    document actually uses, two distinct nodes would merge.  One
+    iterative walk collects every string (key or value) starting with
+    the sentinel prefix — a superset of the labels that could collide —
+    then picks the first unused extension.  Cost is paid only for
+    anonymous top-level nodes; memory is O(depth) references."""
+    base = "_:jsonldstreamtop"
+    used: set[str] = set()
+    stack = [doc]
+    while stack:
+        v = stack.pop()
+        if isinstance(v, str):
+            if v.startswith(base):
+                used.add(v)
+        elif isinstance(v, dict):
+            for k, vv in v.items():
+                if isinstance(k, str) and k.startswith(base):
+                    used.add(k)
+                stack.append(vv)
+        elif isinstance(v, list):
+            stack.extend(v)
+    if base not in used:
+        return base
+    i = 0
+    while f"{base}{i}" in used:
+        i += 1
+    return f"{base}{i}"
+
+
 def _stream_node_properties(
     doc,
     probe,
@@ -164,8 +196,10 @@ def _stream_node_properties(
     namer = BlankNodeNamer()
     # anonymous top-level node: a synthetic explicit label keeps the
     # subject identical across mini-documents (the shared namer renames
-    # it consistently; canonical labeling downstream is unaffected)
-    subject = sid_raw if sid_raw is not None else "_:jsonldstreamtop"
+    # it consistently; canonical labeling downstream is unaffected).
+    # The label is chosen collision-proof against the document's own
+    # bnode labels so the shared namer can never merge distinct nodes.
+    subject = sid_raw if sid_raw is not None else _unused_bnode_label(doc)
 
     def minidocs():
         if type_key is not None:
@@ -191,10 +225,17 @@ def _stream_node_properties(
             values = doc[key]
             td = scoped.term(key)
             container = td.container_mapping if td else frozenset()
-            if "@list" in container or not isinstance(values, list):
+            if (
+                "@list" in container
+                or (td is not None and td.type_mapping == "@json")
+                or not isinstance(values, list)
+            ):
                 # @list containers need the WHOLE array in one expansion
-                # (one cons chain); maps (@language/@index/... containers)
-                # and single values likewise expand as one unit
+                # (one cons chain); @json-coerced terms turn the WHOLE
+                # array into ONE JSON literal (splitting per-item would
+                # emit "[1]","[2]" instead of "[1,2]"); maps
+                # (@language/@index/... containers) and single values
+                # likewise expand as one unit
                 yield with_type({"@id": subject, key: values}), ctx
                 continue
             for item in values:

@@ -394,6 +394,25 @@ def test_multiple_context_link_headers_code():
     assert exc_info.value.code == "multiple context link headers"
 
 
+def test_non_json_remote_content_type_fails():
+    """api.rb:660-668: a remote document whose content type is neither
+    ld+json nor any +json type (e.g. text/html) must fail loading, not
+    be silently accepted as JSON-LD."""
+    from jsonld_spark.context import ContextCache
+
+    cache = ContextCache({
+        "http://ctx.e/page.html": {
+            "@remote-document": True,
+            "contentType": "text/html",
+            "document": {"@context": {"@vocab": "http://v/"}},
+        },
+    })
+    with pytest.raises(err.LoadingRemoteContextFailed):
+        expand_document(
+            {"@context": "http://ctx.e/page.html", "http://p": "v"}, cache=cache
+        )
+
+
 def test_single_context_link_header_followed():
     """api.rb:645-662: exactly one rel=context link on a plain-JSON
     document is followed, resolved against the document url."""

@@ -86,6 +86,43 @@ def test_end_to_end_sameas_merge(spark):
     assert names[0].subj == "http://x/a"
 
 
+def test_post_link_dedup_exchange_shape(spark):
+    """VERDICT r3 #8: the post-link dropDuplicates is ONE exchange keyed
+    on the full 8-tuple — fine-grained (key cardinality ≈ row count, so
+    no mega-domain key can skew it), and there is no url-only exchange
+    in the dedup subtree that a hot domain could pile onto.  See
+    PLANS.md 'Post-link dedup'."""
+    from jsonld_spark.pipeline import KGPipeline
+
+    pipe = KGPipeline(spark)
+    triples = spark.createDataFrame(
+        [
+            ("http://s/p", "http://x/b", "http://schema.org/sameAs",
+             "http://x/a", False, None, None, None),
+            ("http://s/p", "http://x/b", "http://p/name", "B", True,
+             None, None, None),
+        ],
+        "url string, subj string, pred string, obj string, "
+        "obj_is_literal boolean, obj_datatype string, obj_lang string, "
+        "graph string",
+    )
+    out = pipe.linked_triples(triples)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    dedup_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and "url" in ln
+        and "subj" in ln  # the dedup exchange carries the full tuple
+    ]
+    assert dedup_exchanges, plan
+    for ln in dedup_exchanges:
+        # full 8-tuple key: every column participates in the hash
+        for col in ("url", "subj", "pred", "obj", "obj_is_literal",
+                    "obj_datatype", "obj_lang", "graph"):
+            assert col in ln, (col, ln)
+
+
 def test_link_entities_is_lazy(spark):
     """Plan construction must not trigger an eager job: a mapping whose
     evaluation raises only fails when the OUTPUT is executed, proving

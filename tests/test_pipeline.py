@@ -306,6 +306,27 @@ def test_dedup_pages_keeps_one_per_content(spark, pipe):
     assert urls == ["http://a.e/1", "http://a.e/3"]  # min-url keeper
 
 
+def test_dedup_pages_changed_content_url(spark, pipe):
+    """A url recrawled with CHANGED content: its elected payload
+    survives, but its OTHER payload that duplicates a different url's
+    html must still be dropped — keeper election is per (url, digest),
+    not per url."""
+    rows = [
+        ("http://a.e/1", b"<html>v1</html>"),
+        ("http://a.e/1", b"<html>shared</html>"),  # dup of /2's html
+        ("http://a.e/2", b"<html>shared</html>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = pipe.dedup_pages(pages).collect()
+    got = sorted((r.url, bytes(r.html)) for r in out)
+    # v1 group keeper: /1; shared group keeper: min url = /1 with the
+    # shared payload — /2's copy is the duplicate that must go
+    assert got == [
+        ("http://a.e/1", b"<html>shared</html>"),
+        ("http://a.e/1", b"<html>v1</html>"),
+    ]
+
+
 def test_dedup_pages_html_never_shuffles(spark, pipe, tmp_path):
     """VERDICT r2 #3: the recrawl dedup must not exchange html bytes.
     Unbucketed: any exchange carrying html must be keyed on url (the

@@ -119,6 +119,64 @@ def test_streaming_spark_parity(spark):
     assert len(s) > 0
 
 
+def test_json_typed_array_streams_as_one_literal():
+    """A term with ``@type: @json`` must turn the WHOLE array into ONE
+    JSON literal — per-item splitting would emit "[1]","[2]","[3]"
+    instead of "[1,2,3]" (silent corruption on the property-stream
+    path)."""
+    doc = {
+        "@context": {"@vocab": "http://v.e/", "data": {"@type": "@json"}},
+        "@id": "http://e.com/x",
+        "data": [1, 2, 3],
+    }
+    batch = set(doc_to_quads(doc, base="http://base.e/"))
+    streamed = set(stream_doc_quads(doc, base="http://base.e/"))
+    assert streamed == batch
+    lits = [q.obj for q in streamed if q.obj_is_literal]
+    assert lits == ["[1,2,3]"]
+
+
+def test_json_typed_scoped_array_streams_as_one_literal():
+    """Same @json rule when the coercion arrives via a TYPE-SCOPED
+    context — the container probe must use the scoped context."""
+    doc = {
+        "@context": {
+            "@vocab": "http://v.e/",
+            "Widget": {
+                "@id": "http://v.e/Widget",
+                "@context": {"data": {"@id": "http://v.e/data", "@type": "@json"}},
+            },
+        },
+        "@id": "http://e.com/x",
+        "@type": "Widget",
+        "data": [{"a": 1}, {"b": 2}],
+    }
+    batch = set(doc_to_quads(doc, base="http://base.e/"))
+    streamed = set(stream_doc_quads(doc, base="http://base.e/"))
+    assert streamed == batch
+
+
+def test_anonymous_top_node_sentinel_collision():
+    """A document that uses the synthetic anonymous-top-node label
+    itself must NOT merge with the anonymous node: batch emits
+    _:b0 → _:b1, a colliding sentinel would emit a _:b0 → _:b0
+    self-loop."""
+    doc = {
+        "@context": CTX,
+        "p": [{"@id": "_:jsonldstreamtop", "name": "inner"}],
+    }
+    streamed = set(stream_doc_quads(doc, base="http://base.e/"))
+    edges = [q for q in streamed if q.pred == "http://v.e/p"]
+    assert len(edges) == 1
+    assert edges[0].subj != edges[0].obj, "sentinel collided with doc label"
+    # and the stream is still graph-equivalent to batch
+    from jsonld_spark.canon import canonicalize_quads
+
+    assert set(canonicalize_quads(list(streamed))) == set(
+        canonicalize_quads(list(doc_to_quads(doc, base="http://base.e/")))
+    )
+
+
 def test_node_property_stream_is_lazy():
     """Property streaming: a poisoned LATER property item only raises
     after the earlier items' quads have been yielded — memory stays
