@@ -241,44 +241,70 @@ def compact_value(ctx: Context, active_property: str | None, value: dict):
     if "@index" in value and td is not None and "@index" in td.container_mapping:
         core.discard("@index")
     n_members = len(core)
-    # {@value,@language,@direction} is still compactable when BOTH match
-    # the term/default mappings (spec Value Compaction step 8; the
-    # reference has no member-count gate here, context.rb compact_value)
-    if n_members > 2 and core != {"@value", "@language", "@direction"}:
+
+    def _core():
+        # {@value,@language,@direction} is still compactable when BOTH
+        # match the term/default mappings (spec Value Compaction step 8;
+        # the reference has no member-count gate here, context.rb
+        # compact_value)
+        if n_members > 2 and core != {"@value", "@language", "@direction"}:
+            return value
+
+        if "@id" in value:
+            if n_members == 1 and type_mapping == "@id":
+                return compact_iri(ctx, value["@id"])
+            if n_members == 1 and type_mapping == "@vocab":
+                return compact_iri(ctx, value["@id"], vocab=True)
+            return value
+        v = value.get("@value")
+        if "@type" in value and value["@type"] == type_mapping:
+            return v
+        if "@language" in value:
+            if (
+                language is not None
+                and value["@language"].lower() == str(language).lower()
+                and value.get("@direction", direction) == direction
+            ):
+                return v
+            return value
+        if "@direction" in value:
+            if direction is not None and value["@direction"] == direction and "@language" not in value:
+                return v
+            return value
+        if "@type" in value:
+            return value
+        # plain value
+        if not isinstance(v, str):
+            if "@index" not in value or (td is not None and "@index" in td.container_mapping):
+                return v
+            return value
+        if language is None and direction is None and type_mapping != "@none":
+            if n_members == 1:
+                return v
         return value
 
-    if "@id" in value:
-        if n_members == 1 and type_mapping == "@id":
-            return compact_iri(ctx, value["@id"])
-        if n_members == 1 and type_mapping == "@vocab":
-            return compact_iri(ctx, value["@id"], vocab=True)
-        return value
-    v = value.get("@value")
-    if "@type" in value and value["@type"] == type_mapping:
-        return v
-    if "@language" in value:
-        if (
-            language is not None
-            and value["@language"].lower() == str(language).lower()
-            and value.get("@direction", direction) == direction
-        ):
-            return v
-        return value
-    if "@direction" in value:
-        if direction is not None and value["@direction"] == direction and "@language" not in value:
-            return v
-        return value
-    if "@type" in value:
-        return value
-    # plain value
-    if not isinstance(v, str):
-        if "@index" not in value or (td is not None and "@index" in td.container_mapping):
-            return v
-        return value
-    if language is None and direction is None and type_mapping != "@none":
-        if n_members == 1:
-            return v
-    return value
+    result = _core()
+    # reference post-steps (context.rb compact_value tail): compact the
+    # values of @type (unless @json) and rewrite keys through keyword
+    # aliases.  The document path ignores a dict result and re-walks the
+    # original element (compact.rb:61-66 does the same), so these steps
+    # only surface through the term-level API.
+    if isinstance(result, dict) and "@type" in result and value.get("@type") != "@json":
+        t = result["@type"]
+        ct = (
+            [compact_iri(ctx, x, vocab=True) for x in t]
+            if isinstance(t, list)
+            else compact_iri(ctx, t, vocab=True)
+        )
+        result = {**result, "@type": ct}
+    if isinstance(result, dict):
+        aliased = {
+            (compact_iri(ctx, k, vocab=True) if is_keyword(k) else k): v
+            for k, v in result.items()
+        }
+        if list(aliased) != list(result):
+            result = aliased
+    return result
 
 
 def compact(
@@ -343,12 +369,13 @@ def compact(
     # object so the annotation survives (compact.rb:68)
     if ("@value" in element or list(element) == ["@id"]) and "@annotation" not in element:
         res = compact_value(ctx, active_property, element)
-        if not isinstance(res, (dict, list)):
-            return res
-        if list(element) == ["@id"]:
-            # node reference that didn't compact to a string
-            pass
-        elif res is not element:
+        vtd = ctx.term(active_property)
+        if not isinstance(res, (dict, list)) or (
+            vtd is not None and vtd.type_mapping == "@json"
+        ):
+            # compact.rb:61-66 — return only a non-Hash result (or a
+            # @json-coerced value); a dict result is discarded and the
+            # ORIGINAL element re-walked by the generic loop below
             return res
 
     inside_reverse = active_property == "@reverse"

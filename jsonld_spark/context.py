@@ -209,6 +209,7 @@ class Context:
         "previous_context",
         "processing_mode",
         "cache",
+        "validate",
         "_inverse",
         "_iri_memo",
         "_iri_memo_vocab",
@@ -219,6 +220,7 @@ class Context:
         base: str | None = None,
         processing_mode: str = JSON_LD_1_1,
         cache: ContextCache | None = None,
+        validate: bool = False,
     ):
         self.term_definitions: dict[str, TermDefinition] = {}
         self.base = base
@@ -229,6 +231,9 @@ class Context:
         self.previous_context: Context | None = None
         self.processing_mode = processing_mode
         self.cache = cache if cache is not None else EMPTY_CACHE
+        # strict spec validation (reference ``validate: true``): extra
+        # checks the API default skips, e.g. rejecting the empty term
+        self.validate = validate
         self._inverse: dict | None = None
         self._iri_memo: dict = {}
         self._iri_memo_vocab: dict = {}
@@ -236,7 +241,7 @@ class Context:
     # -- plumbing ------------------------------------------------------------
 
     def clone(self) -> "Context":
-        c = Context(self.base, self.processing_mode, self.cache)
+        c = Context(self.base, self.processing_mode, self.cache, self.validate)
         c.term_definitions = dict(self.term_definitions)
         c.original_base = self.original_base
         c.vocab = self.vocab
@@ -358,10 +363,11 @@ class Context:
 
             # @propagate: validated per context object (context.rb:993);
             # the effective flag is read from the top-level dict above
-            if "@propagate" in context and not isinstance(
-                context["@propagate"], bool
-            ):
-                raise err.InvalidPropagateValue(repr(context["@propagate"]))
+            if "@propagate" in context:
+                if result.processing_mode == JSON_LD_1_0:
+                    raise err.InvalidContextEntry("@propagate in 1.0 mode")
+                if not isinstance(context["@propagate"], bool):
+                    raise err.InvalidPropagateValue(repr(context["@propagate"]))
 
             # @import
             if "@import" in context:
@@ -692,9 +698,13 @@ def create_term_definition(
         return
     if state is False:
         raise err.CyclicIRIMapping(term)
-    # NOTE: an empty term ("") is spec-discouraged, but the reference
-    # defines it unless the validate option is set (context.rb:548,
-    # term_valid? at 1789) — we match the reference's lenient default.
+    if term == "" and active.validate:
+        # W3C 4.2 step 2 treats the empty string as an invalid term; the
+        # reference raises only under ``validate: true`` (context.rb:548,
+        # term_valid? at 1789) and its API default accepts it — the
+        # suite's test-6 fixture RELIES on the lenient default, while
+        # context_spec.rb's 'invalid term definitions' runs validating.
+        raise err.InvalidTermDefinition("empty term")
     defined[term] = False
 
     value = local_context.get(term)
@@ -789,6 +799,17 @@ def create_term_definition(
         if not is_iri(mapped):
             raise err.InvalidIRIMapping(repr(rev))
         definition.iri_mapping = mapped
+        if (term[1:-1].find(":") >= 0) or ("/" in term):
+            # compound (CURIE-shaped) term must round-trip to the same
+            # IRI — same consistency rule as the @id branch
+            # (context_spec.rb 'IRI term expands to different IRI
+            # (reverse)')
+            defined[term] = True
+            reexp = active.expand_iri(
+                term, vocab=True, local_context=local_context, defined=defined
+            )
+            if reexp != definition.iri_mapping:
+                raise err.InvalidIRIMapping(f"{term} inconsistent with {rev!r}")
         if "@container" in value:
             c = value["@container"]
             if c not in ("@set", "@index", None):
