@@ -157,7 +157,23 @@ def extract_jsonld(
             parsed = _json_loads(b.text)
             out.append(ExtractedDoc(b.text, base, b.index, None, parsed))
         except ValueError:
-            out.append(ExtractedDoc("", base, b.index, "invalid script element"))
+            # scripts in the wild carry //-comment lines; the reference
+            # reader tolerates them (streaming_reader_spec.rb
+            # script_comments) — retry with comment LINES stripped
+            # (never inside strings: only lines whose first non-blank
+            # chars are //)
+            stripped = "\n".join(
+                ln
+                for ln in b.text.splitlines()
+                if not ln.lstrip().startswith("//")
+            )
+            try:
+                parsed = _json_loads(stripped)
+                out.append(ExtractedDoc(stripped, base, b.index, None, parsed))
+            except ValueError:
+                out.append(
+                    ExtractedDoc("", base, b.index, "invalid script element")
+                )
     return out
 
 

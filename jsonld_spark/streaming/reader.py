@@ -241,9 +241,23 @@ def _stream_node_properties(
             for item in values:
                 yield with_type({"@id": subject, key: [item]}), ctx
 
-    yield from _emit_elements(
-        minidocs(), None, namer, options, rdf_direction, produce_generalized_rdf
-    )
+    # The @type shell (first mini-doc) emits the node's type quads; the
+    # property mini-docs re-include @type purely so type-SCOPED contexts
+    # apply, so the identical type quads they emit are suppressed here —
+    # the reference's single-pass reader emits each type statement once
+    # (streaming_reader_spec.rb interface cases count exact statements).
+    # Memory: O(node's type count).
+    shell_type_quads: set = set()
+    for i, (md, c) in enumerate(minidocs()):
+        for q in _emit_elements(
+            [(md, c)], None, namer, options, rdf_direction, produce_generalized_rdf
+        ):
+            if type_key is not None:
+                if i == 0:
+                    shell_type_quads.add(q)
+                elif q in shell_type_quads:
+                    continue
+            yield q
     if warnings_out is not None:
         warnings_out.extend(options.warnings)
 
