@@ -12,9 +12,12 @@ through a generator, so peak memory is O(largest element), not
 O(total quads).  The second-most-common giant shape — ONE top-level
 node object with a multi-million-element property array — streams
 property-item by property-item (``_stream_node_properties``, the
-analog of the reference's parse_property, streaming_reader.rb:425-575);
-only documents using other keywords at the top level (@reverse,
-@included, @index, @nest, value/list objects) fall back to batch.
+analog of the reference's parse_property, streaming_reader.rb:425-575).
+Round 4: top-level @reverse maps, @included arrays, @graph wrappers
+that also carry properties, @nest entries and @index all stream
+single-pass too; only top-level value/list objects and unknown aliased
+keywords fall back to batch (they expand to at most a handful of quads
+— nothing a bounded reader needs).
 
 Blank-node labels: one ``BlankNodeNamer`` is shared across elements, so
 explicit ``_:x`` labels keep their document-scoped identity.  Output is
@@ -92,13 +95,19 @@ def _streamable_spine(doc, ctx: Context, base: str | None):
 
 
 def _streamable_node(doc, ctx: Context, base: str | None):
-    """→ (ctx, id_value, type_key, prop_keys) when the document is a
-    top-level NODE OBJECT whose non-context keys are @id/@type/plain
-    properties — the second-most-common giant-document shape (one entity
-    with a multi-million-element property array).  Mirrors the
-    reference's parse_property streaming (streaming_reader.rb:425-575);
-    other keywords (@graph handled by the spine probe, @reverse,
-    @included, @index, @nest, @set, @list, @value) fall back to batch."""
+    """→ (ctx, id_value, type_key, prop_keys, extras) when the document
+    is a top-level NODE OBJECT — the second-most-common giant-document
+    shape (one entity with a multi-million-element property array).
+    Mirrors the reference's parse_property streaming
+    (streaming_reader.rb:425-575).  Beyond plain @id/@type/property
+    keys, ``extras`` carries the remaining single-pass-streamable
+    keyword entries (round 4): ``index_key`` (@index rides the shell
+    mini-doc), ``reverse_keys`` (@reverse maps stream per reverse-item),
+    ``included_keys`` (@included streams per included node),
+    ``graph_keys`` (a wrapper WITH properties streams its named-graph
+    elements one by one), ``nest_keys`` (each @nest entry expands as one
+    unit).  Only value/list objects and unknown/aliased keywords
+    (@value, @set, @list, ...) still fall back to batch."""
     if not isinstance(doc, dict):
         return None
     if "@context" in doc:
@@ -106,6 +115,13 @@ def _streamable_node(doc, ctx: Context, base: str | None):
     id_key = None
     type_key = None
     prop_keys: list[str] = []
+    extras = {
+        "index_key": None,
+        "reverse_keys": [],
+        "included_keys": [],
+        "graph_keys": [],
+        "nest_keys": [],
+    }
     for key in doc:
         if key == "@context":
             continue
@@ -114,17 +130,40 @@ def _streamable_node(doc, ctx: Context, base: str | None):
             id_key = key
         elif expanded == "@type" and type_key is None:
             type_key = key
+        elif expanded == "@index" and extras["index_key"] is None:
+            extras["index_key"] = key
+        elif expanded == "@reverse":
+            extras["reverse_keys"].append(key)
+        elif expanded == "@included":
+            extras["included_keys"].append(key)
+        elif expanded == "@graph":
+            extras["graph_keys"].append(key)
+        elif expanded == "@nest":
+            extras["nest_keys"].append(key)
         elif isinstance(expanded, str) and is_keyword(expanded):
             return None
         else:
             # IRI properties AND droppable keys both stream: per-item
             # expansion applies the same drop-with-warning rule as batch
             prop_keys.append(key)
-    if not prop_keys and type_key is None:
+    if (
+        not prop_keys
+        and type_key is None
+        and not any(
+            extras[k]
+            for k in ("reverse_keys", "included_keys", "graph_keys", "nest_keys")
+        )
+    ):
         return None  # id-only / empty: batch's free-floating drop applies
     if id_key is not None and not isinstance(doc[id_key], str):
         return None  # embedded/invalid @id → batch path (error parity)
-    return ctx, (doc[id_key] if id_key is not None else None), type_key, prop_keys
+    return (
+        ctx,
+        (doc[id_key] if id_key is not None else None),
+        type_key,
+        prop_keys,
+        extras,
+    )
 
 
 def _type_scoped(ctx: Context, type_values) -> Context:
@@ -190,8 +229,11 @@ def _stream_node_properties(
     """Stream one node object property-item by property-item: each item
     becomes a mini-document ``{"@id": subject, key: item}`` expanded and
     emitted independently, so peak memory is O(largest single value),
-    not O(node's total quad count)."""
-    ctx, sid_raw, type_key, prop_keys = probe
+    not O(node's total quad count).  @reverse maps, @included arrays and
+    @graph wrappers-with-properties stream per inner item the same way;
+    @index rides the shell mini-doc (validated there, emits no quads);
+    each @nest entry expands as one unit."""
+    ctx, sid_raw, type_key, prop_keys, extras = probe
     options = ExpandOptions(base=base, rdfstar=rdfstar)
     namer = BlankNodeNamer()
     # anonymous top-level node: a synthetic explicit label keeps the
@@ -202,14 +244,21 @@ def _stream_node_properties(
     subject = sid_raw if sid_raw is not None else _unused_bnode_label(doc)
 
     def minidocs():
-        if type_key is not None:
-            # shell: @id + @type (type quads; also re-included in every
-            # property mini-doc below so type-SCOPED contexts apply —
-            # propagate=False scoping cannot be pre-applied to a fresh
-            # expansion, it reverts via previous_context.  The duplicate
-            # type quads this re-inclusion emits are absorbed by the
-            # documented set semantics.)
-            yield {"@id": subject, type_key: doc[type_key]}, ctx
+        if type_key is not None or extras["index_key"] is not None:
+            # shell: @id + @type (+ @index, which emits no quads but
+            # must be VALIDATED — a non-string @index raises here,
+            # before any property quads stream out).  The @type quads
+            # are also re-included in every property mini-doc below so
+            # type-SCOPED contexts apply — propagate=False scoping
+            # cannot be pre-applied to a fresh expansion, it reverts
+            # via previous_context.  The duplicate type quads that
+            # re-inclusion would emit are suppressed by the caller.
+            shell = {"@id": subject}
+            if type_key is not None:
+                shell[type_key] = doc[type_key]
+            if extras["index_key"] is not None:
+                shell[extras["index_key"]] = doc[extras["index_key"]]
+            yield shell, ctx
         # container probing uses the scoped ctx (a type-scoped context
         # may redefine a term's @container)
         scoped = (
@@ -240,6 +289,42 @@ def _stream_node_properties(
                 continue
             for item in values:
                 yield with_type({"@id": subject, key: [item]}), ctx
+
+        # @reverse maps: one mini-doc per reverse-property item — each
+        # re-derives {reverse-key: {rk: [item]}} so per-item expansion
+        # applies the same validation (e.g. @list under @reverse raises)
+        for rkey in extras["reverse_keys"]:
+            rmap = doc[rkey]
+            if not isinstance(rmap, dict):
+                # invalid @reverse value: expand as one unit → same error
+                yield with_type({"@id": subject, rkey: rmap}), ctx
+                continue
+            for rk, rv in rmap.items():
+                items = rv if isinstance(rv, list) else [rv]
+                for item in items:
+                    yield with_type({"@id": subject, rkey: {rk: [item]}}), ctx
+
+        # @included: each included node is an independent top-level node —
+        # expand one at a time (per-item InvalidIncludedValue parity)
+        for ikey in extras["included_keys"]:
+            ival = doc[ikey]
+            items = ival if isinstance(ival, list) else [ival]
+            for item in items:
+                yield with_type({"@id": subject, ikey: [item]}), ctx
+
+        # @nest entries expand as ONE unit (nested maps are metadata-sized
+        # next to the giant property arrays this reader exists for)
+        for nkey in extras["nest_keys"]:
+            yield with_type({"@id": subject, nkey: doc[nkey]}), ctx
+
+        # @graph on a wrapper WITH properties: named graph (graph name =
+        # this node's @id, or the shared anonymous label) — stream its
+        # elements one by one through {@id, @graph: [el]} mini-docs
+        for gkey in extras["graph_keys"]:
+            gval = doc[gkey]
+            elements = gval if isinstance(gval, list) else [gval]
+            for el in elements:
+                yield with_type({"@id": subject, gkey: [el]}), ctx
 
     # The @type shell (first mini-doc) emits the node's type quads; the
     # property mini-docs re-include @type purely so type-SCOPED contexts

@@ -1737,11 +1737,17 @@ def test_streaming_reader_spec_sweep():
     # Selected toRdf cases: input/expect %( ) heredocs
     sel_pos = src.index('context "Selected toRdf tests" do')
     sel_end = src.index("}.each do |name, params|", sel_pos)
-    for m in re.finditer(r"(\w+): \{\n", src[sel_pos:sel_end]):
+    case_marks = list(re.finditer(r"^      (\w+): \{\n", src[sel_pos:sel_end], re.M))
+    for ci, m in enumerate(case_marks):
         name = m.group(1)
         block_start = sel_pos + m.end()
-        block = src[block_start : sel_end]
-        if re.search(r"^\s*pending:", block[: block.find("},\n")], re.M):
+        block_end = (
+            sel_pos + case_marks[ci + 1].start()
+            if ci + 1 < len(case_marks)
+            else sel_end
+        )
+        block = src[block_start:block_end]
+        if re.search(r"^\s*pending:", block, re.M):
             continue  # the reference itself skips it
         im = re.search(r"input: %\(", block)
         em = re.search(r"expect: %\(", block)

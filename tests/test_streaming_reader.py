@@ -32,23 +32,121 @@ NAMED_GRAPH_DOC = {
     "@id": "http://e.com/graph1",
     "@graph": [_entity(i) for i in range(3)],
 }
-NON_STREAMABLE = {
+GRAPH_WITH_PROPS = {
     "@context": CTX,
     "@id": "http://e.com/root",
     "name": "root",
-    "@graph": [_entity(0)],  # wrapper carries a property → whole-doc path
+    "@graph": [_entity(0)],  # wrapper carries a property → round-4 streaming
+}
+REVERSE_DOC = {
+    "@context": CTX,
+    "@id": "http://e.com/hub",
+    "name": "hub",
+    "@reverse": {"child": [{"@id": "http://e.com/a"}, {"@id": "http://e.com/b"}]},
+}
+INCLUDED_DOC = {
+    "@context": CTX,
+    "@id": "http://e.com/main",
+    "name": "main",
+    "@included": [_entity(1), _entity(2)],
+}
+INDEX_DOC = {
+    "@context": CTX,
+    "@id": "http://e.com/idx",
+    "@index": "an-index",
+    "name": "indexed",
+}
+NEST_DOC = {
+    "@context": CTX,
+    "@id": "http://e.com/nested",
+    "@nest": {"name": "inner", "n": 4},
+}
+ANON_GRAPH_DOC = {
+    "@context": CTX,
+    "name": "anon wrapper",
+    "@graph": [_entity(0), _entity(1)],
 }
 
 
 @pytest.mark.parametrize(
     "doc",
-    [ARRAY_DOC, GRAPH_DOC, NAMED_GRAPH_DOC, NON_STREAMABLE, _entity(7)],
-    ids=["array", "graph-wrapper", "named-graph", "non-streamable", "single-node"],
+    [ARRAY_DOC, GRAPH_DOC, NAMED_GRAPH_DOC, GRAPH_WITH_PROPS, _entity(7),
+     REVERSE_DOC, INCLUDED_DOC, INDEX_DOC, NEST_DOC],
+    ids=["array", "graph-wrapper", "named-graph", "graph-with-props",
+         "single-node", "reverse", "included", "index", "nest"],
 )
 def test_stream_equals_batch(doc):
     batch = set(doc_to_quads(doc, base="http://base.e/"))
     streamed = set(stream_doc_quads(doc, base="http://base.e/"))
     assert streamed == batch  # shared namer ⇒ identical labels
+
+
+def test_stream_anon_graph_wrapper_isomorphic():
+    """Anonymous wrapper with properties + @graph: the graph name is a
+    fresh bnode — labels differ from batch (sentinel vs emission-order
+    mint) but the graphs must be isomorphic."""
+    from jsonld_spark.canon import canonicalize_quads
+
+    batch = doc_to_quads(ANON_GRAPH_DOC, base="http://base.e/")
+    streamed = list(stream_doc_quads(ANON_GRAPH_DOC, base="http://base.e/"))
+    assert set(canonicalize_quads(sorted(set(streamed)))) == set(
+        canonicalize_quads(sorted(set(batch)))
+    )
+
+
+@pytest.mark.parametrize(
+    "doc,poison_probe",
+    [
+        (
+            {
+                "@context": CTX,
+                "@id": "http://e.com/hub",
+                "@reverse": {
+                    "child": [{"@id": "http://e.com/ok"}, {"@id": True}]
+                },
+            },
+            "http://e.com/ok",
+        ),
+        (
+            {
+                "@context": CTX,
+                "@id": "http://e.com/main",
+                "@included": [
+                    {"@id": "http://e.com/inc", "name": "ok"},
+                    {"@id": True},  # invalid — raises when reached
+                ],
+            },
+            "http://e.com/inc",
+        ),
+        (
+            {
+                "@context": CTX,
+                "@id": "http://e.com/root",
+                "@graph": [
+                    {"@id": "http://e.com/g1", "name": "ok"},
+                    {"@id": False},  # invalid — raises when reached
+                ],
+            },
+            "http://e.com/g1",
+        ),
+    ],
+    ids=["reverse", "included", "graph-with-props"],
+)
+def test_new_shapes_stream_lazily(doc, poison_probe):
+    """VERDICT r3 #5: the round-4 shapes stream item by item — earlier
+    items' quads are yielded BEFORE a poisoned later item raises, so no
+    batch fallback is buffering the whole document."""
+    it = stream_doc_quads(doc, base="http://base.e/")
+    got = []
+    try:
+        for q in it:
+            got.append(q)
+    except Exception:
+        assert any(
+            poison_probe in (q.subj, q.obj, q.graph or "") for q in got
+        ), f"no quads before poison: {got}"
+        return
+    raise AssertionError(f"poison item did not raise; got {got}")
 
 
 def test_stream_is_lazy():
