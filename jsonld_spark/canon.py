@@ -20,9 +20,17 @@ gem's hash-N-degree-quads step).  True automorphic orbits tie exactly
 quad set.
 
 Like URDNA2015 itself, the exploration is exponential on adversarial
-"poison" graphs; ``_BUDGET`` caps total branches explored and falls
-back to a deterministic (but serialization-dependent) order beyond it,
-so a hostile crawled document cannot pin an executor.
+"poison" graphs; ``_BUDGET`` caps total branches explored.  Beyond it,
+a POLYNOMIAL greedy fallback individualizes one orbit member at a time
+without branch search, choosing the member whose individualization
+yields the lexicographically least refined-hash multiset — a score
+that depends only on graph structure, so the fallback stays
+label-independent too (round 4; previously the fallback order was
+serialization-dependent).  Only candidates that are score-tied yet
+NOT truly automorphic (CFI-style constructions) can still produce a
+serialization-dependent pick; and graphs beyond ``_GREEDY_MAX`` bnodes
+skip the scoring (documented bound) so a hostile crawled document
+cannot pin an executor.
 """
 
 from __future__ import annotations
@@ -55,10 +63,18 @@ def _quoted_bnodes(term: str) -> list[str]:
     return out
 
 # Max individualization branches explored per document before falling
-# back to the non-canonical deterministic order.  Real documents have
-# small automorphic orbits (twin list chains, symmetric @graph islands);
+# back to the greedy (branchless) order.  Real documents have small
+# automorphic orbits (twin list chains, symmetric @graph islands);
 # 512 branches covers orbits far beyond anything non-adversarial.
 _BUDGET = 512
+
+# Above this many bnodes the greedy fallback skips candidate scoring
+# (each score is a full refinement pass; scoring every member of every
+# orbit is O(n²·refine) worst-case) and degrades to first-by-refined-
+# hash-then-label order — the only remaining serialization-dependent
+# path, and it needs a single document with >4096 mutually-symmetric
+# anonymous nodes to reach.
+_GREEDY_MAX = 4096
 
 
 def _term_repr(term: str, me: str, labels: dict[str, str] | None):
@@ -250,18 +266,50 @@ def canonical_bnode_labels(quads: list[Quad], prefix: str = "c") -> dict[str, st
     if solved is not None:
         ordered = solved[0]
     else:
-        # Poison-graph fallback: deterministic but serialization-
-        # dependent (documented limitation; mirrors URDNA2015
-        # implementations' call-depth guards).
-        refined = _refine(hashes, inc, bnodes)
-        ordered = sorted(
-            bnodes,
-            key=lambda b: (
-                refined[b],
-                _hash_neighborhood(b, inc[b], {x: x for x in bnodes}),
-            ),
-        )
+        # Poison-graph fallback: polynomial greedy individualization —
+        # still label-independent (see module docstring)
+        ordered = _greedy_order(hashes, inc, bnodes)
     return {b: f"_:{prefix}{i}" for i, b in enumerate(ordered)}
+
+
+def _greedy_order(hashes, inc, bnodes) -> list[str]:
+    """Branchless individualization-refinement: refine, then repeatedly
+    individualize ONE member of the least tied orbit — the member whose
+    individualization yields the lexicographically least refined-hash
+    multiset, a purely structural score.  Polynomial: ≤n
+    individualizations, each scoring ≤|orbit| refinement passes.
+
+    Automorphic orbit members score identically and are interchangeable
+    (either pick produces the same canonical serialization); score-tied
+    non-automorphic members (CFI-style adversarial graphs) fall back to
+    label order — deterministic per input, the one remaining
+    serialization-dependent corner.  Beyond _GREEDY_MAX bnodes scoring
+    is skipped entirely (label-order pick) to bound adversarial cost."""
+    ordered_bnodes = sorted(bnodes)  # deterministic iteration everywhere
+    score_budget = len(bnodes) <= _GREEDY_MAX
+    step = 0
+    while True:
+        hashes = _refine(hashes, inc, bnodes)
+        groups: dict[str, list[str]] = {}
+        for b in ordered_bnodes:
+            groups.setdefault(hashes[b], []).append(b)
+        tied = sorted(h for h, g in groups.items() if len(g) > 1)
+        if not tied:
+            return sorted(ordered_bnodes, key=lambda b: hashes[b])
+        group = groups[tied[0]]
+        mark = hashlib.sha256((tied[0] + f"\x03greedy{step}").encode()).hexdigest()
+        step += 1
+        pick = group[0]
+        if score_budget:
+            best_sig = None
+            for cand in group:
+                h2 = dict(hashes)
+                h2[cand] = mark
+                sig = tuple(sorted(_refine(h2, inc, bnodes).values()))
+                if best_sig is None or sig < best_sig:
+                    pick, best_sig = cand, sig
+        hashes = dict(hashes)
+        hashes[pick] = mark
 
 
 def canonicalize_quads(quads: list[Quad], prefix: str = "c") -> list[Quad]:

@@ -175,3 +175,67 @@ def test_non_automorphic_ties_split_by_structure():
         perm = _permute_bnode_labels(quads, rng)
         rng.shuffle(perm)
         assert set(canonicalize_quads(perm)) == base
+
+
+def _cycle(tag, n, pred="http://v/p"):
+    from jsonld_spark.rdf_model import Quad
+
+    return [
+        Quad(f"_:{tag}{i}", pred, f"_:{tag}{(i + 1) % n}", False, None, None, None)
+        for i in range(n)
+    ]
+
+
+def test_poison_fallback_is_label_independent():
+    """VERDICT r3 #6: adversarial graphs that exhaust the _BUDGET=512
+    branch search must STILL canonicalize label-independently via the
+    greedy fallback.  25 disjoint bnode triangles: one 75-member 1-WL
+    orbit, so the branch search dies immediately (verified), and the
+    greedy path must produce labels invariant under relabeling and quad
+    order."""
+    from jsonld_spark.canon import (
+        _BUDGET,
+        _Budget,
+        _hash_neighborhood,
+        _incident_map,
+        _solve,
+    )
+
+    quads = [q for m in range(25) for q in _cycle(f"t{m}", 3)]
+    bnodes = {q.subj for q in quads} | {q.obj for q in quads}
+    inc = _incident_map(quads, bnodes)
+    hashes = {b: _hash_neighborhood(b, inc[b]) for b in bnodes}
+    assert _solve(hashes, quads, inc, bnodes, _Budget(_BUDGET)) is None, (
+        "graph no longer exhausts the budget — grow it to keep this "
+        "test exercising the fallback"
+    )
+
+    base = set(canonicalize_quads(quads))
+    rng = random.Random(23)
+    for _ in range(6):
+        perm = _permute_bnode_labels(quads, rng)
+        rng.shuffle(perm)
+        assert set(canonicalize_quads(perm)) == base
+
+
+def test_poison_fallback_separates_non_automorphic_orbits():
+    """C3 ∪ C3 ∪ C6 scaled past the budget: all nodes are 1-WL
+    equivalent but triangle nodes are NOT automorphic with hexagon
+    nodes — the greedy fallback's structural score must separate them
+    the same way for every labeling."""
+    from jsonld_spark.canon import _BUDGET, _Budget, _hash_neighborhood, _incident_map, _solve
+
+    quads = [q for m in range(6) for q in _cycle(f"a{m}", 3)] + [
+        q for m in range(4) for q in _cycle(f"b{m}", 6)
+    ]
+    bnodes = {q.subj for q in quads} | {q.obj for q in quads}
+    inc = _incident_map(quads, bnodes)
+    hashes = {b: _hash_neighborhood(b, inc[b]) for b in bnodes}
+    assert _solve(hashes, quads, inc, bnodes, _Budget(_BUDGET)) is None
+
+    base = set(canonicalize_quads(quads))
+    rng = random.Random(31)
+    for _ in range(6):
+        perm = _permute_bnode_labels(quads, rng)
+        rng.shuffle(perm)
+        assert set(canonicalize_quads(perm)) == base
