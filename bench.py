@@ -38,13 +38,16 @@ BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "800000"))
 # 8→32 efficiency rises from ~0.73 (800k pages, ~6 s at 32 cores) to
 # ~0.94 (3.2M pages, ~20 s) purely from amortization.
 SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "3200000"))
-# 2 interleaved reps × 2 timed trials per level ≈ 9.5 min of probes; the
-# 20-75 s jobs are long enough that per-trial variance is small (three
-# independent sessions measured 0.94/0.88/0.83), so more trials buy
-# little — wall-clock budget buys interleaving instead, which cancels
-# slow VM drift between the two levels.
+# 3 interleaved reps × 2 timed trials per level ≈ 14 min of probes.
+# Round-4 measurements showed BETWEEN-WINDOW drift of ±12% on the t8
+# probe dominating any tuning knob (split size, corpus size), so the
+# budget goes to interleaved reps with min-taking: one clean window per
+# level is enough.  The scaling phase also runs FIRST in main() — the
+# round-4 full-bench run measured t32 37.2 s after ~20 min of query +
+# vs_prev JVM churn vs 25.8 s in a fresh window (raw efficiency 0.585
+# contaminated vs 0.77 clean).
 SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
-SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
 PAGES_PATH = os.path.join(REPO, "data", f"pages_bench_{BENCH_PAGES}.parquet")
@@ -202,9 +205,20 @@ def _vs_prev_probe(root: str) -> None:
         if name not in qs:
             continue
         qs[name](spark, SF_DIR).count()  # warm
+        # sub-second queries are dominated by scheduler jitter — a
+        # single timed trial produced the round-3 phantom "+39.7%
+        # dedup_exact regression" on UNCHANGED code.  Take the min over
+        # 5 trials when the query is sub-second (≥5 per VERDICT r3 #2);
+        # longer queries keep 2 trials (jitter is proportionally small).
         t0 = time.time()
         qs[name](spark, SF_DIR).count()
-        out[name] = round(time.time() - t0, 3)
+        best = time.time() - t0
+        trials = 4 if best < 1.0 else 1
+        for _ in range(trials):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
     import glob as _glob
 
     from pyspark.sql import functions as F
@@ -310,6 +324,12 @@ def main() -> None:
     results: dict[str, float] = {}
     extra: dict = {"sf_dir": SF_DIR, "bench_pages": BENCH_PAGES, "cpus": CPUS}
 
+    # Scaling runs FIRST: it is the suite's most churn-sensitive
+    # measurement (see SCALE_REPS comment) and the north rule's graded
+    # number — give it the freshest window before query/vs_prev JVMs.
+    if DO_SCALING:
+        _run_scaling(extra)
+
     spark = _session(CPUS, extra_conf=SCALE_CONF)
 
     # flagship: synthetic-crawl pages → triples throughput (min of 2
@@ -370,67 +390,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — attribution is best-effort
             extra["vs_prev_error"] = str(e)[:400]
 
-    # scaling-efficiency proxy: local[8] vs local[CPUS] on the SAME input.
-    # Each probe runs in its own subprocess (consecutive sessions in one
-    # driver process contaminate each other), interleaved big/small with
-    # settle gaps so time-varying VM noise hits both levels equally;
-    # min over SCALE_REPS × SCALE_TRIALS per level.
     if DO_SCALING:
-        import subprocess
-
-        try:
-            ensure_pages(SCALE_PAGES_PATH, SCALE_PAGES, seed=42, n_files=256)
-        except Exception as e:  # noqa: BLE001 — disk-pressure fallback
-            print(f"scale corpus generation failed ({e}); falling back to "
-                  f"{BENCH_PAGES}-page corpus", file=sys.stderr)
-            SCALE_PAGES = BENCH_PAGES
-            SCALE_PAGES_PATH = PAGES_PATH
-
-        def probe(cores: int) -> float:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scale-probe", str(cores)],
-                capture_output=True,
-                text=True,
-                env={
-                    **os.environ,
-                    "SPARK_GRAFT_BENCH_PAGES": str(BENCH_PAGES),
-                    "SPARK_GRAFT_SCALE_PAGES": str(SCALE_PAGES),
-                },
-            )
-            for line in proc.stdout.splitlines():
-                if line.startswith("PROBE_SEC "):
-                    return float(line.split()[1])
-            raise RuntimeError(f"scale probe {cores} failed: {proc.stderr[-2000:]}")
-
-        t_small = t_big = float("inf")
-        for _ in range(max(1, SCALE_REPS)):
-            time.sleep(8)
-            t_big = min(t_big, probe(CPUS))
-            time.sleep(8)
-            t_small = min(t_small, probe(8))
-        ratio = CPUS / 8
-        eff = (t_small / t_big) / ratio
-        extra["scale_pages"] = SCALE_PAGES
-        extra["t_local8"] = round(t_small, 3)
-        extra[f"t_local{CPUS}"] = round(t_big, 3)
-        extra["scaling_efficiency_8_to_%d" % CPUS] = round(eff, 3)
-        extra["throughput_pages_per_sec_8"] = round(SCALE_PAGES / t_small, 1)
-        extra["throughput_pages_per_sec_%d" % CPUS] = round(SCALE_PAGES / t_big, 1)
-
-        # hardware control: same-VM ceiling for a perfectly-parallel
-        # version of the workload (no framework).  On one shared socket
-        # the CPUS-busy config clocks lower / shares memory bandwidth —
-        # hardware a 4N-executor cluster would NOT share, so the
-        # normalized number is the cluster-N→4N proxy.
-        mp_small = _mp_throughput(8)
-        mp_big = _mp_throughput(CPUS)
-        hw_ceiling = (mp_big / mp_small) / ratio
-        extra["mp_pages_per_sec_8"] = round(mp_small, 1)
-        extra["mp_pages_per_sec_%d" % CPUS] = round(mp_big, 1)
-        extra["hw_ceiling_8_to_%d" % CPUS] = round(hw_ceiling, 3)
-        extra["scaling_efficiency_8_to_%d_hw_normalized" % CPUS] = round(
-            min(1.0, eff / hw_ceiling), 3
-        )
         _write_bench_md(extra)
 
     out = {
@@ -442,6 +402,74 @@ def main() -> None:
         **extra,
     }
     print(json.dumps(out))
+
+
+def _run_scaling(extra: dict) -> None:
+    """Scaling-efficiency proxy: local[8] vs local[CPUS] on the SAME
+    input.  Each probe runs in its own subprocess (consecutive sessions
+    in one driver process contaminate each other), interleaved
+    big/small with settle gaps so time-varying VM noise hits both
+    levels equally; min over SCALE_REPS × SCALE_TRIALS per level.
+    Called FIRST from main(): the round-4 bench showed the scaling
+    number is the most churn-sensitive measurement in the suite."""
+    global SCALE_PAGES, SCALE_PAGES_PATH
+    from jsonld_spark.sources.pages import ensure_pages
+
+    import subprocess
+
+    try:
+        ensure_pages(SCALE_PAGES_PATH, SCALE_PAGES, seed=42, n_files=256)
+    except Exception as e:  # noqa: BLE001 — disk-pressure fallback
+        print(f"scale corpus generation failed ({e}); falling back to "
+              f"{BENCH_PAGES}-page corpus", file=sys.stderr)
+        SCALE_PAGES = BENCH_PAGES
+        SCALE_PAGES_PATH = PAGES_PATH
+
+    def probe(cores: int) -> float:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scale-probe", str(cores)],
+            capture_output=True,
+            text=True,
+            env={
+                **os.environ,
+                "SPARK_GRAFT_BENCH_PAGES": str(BENCH_PAGES),
+                "SPARK_GRAFT_SCALE_PAGES": str(SCALE_PAGES),
+            },
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("PROBE_SEC "):
+                return float(line.split()[1])
+        raise RuntimeError(f"scale probe {cores} failed: {proc.stderr[-2000:]}")
+
+    t_small = t_big = float("inf")
+    for _ in range(max(1, SCALE_REPS)):
+        time.sleep(8)
+        t_big = min(t_big, probe(CPUS))
+        time.sleep(8)
+        t_small = min(t_small, probe(8))
+    ratio = CPUS / 8
+    eff = (t_small / t_big) / ratio
+    extra["scale_pages"] = SCALE_PAGES
+    extra["t_local8"] = round(t_small, 3)
+    extra[f"t_local{CPUS}"] = round(t_big, 3)
+    extra["scaling_efficiency_8_to_%d" % CPUS] = round(eff, 3)
+    extra["throughput_pages_per_sec_8"] = round(SCALE_PAGES / t_small, 1)
+    extra["throughput_pages_per_sec_%d" % CPUS] = round(SCALE_PAGES / t_big, 1)
+
+    # hardware control: same-VM ceiling for a perfectly-parallel
+    # version of the workload (no framework).  On one shared socket
+    # the CPUS-busy config clocks lower / shares memory bandwidth —
+    # hardware a 4N-executor cluster would NOT share, so the
+    # normalized number is the cluster-N→4N proxy.
+    mp_small = _mp_throughput(8)
+    mp_big = _mp_throughput(CPUS)
+    hw_ceiling = (mp_big / mp_small) / ratio
+    extra["mp_pages_per_sec_8"] = round(mp_small, 1)
+    extra["mp_pages_per_sec_%d" % CPUS] = round(mp_big, 1)
+    extra["hw_ceiling_8_to_%d" % CPUS] = round(hw_ceiling, 3)
+    extra["scaling_efficiency_8_to_%d_hw_normalized" % CPUS] = round(
+        min(1.0, eff / hw_ceiling), 3
+    )
 
 
 def _write_bench_md(extra: dict) -> None:
@@ -497,6 +525,21 @@ comparable to the Spark rows above — only the 8→{cpus} ratio matters.)
 scaling: it isolates what Spark + this pipeline add on top of the
 hardware (scheduling, Arrow transport, stragglers, JVM feed).
 
+### Round-4 note: window sensitivity of the raw number
+
+Four scaling measurements in one day, identical engine code:
+raw 0.585 (after ~20 min of query/vs_prev JVM churn — contaminated,
+t32 37.2 s vs 25.8 s fresh), 0.770 (isolated fresh window), 0.835 and
+0.732 (split-size probes in drifting windows).  The hardware-control
+ceiling moved 0.786-0.849 across the same windows, i.e. the VM itself
+denies ≥0.8 raw in some windows regardless of engine: RAW CANNOT
+EXCEED THE CEILING, and the ceiling is a property of the box, not the
+code.  Two harness changes stabilize the number: the scaling phase now
+runs FIRST in main() (freshest window), and SCALE_REPS defaults to 3
+interleaved reps with min-taking.  The normalized number (raw/ceiling,
+both from the SAME window) is stable at 0.93-0.96 across all windows —
+that is the engine's actual N→4N behavior.
+
 Emitted triples: {extra['pages_triples']} ({extra['pages_triples_per_sec']}/sec
 at local[{cpus}]).
 """
@@ -521,6 +564,26 @@ HEAD faster.
                     f"| {name} | {row['head_sec']} | {row['prev_sec']} | "
                     f"{'' if d is None else f'{d:+.1f}%'} |\n"
                 )
+            f.write(
+                """
+### dedup_exact attribution (round 4, VERDICT r3 #2)
+
+Round 3 recorded dedup_exact +39.7% (0.340 → 0.475 s) against the
+round-2 snapshot.  Root cause: MEASUREMENT FLOOR, not code.
+`functions/text.py` had no diff across rounds 2-4 (git log empty since
+7facdf2), so both sides of every A/B ran byte-identical query code.
+Round-4 evidence: with the probe upgraded to min-over-5 timed trials,
+four independent interleaved windows measured HEAD-vs-snapshot deltas
+of +36%, −21%, +27%, +18.5% — the SIGN FLIPS between windows on
+identical code, which no code regression can produce.  A ~0.25 s
+32-core query on this shared VM schedules in ~8 ms/task quanta where
+one straggler or GC pause moves the total by 0.05-0.15 s; that is the
+amplitude observed.  Conclusion: dedup_exact deltas within ±40% are
+below this harness's resolution; treat only sign-stable multi-window
+deltas as real.  (pages_extract_16f, a 3 s probe, shows the same
+harness is accurate at longer durations: +0.7% on identical code.)
+"""
+            )
         f.write(
             """
 ## Checkpoint cadence A/B (round 3)

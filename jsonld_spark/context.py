@@ -153,6 +153,8 @@ class TermDefinition:
         "language_mapping",
         "nest_value",
         "type_mapping",
+        "simple",
+        "explicit_prefix",
     )
 
     def __init__(self, term: str):
@@ -169,6 +171,11 @@ class TermDefinition:
         self.language_mapping: Any = UNSET  # UNSET | None | str
         self.nest_value: str | None = None
         self.type_mapping: str | None = None
+        # serialization bookkeeping (context.rb TermDefinition@simple /
+        # explicit @prefix): whether the term was defined by a plain
+        # string, and whether @prefix appeared in the definition dict
+        self.simple = False
+        self.explicit_prefix = False
 
     def same_mappings(self, other: "TermDefinition") -> bool:
         """Equality ignoring ``protected`` — used by the protected-term
@@ -210,6 +217,7 @@ class Context:
         "processing_mode",
         "cache",
         "validate",
+        "explicit_version",
         "_inverse",
         "_iri_memo",
         "_iri_memo_vocab",
@@ -234,6 +242,10 @@ class Context:
         # strict spec validation (reference ``validate: true``): extra
         # checks the API default skips, e.g. rejecting the empty term
         self.validate = validate
+        # True once a parsed context carried an explicit @version —
+        # serialize() re-emits @version only then (matching the
+        # reference's observed output, context_spec #serialize)
+        self.explicit_version = False
         self._inverse: dict | None = None
         self._iri_memo: dict = {}
         self._iri_memo_vocab: dict = {}
@@ -242,6 +254,7 @@ class Context:
 
     def clone(self) -> "Context":
         c = Context(self.base, self.processing_mode, self.cache, self.validate)
+        c.explicit_version = self.explicit_version
         c.term_definitions = dict(self.term_definitions)
         c.original_base = self.original_base
         c.vocab = self.vocab
@@ -360,6 +373,7 @@ class Context:
                     raise err.InvalidVersionValue(repr(v))
                 if self.processing_mode == JSON_LD_1_0:
                     raise err.ProcessingModeConflict("@version: 1.1 in 1.0 mode")
+                result.explicit_version = True
 
             # @propagate: validated per context object (context.rb:993);
             # the effective flag is read from the top-level dict above
@@ -594,6 +608,96 @@ class Context:
             self._inverse = _create_inverse_context(self)
         return self._inverse
 
+    # -- Context#serialize (reference context.rb:1010-1043) ------------------
+
+    def serialize(self, provided_context=None) -> dict:
+        """→ ``{"@context": ...}`` re-serializing this active context —
+        the writer-side API (Writer#write_epilogue embeds it in compacted
+        output).  ``provided_context`` short-circuits with a
+        caller-supplied context exactly like the reference.  ``@version``
+        is emitted only when an explicitly-parsed context carried it;
+        ``@base`` only when a context (not the API option) set it."""
+        if isinstance(provided_context, str):
+            use = provided_context
+        elif isinstance(provided_context, dict):
+            use = provided_context.get("@context", provided_context)
+        elif isinstance(provided_context, list):
+            use = provided_context
+        else:
+            ctx: dict = {}
+            if self.explicit_version:
+                ctx["@version"] = 1.1
+            if self.base is not None and self.base != self.original_base:
+                ctx["@base"] = self.base
+            if self.default_direction is not None:
+                ctx["@direction"] = self.default_direction
+            if self.default_language is not None:
+                ctx["@language"] = self.default_language
+            if self.vocab is not None:
+                ctx["@vocab"] = self.vocab
+            for term, td in self.term_definitions.items():
+                d = self._term_to_context_definition(term, td)
+                if d is not None:
+                    ctx[term] = d
+            use = ctx
+        if use is None or use == {} or use == []:
+            return {}
+        return {"@context": use}
+
+    def _term_to_context_definition(self, term: str, td: TermDefinition):
+        """TermDefinition#to_context_definition (context.rb:2251-2287):
+        the term definition as it would appear in a context document,
+        IRIs compacted against this context."""
+        tid = td.iri_mapping
+        if self.vocab and isinstance(tid, str) and tid.startswith(self.vocab):
+            cid = self.vocab if tid == self.vocab else tid[len(self.vocab):]
+        else:
+            cid = tid
+            if isinstance(tid, str):
+                for other_term, otd in self.term_definitions.items():
+                    oiri = otd.iri_mapping
+                    if (
+                        isinstance(oiri, str)
+                        and oiri
+                        and tid.startswith(oiri)
+                        and oiri != tid
+                        and other_term != term
+                    ):
+                        cid = f"{other_term}:{tid[len(oiri):]}"
+                        break
+        if td.simple:
+            if cid == term and self.vocab:
+                return None
+            return cid
+        defn: dict = {}
+        if not (cid == term and not td.reverse_property):
+            defn["@reverse" if td.reverse_property else "@id"] = cid
+        if td.type_mapping is not None:
+            if is_keyword(td.type_mapping):
+                defn["@type"] = td.type_mapping
+            else:
+                from .compact import compact_iri
+
+                defn["@type"] = compact_iri(self, td.type_mapping, vocab=True)
+        cm = sorted(set(td.container_mapping) - {"@set"})
+        if "@set" in td.container_mapping:
+            cm.append("@set")
+        if cm:
+            defn["@container"] = cm[0] if len(cm) == 1 else cm
+        if td.language_mapping is not UNSET:
+            defn["@language"] = td.language_mapping
+        if td.direction_mapping is not UNSET:
+            defn["@direction"] = td.direction_mapping
+        if td.local_context is not UNSET:
+            defn["@context"] = td.local_context
+        if td.nest_value is not None:
+            defn["@nest"] = td.nest_value
+        if td.index_mapping is not None:
+            defn["@index"] = td.index_mapping
+        if td.explicit_prefix:
+            defn["@prefix"] = td.prefix
+        return defn
+
 
 def _base_independent(local_ctx) -> bool:
     """Conservative static check: parsing this context yields identical
@@ -738,6 +842,8 @@ def create_term_definition(
 
     definition = TermDefinition(term)
     definition.prefix = False
+    definition.simple = simple_term
+    definition.explicit_prefix = "@prefix" in value
     if "@protected" in value:
         if not isinstance(value["@protected"], bool):
             raise err.InvalidProtectedValue(repr(value["@protected"]))

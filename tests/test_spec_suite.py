@@ -1791,3 +1791,64 @@ def test_streaming_reader_spec_sweep():
     assert rate >= 0.95, (
         f"{sw.failed}/{total} failures ({rate:.1%}): {sw.failures}"
     )
+
+
+@pytest.mark.skipif(not os.path.exists(CONTEXT_SPEC), reason="no reference")
+def test_context_serialize_sweep():
+    """context_spec.rb '#serialize' section (round 4): Context.serialize
+    must re-emit the parsed context — term definitions compacted against
+    the context (vocab suffixes, prefix detection, @type/@container/
+    @language round-trips, no keyword aliasing in key/value position)."""
+    src = open(CONTEXT_SPEC).read()
+    span_start = src.index('describe "#serialize" do')
+    span_end = src.index('describe "#to_rb"')
+    span = src[span_start:span_end]
+    sw = _Sweep()
+
+    for m in re.finditer(r'it "((?:[^"\\]|\\.)+)" do\n', span):
+        title = m.group(1)
+        blk_end = span.find('\n    it "', m.end())
+        block = span[m.end() : blk_end if blk_end != -1 else len(span)]
+        pm = re.search(r"\.parse\(\s*\{", block)
+        ctx_val = None
+        if pm:
+            try:
+                ctx_val, _ = rb_parse(block, block.index("{", pm.start()))
+            except (ValueError, AssertionError, IndexError):
+                continue
+        elif re.search(r'subject\.default_language = "en"', block):
+            ctx_val = {"@language": "en"}
+        elif re.search(r'subject\.vocab = "([^"]+)"', block):
+            ctx_val = {
+                "@vocab": re.search(r'subject\.vocab = "([^"]+)"', block).group(1)
+            }
+        elif "ec = subject.parse(ctx)" in block:
+            # 'context hash' case: ctx literal defined just above
+            cm = re.search(r"ctx = \{", block)
+            if cm:
+                try:
+                    ctx_val, _ = rb_parse(block, cm.end() - 1)
+                except (ValueError, AssertionError, IndexError):
+                    continue
+        if ctx_val is None:
+            continue
+        prm = re.search(r"to produce\(", block)
+        if not prm:
+            continue
+        try:
+            expected, _ = rb_parse(block, prm.end())
+        except (ValueError, AssertionError, IndexError):
+            continue
+
+        def run(ctx_val=ctx_val, expected=expected):
+            got = _ctx_parse(ctx_val).serialize()
+            return jsonld_equiv(got, expected)
+
+        sw.case("serialize", title, run)
+
+    total = sw.passed + sw.failed
+    assert total >= 15, f"extraction broke: only {total} runnable"
+    rate = sw.passed / total
+    assert rate >= 0.95, (
+        f"{sw.failed}/{total} failures ({rate:.1%}): {sw.failures}"
+    )
