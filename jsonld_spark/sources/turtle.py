@@ -5,7 +5,9 @@ Covers the subset the reference's round-trip fixtures use
 prefixed names (empty local parts allowed), ``a``, string/numeric/bool
 literals with optional ``^^``/``@lang``, predicate-object lists ``;``,
 object lists ``,``, blank-node property lists ``[ ... ]``, collections
-``( ... )``, comments.  Not a full Turtle implementation — good enough
+``( ... )``, comments, and (round 4) TriG graph blocks
+``[name] { triples }`` — the reference's writer specs feed TriG.  Not a
+full Turtle implementation — good enough
 as a golden-file reader and a secondary ingest format for small vocab
 files; crawl-scale inputs stay parquet/Iceberg.
 """
@@ -40,7 +42,7 @@ _TOKEN_RE = re.compile(
   | (?P<bnode_label>_:[\w-]+)
   | (?P<kw_a>\ba\b)
   | (?P<bool>\btrue\b|\bfalse\b)
-  | (?P<punct>[\[\]();,.])
+  | (?P<punct>[\[\](){};,.])
     """,
     re.VERBOSE,
 )
@@ -56,6 +58,7 @@ class TurtleParser:
         self.pos = 0
         self.prefixes: dict[str, str] = {}
         self.base = base
+        self.graph: str | None = None  # current TriG graph block name
         self.quads: list[Quad] = []
         self._bn = 0
 
@@ -115,11 +118,32 @@ class TurtleParser:
                 if val.startswith("@"):
                     self._expect_punct(".")
                 continue
-            self._triples()
+            if kind == "punct" and val == "{":
+                self._next()
+                self._graph_block(None)
+                continue
+            if self._triples():
+                continue  # consumed a named graph block — no '.'
             self._expect_punct(".")
         return self.quads
 
-    def _triples(self):
+    def _graph_block(self, name: str | None):
+        prev = self.graph
+        self.graph = name
+        while True:
+            kind, val = self._peek()
+            if kind == "punct" and val == "}":
+                self._next()
+                break
+            self._triples()
+            kind, val = self._peek()
+            if kind == "punct" and val == ".":
+                self._next()
+        self.graph = prev
+
+    def _triples(self) -> bool:
+        """Parse one triples clause; → True when a NAMED GRAPH BLOCK
+        (``<name> { ... }``) was consumed instead (no trailing dot)."""
         kind, val = self._peek()
         if kind == "punct" and val == "[":
             subj = self._bnode_property_list()
@@ -128,7 +152,13 @@ class TurtleParser:
                 self._predicate_object_list(subj)
         else:
             subj = self._resource()
+            kind, val = self._peek()
+            if kind == "punct" and val == "{":
+                self._next()
+                self._graph_block(subj)
+                return True
             self._predicate_object_list(subj)
+        return False
 
     def _predicate_object_list(self, subj: str):
         while True:
@@ -137,7 +167,7 @@ class TurtleParser:
                 obj = self._object(subj, pred)
                 if obj is not None:
                     self.quads.append(
-                        Quad(subj, pred, *obj, None)
+                        Quad(subj, pred, *obj, self.graph)
                     )
                 kind, val = self._peek()
                 if kind == "punct" and val == ",":
@@ -236,9 +266,11 @@ class TurtleParser:
         head = self._new_bnode()
         current = head
         for i, it in enumerate(items):
-            self.quads.append(Quad(current, RDF_FIRST, *it, None))
+            self.quads.append(Quad(current, RDF_FIRST, *it, self.graph))
             nxt = self._new_bnode() if i < len(items) - 1 else RDF_NIL
-            self.quads.append(Quad(current, RDF_REST, nxt, False, None, None, None))
+            self.quads.append(
+                Quad(current, RDF_REST, nxt, False, None, None, self.graph)
+            )
             current = nxt
         return head
 

@@ -913,7 +913,7 @@ def _rb_table_after(src, anchor, with_each=True, start=0):
             continue
         if not with_each:
             return val, None
-        m = re.match(r"\s*\.each do \|([^|]*)\|", src[end:])
+        m = re.match(r"\s*\.each(?:_pair)? do \|([^|]*)\|", src[end:])
         if m:
             return val, m.group(1).strip()
         pos = end
@@ -1848,6 +1848,72 @@ def test_context_serialize_sweep():
 
     total = sw.passed + sw.failed
     assert total >= 15, f"extraction broke: only {total} runnable"
+    rate = sw.passed / total
+    assert rate >= 0.95, (
+        f"{sw.failed}/{total} failures ({rate:.1%}): {sw.failures}"
+    )
+
+
+STREAM_WRITER_SPEC = "/root/reference/spec/streaming_writer_spec.rb"
+
+
+@pytest.mark.skipif(not os.path.exists(STREAM_WRITER_SPEC), reason="no reference")
+def test_streaming_writer_spec_sweep():
+    """streaming_writer_spec.rb: statements in (N-Triples / Turtle /
+    TriG named-graph blocks) → streamed expanded JSON-LD out, driven
+    through parse_turtle + fromRdf — the Spark-side analog of the
+    reference's StreamingWriter (our streamed materialize writers build
+    on the same fromRdf assembly).  The fromRdf-manifest loop needs the
+    remote W3C suite — out of scope like the reference's own CI skip."""
+    from jsonld_spark.from_rdf import from_quads
+    from jsonld_spark.sources.turtle import parse_turtle
+
+    src = open(STREAM_WRITER_SPEC).read()
+    sw = _Sweep()
+
+    start = src.index('context "simple tests" do')
+    end = src.index('context "Named Graphs" do')
+    span = src[start:end]
+    for m in re.finditer(r'it "((?:[^"\\]|\\.)+)" do\n', span):
+        title = m.group(1)
+        blk_end = span.find('\n    it "', m.end())
+        block = span[m.end() : blk_end if blk_end != -1 else len(span)]
+        im = re.search(r"input = (%\(|')", block)
+        if not im:
+            continue
+        if block[im.end() - 2] == "%":
+            input_str, _ = rb_parse(block, im.end() - 2)
+        else:
+            q0 = im.end() - 1
+            input_str = block[q0 + 1 : block.index("'", q0 + 1)]
+        em = re.search(r"(?:produce_jsonld\(|eql JSON\.parse\(%\(|match_array\(JSON\.parse\(%\()", block)
+        if not em:
+            continue
+        try:
+            if block[em.end() - 2 : em.end()] == "%(":
+                raw, _ = rb_parse(block, em.end() - 2)
+                expected = json.loads(raw)
+            else:
+                expected, _ = rb_parse(block, em.end())
+        except (ValueError, AssertionError, IndexError):
+            continue
+
+        def run(input_str=input_str, expected=expected):
+            got = from_quads(parse_turtle(input_str), ordered=True)
+            return jsonld_equiv(got, expected)
+
+        sw.case("stream_writer/simple", title, run)
+
+    table, sig = _rb_table_after(src, 'context "Named Graphs" do')
+    for title, (input_str, matches) in table.items():
+        def run(input_str=input_str, matches=matches):
+            got = from_quads(parse_turtle(input_str), ordered=True)
+            return jsonld_equiv(got, json.loads(matches))
+
+        sw.case("stream_writer/graphs", title, run)
+
+    total = sw.passed + sw.failed
+    assert total >= 6, f"extraction broke: only {total} runnable"
     rate = sw.passed / total
     assert rate >= 0.95, (
         f"{sw.failed}/{total} failures ({rate:.1%}): {sw.failures}"
