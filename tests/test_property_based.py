@@ -253,3 +253,57 @@ def test_streaming_reader_isomorphic_on_node_objects(doc):
         assert _streamable_node(
             doc, Context(base="http://base.e/"), "http://base.e/"
         )
+
+
+def _rich_top_nodes():
+    """Top-level node objects carrying the round-4 streamed keyword
+    shapes: @reverse maps, @included arrays, @graph wrappers with
+    properties, @index — mixed with plain properties."""
+    inner = _node_objects(1)
+    return st.fixed_dictionaries(
+        {"@id": _iri},
+        optional={
+            "http://ex.org/p": st.lists(inner, min_size=1, max_size=2),
+            "@type": st.lists(_iri, min_size=1, max_size=2),
+            "@index": st.sampled_from(["i0", "i1"]),
+            "@reverse": st.fixed_dictionaries(
+                {},
+                optional={
+                    "http://ex.org/rev": st.lists(
+                        st.fixed_dictionaries({"@id": _iri}), min_size=1, max_size=3
+                    ),
+                    "http://ex.org/rev2": st.lists(
+                        st.fixed_dictionaries({"@id": _iri}), min_size=1, max_size=2
+                    ),
+                },
+            ),
+            "@included": st.lists(inner, min_size=1, max_size=3),
+            "@graph": st.lists(inner, min_size=1, max_size=3),
+        },
+    )
+
+
+@settings(max_examples=120, deadline=None)
+@given(_rich_top_nodes())
+def test_streaming_reader_isomorphic_on_rich_shapes(doc):
+    """Round-4 property: top-level @reverse / @included / @index /
+    @graph-with-properties stream single-pass (no batch fallback) and
+    stay graph-isomorphic to the batch path."""
+    from jsonld_spark.canon import canonicalize_quads
+    from jsonld_spark.context import Context
+    from jsonld_spark.streaming.reader import _streamable_node, stream_doc_quads
+    from jsonld_spark.to_rdf import doc_to_quads
+
+    batch = doc_to_quads(json.loads(json.dumps(doc)), base="http://base.e/")
+    streamed = list(
+        stream_doc_quads(json.loads(json.dumps(doc)), base="http://base.e/")
+    )
+    # graph column mixes None and str — sort by repr for determinism
+    s = set(canonicalize_quads(sorted(set(streamed), key=repr)))
+    b = set(canonicalize_quads(sorted(set(batch), key=repr)))
+    assert s == b
+    if not set(doc) <= {"@id", "@index"}:
+        # @id/@index-only nodes emit no quads — batch fallback is fine
+        assert _streamable_node(
+            doc, Context(base="http://base.e/"), "http://base.e/"
+        ), "silent batch fallback on a streamable shape"
