@@ -135,6 +135,32 @@ def _q_jsonld_stream_triples(spark, sf_dir):
     )
 
 
+def _q_trig_named_graphs(spark, sf_dir):
+    """TriG ingest (round 4): a named-graph TriG document derived from
+    the documents table round-trips through the Turtle/TriG reader into
+    (graph, subj, obj) triples.  The TriG text is built driver-side
+    from a BOUNDED slice (first 500 doc_ids — the parse is a driver-side
+    golden-file/vocab-ingest path, never a crawl-scale scan)."""
+    from jsonld_spark.sources.turtle import parse_turtle
+
+    rows = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(500)
+        .collect()
+    )
+    trig = "\n".join(
+        f'<urn:g:{r.doc_id}> {{ <urn:d:{r.doc_id}> <{VOCAB}n_chars> "{r.n_chars}" . }}'
+        for r in rows
+    )
+    quads = parse_turtle(trig)
+    return spark.createDataFrame(
+        [(q.graph, q.subj, q.obj) for q in quads],
+        "graph string, subj string, obj string",
+    ).orderBy("subj")
+
+
 # --- relational operators over driver tables --------------------------------
 
 
@@ -486,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_frame_documents": _q_jsonld_frame_documents,
         "jsonld_materialize": _q_jsonld_materialize,
         "jsonld_rdfstar_annotations": _q_jsonld_rdfstar,
+        "trig_named_graphs": _q_trig_named_graphs,
         # relational operators
         "tpch_q1": _q_tpch_q1,
         "top_revenue_join": _q_top_revenue_join,
@@ -553,6 +580,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT {doc_subj} AS subj, lang AS obj,
                    CAST(NULL AS VARCHAR) AS obj_datatype
             FROM documents ORDER BY subj""",
+        "trig_named_graphs": """
+            SELECT 'urn:g:' || CAST(doc_id AS VARCHAR) AS graph,
+                   'urn:d:' || CAST(doc_id AS VARCHAR) AS subj,
+                   CAST(n_chars AS VARCHAR) AS obj
+            FROM (SELECT doc_id, n_chars FROM documents
+                  ORDER BY doc_id LIMIT 500)
+            ORDER BY subj""",
         "jsonld_node_stats": f"""
             SELECT CAST(NULL AS VARCHAR) AS graph, {doc_subj} AS subj,
                    CAST(5 AS BIGINT) AS n_preds, CAST(5 AS BIGINT) AS n_triples
