@@ -235,9 +235,12 @@ def _vs_prev_probe(root: str) -> None:
             return pipe.extract(pages).filter(F.col("error").isNull()).count()
 
         run()  # warm
-        t0 = time.time()
-        run()
-        out["pages_extract_16f"] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(3):  # ~3 s probe; min-of-3 bounds window jitter
+            t0 = time.time()
+            run()
+            best = min(best, time.time() - t0)
+        out["pages_extract_16f"] = round(best, 3)
     spark.stop()
     print("VS_PREV_JSON " + json.dumps(out))
 
