@@ -27,10 +27,11 @@ yields the lexicographically least refined-hash multiset — a score
 that depends only on graph structure, so the fallback stays
 label-independent too (round 4; previously the fallback order was
 serialization-dependent).  Only candidates that are score-tied yet
-NOT truly automorphic (CFI-style constructions) can still produce a
-serialization-dependent pick; and graphs beyond ``_GREEDY_MAX`` bnodes
-skip the scoring (documented bound) so a hostile crawled document
-cannot pin an executor.
+NOT truly automorphic (CFI-style constructions), or graphs whose
+greedy phase exhausts ``_greedy_refine_cap`` (a size-scaled cap on
+total refinement passes ≈ constant hashing work), fall back to a
+serialization-dependent order — so a hostile crawled document cannot
+pin an executor no matter its shape.
 """
 
 from __future__ import annotations
@@ -68,13 +69,18 @@ def _quoted_bnodes(term: str) -> list[str]:
 # 512 branches covers orbits far beyond anything non-adversarial.
 _BUDGET = 512
 
-# Above this many bnodes the greedy fallback skips candidate scoring
-# (each score is a full refinement pass; scoring every member of every
-# orbit is O(n²·refine) worst-case) and degrades to first-by-refined-
-# hash-then-label order — the only remaining serialization-dependent
-# path, and it needs a single document with >4096 mutually-symmetric
-# anonymous nodes to reach.
-_GREEDY_MAX = 4096
+# Work cap for the greedy fallback: total _refine passes it may spend
+# (scoring + per-step), scaled inversely with graph size because one
+# refine pass costs O(n·deg) hashing — a fixed pass count would still
+# let a ~4k-bnode single-orbit poison graph burn hours.  2^17/n passes
+# ≈ a constant ~1.3e5-node-hash budget (seconds): n=75 → 1747 passes
+# (plenty for full scoring), n=4096 → 64 passes (greedy runs unscored
+# and briefly).  Beyond the cap the order falls back to
+# refined-hash-then-label — the only remaining serialization-dependent
+# path, reachable only by a single document with thousands of
+# mutually-symmetric anonymous nodes.
+def _greedy_refine_cap(n: int) -> int:
+    return max(64, (1 << 17) // max(1, n))
 
 
 def _term_repr(term: str, me: str, labels: dict[str, str] | None):
@@ -277,18 +283,23 @@ def _greedy_order(hashes, inc, bnodes) -> list[str]:
     individualize ONE member of the least tied orbit — the member whose
     individualization yields the lexicographically least refined-hash
     multiset, a purely structural score.  Polynomial: ≤n
-    individualizations, each scoring ≤|orbit| refinement passes.
+    individualizations, each scoring ≤|orbit| refinement passes, the
+    WHOLE phase capped at ``_greedy_refine_cap(n)`` refine passes so an
+    adversarial single-orbit graph cannot pin an executor (the module's
+    contract).
 
     Automorphic orbit members score identically and are interchangeable
     (either pick produces the same canonical serialization); score-tied
-    non-automorphic members (CFI-style adversarial graphs) fall back to
-    label order — deterministic per input, the one remaining
-    serialization-dependent corner.  Beyond _GREEDY_MAX bnodes scoring
-    is skipped entirely (label-order pick) to bound adversarial cost."""
+    non-automorphic members (CFI-style adversarial graphs), and any
+    graph that exhausts the refine cap mid-phase, fall back to
+    refined-hash-then-label order — deterministic per input, the one
+    remaining serialization-dependent corner."""
     ordered_bnodes = sorted(bnodes)  # deterministic iteration everywhere
-    score_budget = len(bnodes) <= _GREEDY_MAX
+    refine_budget = _Budget(_greedy_refine_cap(len(bnodes)))
     step = 0
     while True:
+        if not refine_budget.spend():
+            return sorted(ordered_bnodes, key=lambda b: (hashes[b], b))
         hashes = _refine(hashes, inc, bnodes)
         groups: dict[str, list[str]] = {}
         for b in ordered_bnodes:
@@ -300,9 +311,10 @@ def _greedy_order(hashes, inc, bnodes) -> list[str]:
         mark = hashlib.sha256((tied[0] + f"\x03greedy{step}").encode()).hexdigest()
         step += 1
         pick = group[0]
-        if score_budget:
+        if refine_budget.left >= len(group):
             best_sig = None
             for cand in group:
+                refine_budget.spend()
                 h2 = dict(hashes)
                 h2[cand] = mark
                 sig = tuple(sorted(_refine(h2, inc, bnodes).values()))

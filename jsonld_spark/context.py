@@ -109,6 +109,10 @@ def _resolve_remote_document(body, ctx_url: str, cache: ContextCache):
     if not (isinstance(body, dict) and body.get("@remote-document")):
         return body
     ct = body.get("contentType", "application/ld+json")
+    if isinstance(ct, str):
+        # strip media-type parameters ("application/ld+json; charset=…")
+        # before matching — loaders record them verbatim
+        ct = ct.split(";", 1)[0].strip()
     links = body.get("contextUrl") or []
     if isinstance(links, str):
         links = [links]

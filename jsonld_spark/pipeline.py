@@ -160,19 +160,26 @@ class KGPipeline:
         ``md5(html) == h`` into the join keys, which would put
         md5(html) back on the pages-side exchange — the exact shuffle
         this plan exists to avoid (the digest set per url is tiny: one
-        entry per distinct elected payload)."""
+        entry per distinct elected payload).
+
+        NULL-html rows (fetch failures) have no content to dedup and
+        pass through untouched — md5(NULL) would otherwise silently
+        drop them from the keeper election."""
+        with_html = pages.filter(F.col("html").isNotNull())
+        null_html = pages.filter(F.col("html").isNull())
         keepers = (
-            pages.select("url", F.md5("html").alias("h"))
+            with_html.select("url", F.md5("html").alias("h"))
             .groupBy("h")
             .agg(F.min("url").alias("url"))
             .groupBy("url")
             .agg(F.collect_set("h").alias("hs"))
         )
-        return (
-            pages.join(keepers, "url", "inner")
+        deduped = (
+            with_html.join(keepers, "url", "inner")
             .filter(F.array_contains(F.col("hs"), F.md5("html")))
             .select(*pages.columns)
         )
+        return deduped.unionByName(null_html)
 
     # -- stage 3: deterministic bucketing ------------------------------------
 

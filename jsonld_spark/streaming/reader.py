@@ -193,22 +193,30 @@ def _unused_bnode_label(doc) -> str:
     iterative walk collects every string (key or value) starting with
     the sentinel prefix — a superset of the labels that could collide —
     then picks the first unused extension.  Cost is paid only for
-    anonymous top-level nodes; memory is O(depth) references."""
+    anonymous top-level nodes: one O(doc) TIME pre-pass before
+    streaming starts, holding a stack of ITERATORS so scratch memory is
+    O(depth) even when a property array has millions of elements
+    (pushing the elements themselves would materialize one reference
+    per element — the very allocation this reader avoids)."""
     base = "_:jsonldstreamtop"
     used: set[str] = set()
-    stack = [doc]
+    stack = [iter((doc,))]
     while stack:
-        v = stack.pop()
+        try:
+            v = next(stack[-1])
+        except StopIteration:
+            stack.pop()
+            continue
         if isinstance(v, str):
             if v.startswith(base):
                 used.add(v)
         elif isinstance(v, dict):
-            for k, vv in v.items():
+            for k in v:
                 if isinstance(k, str) and k.startswith(base):
                     used.add(k)
-                stack.append(vv)
+            stack.append(iter(v.values()))
         elif isinstance(v, list):
-            stack.extend(v)
+            stack.append(iter(v))
     if base not in used:
         return base
     i = 0

@@ -239,3 +239,17 @@ def test_poison_fallback_separates_non_automorphic_orbits():
         perm = _permute_bnode_labels(quads, rng)
         rng.shuffle(perm)
         assert set(canonicalize_quads(perm)) == base
+
+
+def test_poison_fallback_bounded_work():
+    """The greedy fallback's refine-pass cap bounds adversarial cost: a
+    600-triangle single-orbit graph (1800 bnodes) exhausts scoring and
+    still completes promptly with deterministic labels per input."""
+    import time
+
+    quads = [q for m in range(600) for q in _cycle(f"p{m}", 3)]
+    t0 = time.time()
+    a = canonicalize_quads(quads)
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"fallback not bounded: {elapsed:.1f}s"
+    assert canonicalize_quads(quads) == a  # deterministic per input

@@ -453,3 +453,22 @@ def test_error_taxonomy_complete():
         if f'"{code}"' not in corpus and f"err.{name}" not in corpus
     ]
     assert untriggered in ([], ["MissingIncludedReferent"]), untriggered
+
+
+def test_content_type_parameters_accepted():
+    """Media-type parameters ('application/ld+json; charset=utf-8') are
+    stripped before matching — HTTP loaders record them verbatim."""
+    from jsonld_spark.context import ContextCache
+
+    cache = ContextCache({
+        "http://ctx.e/c.jsonld": {
+            "@remote-document": True,
+            "contentType": "application/ld+json; charset=utf-8",
+            "document": {"@context": {"@vocab": "http://v/"}},
+        },
+    })
+    out = expand_document(
+        {"@context": "http://ctx.e/c.jsonld", "@id": "http://e/a", "name": "x"},
+        cache=cache,
+    )
+    assert out == [{"@id": "http://e/a", "http://v/name": [{"@value": "x"}]}]

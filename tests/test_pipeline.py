@@ -373,14 +373,31 @@ def test_dedup_pages_html_never_shuffles(spark, pipe, tmp_path):
         out = pipe.dedup_pages(pb)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan, plan
-        # the pages (left/semi-preserved) side reads the bucketed layout
-        # with NO exchange: walk the left branch (lines prefixed ':-'/': ')
-        left_lines = [
-            ln for ln in plan.splitlines() if ln.lstrip().startswith((":-", ":"))
-        ]
-        assert left_lines and not any("Exchange" in ln for ln in left_lines), plan
+        # the pages (html-bearing) side reads the bucketed layout with
+        # NO exchange: the only exchanges in the whole plan are the two
+        # THIN keeper-side ones (md5-group, then url-group) — neither
+        # carries html/text columns, and the with-html branch scans
+        # bucketed.  (The null-html pass-through union adds no exchange.)
+        exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+        assert len(exchange_lines) == 2, plan
+        for ln in exchange_lines:
+            assert "text" not in ln and ", html" not in ln, ln
         assert "Bucketed: true" in plan, plan
         assert out.count() == 3
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS pages_dedup_b")
+
+
+def test_dedup_pages_null_html_passthrough(spark, pipe):
+    """Fetch-failure rows (html NULL) have no content to dedup and must
+    pass through — md5(NULL) would otherwise drop them from the keeper
+    election silently."""
+    rows = [
+        ("http://a.e/1", b"<html>x</html>"),
+        ("http://a.e/2", None),
+        ("http://a.e/3", None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = sorted(r.url for r in pipe.dedup_pages(pages).collect())
+    assert out == ["http://a.e/1", "http://a.e/2", "http://a.e/3"]
