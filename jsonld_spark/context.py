@@ -612,6 +612,33 @@ class Context:
             self._inverse = _create_inverse_context(self)
         return self._inverse
 
+    def reverse_term(self, term):
+        """→ the TermDefinition that REVERSES ``term`` (same IRI mapping,
+        opposite ``reverse_property``), or None — the writer-side helper
+        for picking a reverse term over emitting ``@reverse`` maps
+        (reference context.rb:1267-1281).  ``term`` may be a term name,
+        a TermDefinition, or an IRI."""
+        if isinstance(term, str) and term in self.term_definitions:
+            term = self.term_definitions[term]
+        if not isinstance(term, TermDefinition):
+            td = next(
+                (t for t in self.term_definitions.values() if t.iri_mapping == str(term)),
+                None,
+            )
+            if td is None:
+                td = TermDefinition(str(term))
+                td.iri_mapping = self.expand_iri(str(term), vocab=True)
+            term = td
+        return next(
+            (
+                t
+                for t in self.term_definitions.values()
+                if t.iri_mapping == term.iri_mapping
+                and t.reverse_property != term.reverse_property
+            ),
+            None,
+        )
+
     # -- Context#serialize (reference context.rb:1010-1043) ------------------
 
     def serialize(self, provided_context=None) -> dict:

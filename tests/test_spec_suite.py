@@ -1328,6 +1328,19 @@ def test_context_spec_sweep():
         lambda: rv_ctx.term_definitions["reverse"].reverse_property,
     )
 
+    rt_ctx = _ctx_parse(_nth_hash_after(src, 'describe "#reverse_term" do'))
+    for a, b in (("ex", "reverse"), ("reverse", "ex")):
+        sw.case(
+            "reverse_term", f"term:{a}",
+            lambda a=a, b=b: rt_ctx.reverse_term(a)
+            is rt_ctx.term_definitions[b],
+        )
+        sw.case(
+            "reverse_term", f"td:{a}",
+            lambda a=a, b=b: rt_ctx.reverse_term(rt_ctx.term_definitions[a])
+            is rt_ctx.term_definitions[b],
+        )
+
     ne_pos = src.index('describe "#nest" do')
     ne_ctx = _ctx_parse(_nth_hash_after(src, 'describe "#nest" do'))
     table, sig = _rb_table_after(src, 'it "uses term" do', start=ne_pos)
