@@ -223,7 +223,36 @@ def compact_iri(
 
 
 def compact_value(ctx: Context, active_property: str | None, value: dict):
-    """W3C 4.5 Value Compaction."""
+    """W3C 4.5 Value Compaction — full reference parity including the
+    post-steps (@type IRI compaction + keyword aliasing of keys,
+    context.rb compact_value tail)."""
+    return _value_post_steps(
+        ctx, value, _compact_value_core(ctx, active_property, value)
+    )
+
+
+def _value_post_steps(ctx: Context, value: dict, result):
+    """context.rb compact_value tail: compact the values of @type
+    (unless @json) and rewrite keys through keyword aliases."""
+    if isinstance(result, dict) and "@type" in result and value.get("@type") != "@json":
+        t = result["@type"]
+        ct = (
+            [compact_iri(ctx, x, vocab=True) for x in t]
+            if isinstance(t, list)
+            else compact_iri(ctx, t, vocab=True)
+        )
+        result = {**result, "@type": ct}
+    if isinstance(result, dict):
+        aliased = {
+            (compact_iri(ctx, k, vocab=True) if is_keyword(k) else k): v
+            for k, v in result.items()
+        }
+        if list(aliased) != list(result):
+            result = aliased
+    return result
+
+
+def _compact_value_core(ctx: Context, active_property: str | None, value: dict):
     td = ctx.term(active_property)
     language = (
         td.language_mapping
@@ -283,28 +312,7 @@ def compact_value(ctx: Context, active_property: str | None, value: dict):
                 return v
         return value
 
-    result = _core()
-    # reference post-steps (context.rb compact_value tail): compact the
-    # values of @type (unless @json) and rewrite keys through keyword
-    # aliases.  The document path ignores a dict result and re-walks the
-    # original element (compact.rb:61-66 does the same), so these steps
-    # only surface through the term-level API.
-    if isinstance(result, dict) and "@type" in result and value.get("@type") != "@json":
-        t = result["@type"]
-        ct = (
-            [compact_iri(ctx, x, vocab=True) for x in t]
-            if isinstance(t, list)
-            else compact_iri(ctx, t, vocab=True)
-        )
-        result = {**result, "@type": ct}
-    if isinstance(result, dict):
-        aliased = {
-            (compact_iri(ctx, k, vocab=True) if is_keyword(k) else k): v
-            for k, v in result.items()
-        }
-        if list(aliased) != list(result):
-            result = aliased
-    return result
+    return _core()
 
 
 def compact(
@@ -368,15 +376,17 @@ def compact(
     # a value object / node reference carrying @annotation must stay an
     # object so the annotation survives (compact.rb:68)
     if ("@value" in element or list(element) == ["@id"]) and "@annotation" not in element:
-        res = compact_value(ctx, active_property, element)
+        res = _compact_value_core(ctx, active_property, element)
         vtd = ctx.term(active_property)
-        if not isinstance(res, (dict, list)) or (
-            vtd is not None and vtd.type_mapping == "@json"
-        ):
-            # compact.rb:61-66 — return only a non-Hash result (or a
-            # @json-coerced value); a dict result is discarded and the
-            # ORIGINAL element re-walked by the generic loop below
+        if not isinstance(res, (dict, list)):
             return res
+        if vtd is not None and vtd.type_mapping == "@json":
+            # compact.rb:61-66 — a @json-coerced value returns the FULL
+            # compact_value result (post-steps included); any other dict
+            # result is discarded and the ORIGINAL element re-walked by
+            # the generic loop below, so the document hot path skips the
+            # post-step work entirely
+            return _value_post_steps(ctx, element, res)
 
     inside_reverse = active_property == "@reverse"
     result: dict[str, Any] = {}
