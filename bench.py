@@ -530,18 +530,20 @@ hardware (scheduling, Arrow transport, stragglers, JVM feed).
 
 ### Round-4 note: window sensitivity of the raw number
 
-Four scaling measurements in one day, identical engine code:
+Five scaling measurements in one day, identical engine code:
 raw 0.585 (after ~20 min of query/vs_prev JVM churn — contaminated,
 t32 37.2 s vs 25.8 s fresh), 0.770 (isolated fresh window), 0.835 and
-0.732 (split-size probes in drifting windows).  The hardware-control
-ceiling moved 0.786-0.849 across the same windows, i.e. the VM itself
-denies ≥0.8 raw in some windows regardless of engine: RAW CANNOT
-EXCEED THE CEILING, and the ceiling is a property of the box, not the
-code.  Two harness changes stabilize the number: the scaling phase now
-runs FIRST in main() (freshest window), and SCALE_REPS defaults to 3
-interleaved reps with min-taking.  The normalized number (raw/ceiling,
-both from the SAME window) is stable at 0.93-0.96 across all windows —
-that is the engine's actual N→4N behavior.
+0.732 (split-size probes in drifting windows), and 0.853 (final run
+with the fixed harness: scaling FIRST + 3 interleaved reps).  The
+hardware-control ceiling moved 0.786-0.88 across the same windows,
+i.e. the VM itself denies ≥0.8 raw in some windows regardless of
+engine: RAW CANNOT EXCEED THE CEILING, and the ceiling is a property
+of the box, not the code.  Two harness changes stabilize the number:
+the scaling phase now runs FIRST in main() (freshest window), and
+SCALE_REPS defaults to 3 interleaved reps with min-taking — the final
+run clears the ≥0.8 bar raw (0.853, ceiling 0.88).  The normalized
+number (raw/ceiling, both from the SAME window) is stable at 0.93-0.97
+across ALL windows — that is the engine's actual N→4N behavior.
 
 Emitted triples: {extra['pages_triples']} ({extra['pages_triples_per_sec']}/sec
 at local[{cpus}]).
@@ -576,9 +578,10 @@ round-2 snapshot.  Root cause: MEASUREMENT FLOOR, not code.
 `functions/text.py` had no diff across rounds 2-4 (git log empty since
 7facdf2), so both sides of every A/B ran byte-identical query code.
 Round-4 evidence: with the probe upgraded to min-over-5 timed trials,
-four independent interleaved windows measured HEAD-vs-snapshot deltas
-of +36%, −21%, +27%, +18.5% — the SIGN FLIPS between windows on
-identical code, which no code regression can produce.  A ~0.25 s
+five independent interleaved windows measured HEAD-vs-snapshot deltas
+of +36%, −21%, +27%, +18.5%, −3.8% — the SIGN FLIPS between windows on
+identical code, which no code regression can produce (the final
+fixed-harness window lands at −3.8%, within the ±10% bar).  A ~0.25 s
 32-core query on this shared VM schedules in ~8 ms/task quanta where
 one straggler or GC pause moves the total by 0.05-0.15 s; that is the
 amplitude observed.  Conclusion: dedup_exact deltas within ±40% are
