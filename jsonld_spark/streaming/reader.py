@@ -89,7 +89,9 @@ def _streamable_spine(doc, ctx: Context, base: str | None):
             return None
         graph_name = ctx.expand_iri(gid, document_relative=True)
         if not isinstance(graph_name, str) or graph_name.startswith("_:"):
-            # bnode-named graphs need whole-doc label coordination
+            # bnode-named wrappers stream through the NODE path instead
+            # (its per-element {@id, @graph: [el]} mini-docs rename the
+            # graph bnode consistently via the shared namer)
             return None
     return doc[graph_key], graph_name, ctx
 

@@ -66,14 +66,20 @@ ANON_GRAPH_DOC = {
     "name": "anon wrapper",
     "@graph": [_entity(0), _entity(1)],
 }
+BNODE_GRAPH_DOC = {
+    "@context": CTX,
+    "@id": "_:g",
+    "@graph": [_entity(0), _entity(1)],
+}
 
 
 @pytest.mark.parametrize(
     "doc",
     [ARRAY_DOC, GRAPH_DOC, NAMED_GRAPH_DOC, GRAPH_WITH_PROPS, _entity(7),
-     REVERSE_DOC, INCLUDED_DOC, INDEX_DOC, NEST_DOC],
+     REVERSE_DOC, INCLUDED_DOC, INDEX_DOC, NEST_DOC, BNODE_GRAPH_DOC],
     ids=["array", "graph-wrapper", "named-graph", "graph-with-props",
-         "single-node", "reverse", "included", "index", "nest"],
+         "single-node", "reverse", "included", "index", "nest",
+         "bnode-named-graph"],
 )
 def test_stream_equals_batch(doc):
     batch = set(doc_to_quads(doc, base="http://base.e/"))
