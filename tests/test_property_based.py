@@ -307,3 +307,41 @@ def test_streaming_reader_isomorphic_on_rich_shapes(doc):
         assert _streamable_node(
             doc, Context(base="http://base.e/"), "http://base.e/"
         ), "silent batch fallback on a streamable shape"
+
+
+_ROUNDTRIP_CONTEXTS = [
+    {"@vocab": "http://ex.org/"},
+    {"ex": "http://ex.org/"},
+    {"child": {"@id": "http://ex.org/child"}, "val": "http://ex.org/val"},
+    {"@vocab": "http://ex.org/", "lst": {"@container": "@list"}},
+    {"@vocab": "http://ex.org/", "child": {"@container": "@set"}},
+    {"@language": "en", "@vocab": "http://ex.org/"},
+]
+
+
+@settings(max_examples=100, deadline=None)
+@given(expanded_docs, st.sampled_from(_ROUNDTRIP_CONTEXTS))
+def test_compact_expand_roundtrip_sound(doc, ctx):
+    """Compaction soundness: compacting expanded output under ANY
+    context then re-expanding must reproduce the same expanded document
+    (modulo array-order) — the fundamental losslessness property the
+    spec's algorithms guarantee."""
+    from jsonld_spark.compact import compact_document
+
+    expanded = expand_document(json.loads(json.dumps(doc)))
+    compacted = compact_document(
+        json.loads(json.dumps(expanded)), json.loads(json.dumps(ctx))
+    )
+    reexpanded = expand_document(json.loads(json.dumps(compacted)))
+
+    def norm(v, in_list=False):
+        if isinstance(v, dict):
+            return tuple(
+                sorted((k, norm(val, k == "@list")) for k, val in v.items())
+            )
+        if isinstance(v, list):
+            items = [norm(i, in_list) for i in v]
+            return tuple(items) if in_list else tuple(sorted(items))
+        return (type(v).__name__, v)
+
+    assert norm(reexpanded) == norm(expanded), (expanded, compacted, reexpanded)
