@@ -672,15 +672,27 @@ def compact_document(
     compact_arrays: bool = True,
     ordered: bool = False,
     processing_mode: str = "json-ld-1.1",
+    compact_to_relative: bool = True,
 ):
     """API.compact equivalent (reference api.rb:235-264).  ``expanded``
-    must already be in expanded form (use expand_document first)."""
+    must already be in expanded form (use expand_document first).
+
+    ``compact_to_relative=False`` mirrors the reference's
+    ``compactToRelative`` option (api.rb:237-245): the document base is
+    withheld from the compaction context, so absolute IRIs are NOT
+    shortened to base-relative form (term/CURIE compaction is
+    unaffected)."""
     from .context import Context, ContextCache
 
     ctx_value = context
     if isinstance(context, dict) and "@context" in context:
         ctx_value = context["@context"]
-    ctx = Context(base=base, processing_mode=processing_mode, cache=cache or ContextCache())
+    compact_base = base if compact_to_relative else None
+    ctx = Context(
+        base=compact_base,
+        processing_mode=processing_mode,
+        cache=cache or ContextCache(),
+    )
     ctx = ctx.parse(ctx_value, base_url=base)
 
     result = compact(expanded, ctx, None, compact_arrays, ordered)

@@ -469,3 +469,18 @@ def test_compact_arrays_false_keeps_arrays():
     # spec: with compactArrays false the top-level array stays an array,
     # so the result is wrapped in @graph
     assert out["@graph"][0]["p"] == ["v"]
+
+
+def test_compact_to_relative_false():
+    """api.rb:237-245 parity: compactToRelative=False withholds the base
+    from compaction — absolute IRIs stay absolute instead of being
+    shortened to base-relative references."""
+    from jsonld_spark.compact import compact_document
+
+    expanded = [{"@id": "http://base.e/a/b", "http://p/q": [{"@value": "v"}]}]
+    rel = compact_document(expanded, {}, base="http://base.e/a/")
+    assert rel["@id"] == "b"
+    absolute = compact_document(
+        expanded, {}, base="http://base.e/a/", compact_to_relative=False
+    )
+    assert absolute["@id"] == "http://base.e/a/b"
