@@ -70,6 +70,7 @@ def _streamable_spine(doc, ctx: Context, base: str | None):
         ctx = ctx.parse(doc["@context"], base_url=base)
     graph_key = None
     id_key = None
+    set_key = None
     for key in doc:
         if key == "@context":
             continue
@@ -78,8 +79,16 @@ def _streamable_spine(doc, ctx: Context, base: str | None):
             graph_key = key
         elif expanded == "@id" and id_key is None:
             id_key = key
+        elif expanded == "@set" and set_key is None:
+            set_key = key
         else:
             return None  # top node carries properties → not a pure wrapper
+    if set_key is not None:
+        # a lone top-level @set is just an array wrapper — its value IS
+        # the spine (expansion unwraps it)
+        if graph_key is None and id_key is None and isinstance(doc[set_key], list):
+            return doc[set_key], None, ctx
+        return None
     if graph_key is None or not isinstance(doc[graph_key], list):
         return None
     graph_name = None

@@ -71,15 +71,17 @@ BNODE_GRAPH_DOC = {
     "@id": "_:g",
     "@graph": [_entity(0), _entity(1)],
 }
+SET_DOC = {"@context": CTX, "@set": [_entity(0), _entity(1)]}
 
 
 @pytest.mark.parametrize(
     "doc",
     [ARRAY_DOC, GRAPH_DOC, NAMED_GRAPH_DOC, GRAPH_WITH_PROPS, _entity(7),
-     REVERSE_DOC, INCLUDED_DOC, INDEX_DOC, NEST_DOC, BNODE_GRAPH_DOC],
+     REVERSE_DOC, INCLUDED_DOC, INDEX_DOC, NEST_DOC, BNODE_GRAPH_DOC,
+     SET_DOC],
     ids=["array", "graph-wrapper", "named-graph", "graph-with-props",
          "single-node", "reverse", "included", "index", "nest",
-         "bnode-named-graph"],
+         "bnode-named-graph", "set-wrapper"],
 )
 def test_stream_equals_batch(doc):
     batch = set(doc_to_quads(doc, base="http://base.e/"))
