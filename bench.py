@@ -252,14 +252,26 @@ def _run_vs_prev(extra: dict) -> None:
     import re as _re
 
     log = subprocess.run(
-        ["git", "-C", REPO, "log", "--format=%H %s"],
+        ["git", "-C", REPO, "log", "--format=%H %T %s"],
         capture_output=True,
         text=True,
     ).stdout
+    head_tree = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "HEAD^{tree}"],
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
     prev_sha = ""
     for line in log.splitlines():  # newest first; match SUBJECT only
-        sha, _, subject = line.partition(" ")
+        sha, _, rest = line.partition(" ")
+        tree, _, subject = rest.partition(" ")
         if _re.match(r"^round \d+:", subject):
+            # Skip boundary commits that ARE the current code (e.g. the
+            # driver's own end-of-round snapshot of HEAD): comparing HEAD
+            # against its own tree measures pure window noise, not a
+            # round-over-round delta (this happened in BENCH_r04.json).
+            if tree == head_tree:
+                continue
             prev_sha = sha
             break
     if not prev_sha:

@@ -280,9 +280,14 @@ def _compact_value_core(ctx: Context, active_property: str | None, value: dict):
             return value
 
         if "@id" in value:
-            if n_members == 1 and type_mapping == "@id":
+            # the reference's @id/@vocab-coercion branches subtract @index
+            # UNCONDITIONALLY (context.rb:1670-1677,
+            # `(value.keys - %w[@id @index]).empty?`) — @index is dropped
+            # even when the term's container has no @index
+            extra = set(value) - {"@id", "@index"}
+            if not extra and type_mapping == "@id":
                 return compact_iri(ctx, value["@id"])
-            if n_members == 1 and type_mapping == "@vocab":
+            if not extra and type_mapping == "@vocab":
                 return compact_iri(ctx, value["@id"], vocab=True)
             return value
         v = value.get("@value")
@@ -375,10 +380,13 @@ def compact(
 
     # a value object / node reference carrying @annotation must stay an
     # object so the annotation survives (compact.rb:68)
-    if ("@value" in element or list(element) == ["@id"]) and "@annotation" not in element:
+    if ("@value" in element or "@id" in element) and "@annotation" not in element:
+        # entry mirrors compact.rb:68 (`element.key?('@id') ||
+        # element.key?('@value')`); any non-Hash result — scalars AND
+        # lists — returns directly (compact.rb:70 `!result.is_a?(Hash)`)
         res = _compact_value_core(ctx, active_property, element)
         vtd = ctx.term(active_property)
-        if not isinstance(res, (dict, list)):
+        if not isinstance(res, dict):
             return res
         if vtd is not None and vtd.type_mapping == "@json":
             # compact.rb:61-66 — a @json-coerced value returns the FULL

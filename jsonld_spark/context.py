@@ -539,6 +539,23 @@ class Context:
             value, document_relative, vocab, local_context, defined, base
         )
 
+    def expand_key(self, value: str):
+        """Hot-path ``expand_iri(value, vocab=True)`` for dict KEYS (always
+        str — JSON object keys).  One dict probe on the shared vocab memo
+        (plain-string keys can't collide with the tuple keys expand_iri
+        uses); keywords memoize to themselves."""
+        memo = self._iri_memo_vocab
+        hit = memo.get(value, UNSET)
+        if hit is not UNSET:
+            return hit
+        result = (
+            value
+            if value in KEYWORDS
+            else self._expand_iri_uncached(value, False, True, None)
+        )
+        memo[value] = result
+        return result
+
     def _expand_iri_uncached(self, value, document_relative, vocab, base):
         return self._expand_iri_full(value, document_relative, vocab, None, None, base)
 

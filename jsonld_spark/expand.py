@@ -15,7 +15,7 @@ from __future__ import annotations
 from typing import Any
 
 from . import errors as err
-from .context import UNSET, Context
+from .context import UNSET, Context, parse_initial_cached
 from .iri import (
     has_keyword_form,
     is_absolute_iri,
@@ -98,7 +98,7 @@ def expand(
         container = td.container_mapping if td else frozenset()
         for item in element:
             expanded_item = expand(
-                item, active_property, active_context, options, from_map=from_map
+                item, active_property, active_context, options, from_map
             )
             if "@list" in container and (
                 isinstance(expanded_item, list)
@@ -122,9 +122,7 @@ def expand(
 
     # 8: revert to previous context unless this is a value object / sub-map item
     if active_context.previous_context is not None and not from_map:
-        expanded_keys = [
-            active_context.expand_iri(k, vocab=True) for k in element
-        ]
+        expanded_keys = [active_context.expand_key(k) for k in element]
         if "@value" not in expanded_keys and expanded_keys != ["@id"]:
             active_context = active_context.previous_context
 
@@ -140,7 +138,6 @@ def expand(
     # is pristine and the inline context is base-independent)
     if "@context" in element:
         if not active_context.has_terms() and active_context.previous_context is None:
-            from .context import parse_initial_cached
 
             active_context = parse_initial_cached(
                 active_context.base,
@@ -157,21 +154,28 @@ def expand(
     # 11-12: type-scoped contexts — find @type keys, apply scoped contexts in
     # lexicographic order of type values
     type_key = None
-    for key in sorted(element):
-        if active_context.expand_iri(key, vocab=True) == "@type":
-            if type_key is None:
-                type_key = key
-            tv = element[key]
-            tvals = tv if isinstance(tv, list) else [tv]
-            for t in sorted(v for v in tvals if isinstance(v, str)):
-                ttd = active_context.term(t)
-                if ttd is not None and ttd.local_context is not UNSET:
-                    active_context = active_context.parse(
-                        ttd.local_context,
-                        base_url=ttd.base_url,
-                        propagate=False,
-                        override_protected=False,
-                    )
+    # single unsorted pass to FIND @type-expanding keys (most dicts have
+    # 0-1); only those are sorted.  Mirrors expand.rb:107-110 exactly:
+    # the reference's eager `.sort.select` evaluates every key under the
+    # PRE-loop context, and scoped-term lookups use type_scoped_context
+    # (the pre-loop context), while parse chains on the mutating one.
+    type_scoped_context = active_context
+    type_keys = [k for k in element if active_context.expand_key(k) == "@type"]
+    if type_keys:
+        type_keys.sort()
+        type_key = type_keys[0]
+    for key in type_keys:
+        tv = element[key]
+        tvals = tv if isinstance(tv, list) else [tv]
+        for t in sorted(v for v in tvals if isinstance(v, str)):
+            ttd = type_scoped_context.term(t)
+            if ttd is not None and ttd.local_context is not UNSET:
+                active_context = active_context.parse(
+                    ttd.local_context,
+                    base_url=ttd.base_url,
+                    propagate=False,
+                    override_protected=False,
+                )
 
     input_type = None
     if type_key is not None:
@@ -292,9 +296,9 @@ def _expand_object(
         if key == "@context":
             continue
         value = element[key]
-        expanded_property = active_context.expand_iri(
-            key, vocab=True, base=options.base
-        )
+        # keys are plain strings and vocab-expansion ignores base —
+        # expand_key is the memo-probe fast path
+        expanded_property = active_context.expand_key(key)
         if expanded_property is None or (
             ":" not in expanded_property and not is_keyword(expanded_property)
         ):
@@ -712,7 +716,7 @@ def _expand_index_map(key, value, td, container, active_context: Context, option
                 )
         expanded_index = container_context.expand_iri(index, vocab=True)
         items = items if isinstance(items, list) else [items]
-        expanded_items = expand(items, key, map_context, options, from_map=True)
+        expanded_items = expand(items, key, map_context, options, True)
         expanded_items = (
             expanded_items if isinstance(expanded_items, list) else [expanded_items]
         )

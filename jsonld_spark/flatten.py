@@ -19,6 +19,7 @@ from typing import Any
 from . import errors as err
 from .expand import expand_document
 from .iri import is_keyword
+from .rdf_model import jcs_canonicalize
 
 
 class BlankNodeNamer:
@@ -109,20 +110,14 @@ def create_node_map(
     (flatten.rb:60-150); ``reverse`` is an explicit flag (the reference's
     ``reverse:`` kwarg) because star subjects make dict
     ``active_subject`` values legitimate in forward position too."""
-    from .rdf_model import jcs_canonicalize
 
     if isinstance(element, list):
         for item in element:
+            # positional: this is the hottest recursion in the engine
+            # (one call per expanded array item across every document)
             create_node_map(
-                element=item,
-                node_map=node_map,
-                namer=namer,
-                active_graph=active_graph,
-                active_subject=active_subject,
-                active_property=active_property,
-                list_=list_,
-                reverse=reverse,
-                rename_embedded=rename_embedded,
+                item, node_map, namer, active_graph, active_subject,
+                active_property, list_, reverse, rename_embedded,
             )
         return
 
@@ -178,13 +173,8 @@ def create_node_map(
     if "@list" in element:
         result: dict[str, Any] = {"@list": []}
         create_node_map(
-            element=element["@list"],
-            node_map=node_map,
-            namer=namer,
-            active_graph=active_graph,
-            active_subject=active_subject,
-            active_property=active_property,
-            list_=result,
+            element["@list"], node_map, namer, active_graph,
+            active_subject, active_property, result,
         )
         if list_ is None:
             if subject_node is not None and active_property is not None:
@@ -307,12 +297,7 @@ def create_node_map(
             continue
         node.setdefault(property_, [])
         create_node_map(
-            element=value,
-            node_map=node_map,
-            namer=namer,
-            active_graph=active_graph,
-            active_subject=id_,
-            active_property=property_,
+            value, node_map, namer, active_graph, id_, property_,
         )
 
 
@@ -351,7 +336,6 @@ def create_annotations(graph: dict) -> dict:
     entry (key of the form of a canonicalized JSON object) back into an
     ``@annotation`` member on the matching value of the referenced node.
     Mutates and returns ``graph`` (one graph's node map)."""
-    from .rdf_model import jcs_canonicalize
 
     for key in sorted(
         (k for k in graph if k.startswith("{")), key=len, reverse=True

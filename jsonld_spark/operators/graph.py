@@ -149,6 +149,40 @@ def connected_components(
     return labels
 
 
+def dense_ids_by_sorted_order(df: DataFrame, col: str = "iri") -> DataFrame:
+    """→ DataFrame(col, vid): dense longs 1..n in ascending ``col`` order,
+    with NO single-partition stage — the two-phase zipWithIndex pattern in
+    DataFrame ops.  Range-repartition on the key (partition ids ascend
+    with key ranges), pin that assignment with a checkpoint, count rows
+    per partition (tiny collect: one row per partition), broadcast the
+    cumulative offsets back, and add them to a per-partition rank.
+    Byte-identical to ``row_number().over(Window.orderBy(col))`` — which
+    would funnel ALL rows through one task at scale — while every stage
+    here parallelizes across the cluster."""
+    spark = df.sparkSession
+    from pyspark.sql import Window
+
+    ranged = (
+        df.repartitionByRange(F.col(col))
+        .withColumn("_pid", F.spark_partition_id())
+        .checkpoint()
+        # the checkpoint pins the SAMPLED range boundaries: the count job
+        # and the rank job must see one consistent _pid assignment
+    )
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_cnt"]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    rank = F.row_number().over(Window.partitionBy("_pid").orderBy(col))
+    return (
+        ranged.withColumn("_rn", rank)
+        .join(F.broadcast(off_df), "_pid")
+        .select(col, (F.col("_off") + F.col("_rn")).cast("long").alias("vid"))
+    )
+
+
 def _connected_components_encoded(
     edges: DataFrame,
     src: str,
@@ -158,23 +192,15 @@ def _connected_components_encoded(
 ) -> DataFrame:
     """Dictionary-encoded CC: vertices → dense longs in lexicographic
     order, iterate on longs, decode once at the end."""
-    from pyspark.sql import Window
-
     _ensure_checkpoint_dir(edges)
     verts = (
         edges.select(F.col(src).alias("iri"))
         .union(edges.select(F.col(dst).alias("iri")))
         .distinct()
     )
-    # order-preserving dense ids: rank over the global IRI sort.  The
-    # single-partition window is the textbook zipWithIndex trade-off;
-    # Spark's WindowExec spills, and this runs ONCE vs O(log d)
-    # string-shuffling rounds.  (At extreme scale swap in a two-phase
-    # per-partition offset assignment; semantics are unchanged as long
-    # as ids are assigned in sorted order.)
-    vert_ids = verts.withColumn(
-        "vid", F.row_number().over(Window.orderBy("iri")).cast("long")
-    ).checkpoint()
+    # order-preserving dense ids, assigned WITHOUT a global-sort window
+    # (min-id == min-IRI semantics need only sorted-order assignment)
+    vert_ids = dense_ids_by_sorted_order(verts, "iri").checkpoint()
 
     e_src = vert_ids.select(F.col("iri").alias("_s"), F.col("vid").alias("src_id"))
     e_dst = vert_ids.select(F.col("iri").alias("_d"), F.col("vid").alias("dst_id"))

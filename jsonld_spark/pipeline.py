@@ -338,7 +338,12 @@ class KGPipeline:
             # option above; it honors its own write option plus the
             # session conf.  Set both so a default-configured session
             # (static overwrite) cannot full-truncate the table on
-            # resume.
+            # resume.  NOT thread-safe: the session conf is global, so a
+            # concurrent write on the same SparkSession during this
+            # window inherits dynamic-overwrite semantics; the pipeline
+            # is single-writer by design (one run_id per invocation).
+            # The default when previously unset is already "static", so
+            # the restore below is value-preserving either way.
             writer = writer.option("overwrite-mode", "dynamic")
             spark = triples.sparkSession
             prev_pom = spark.conf.get(

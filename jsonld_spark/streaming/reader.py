@@ -15,9 +15,11 @@ property-item by property-item (``_stream_node_properties``, the
 analog of the reference's parse_property, streaming_reader.rb:425-575).
 Round 4: top-level @reverse maps, @included arrays, @graph wrappers
 that also carry properties, @nest entries and @index all stream
-single-pass too; only top-level value/list objects and unknown aliased
-keywords fall back to batch (they expand to at most a handful of quads
-— nothing a bounded reader needs).
+single-pass too.  Round 5: top-level value/list objects stream as one
+single-pass element as well (they expand to at most a handful of quads
+— free-floating values drop — but validation errors surface exactly as
+in batch); only unknown aliased-keyword shapes still fall back to
+batch.
 
 Blank-node labels: one ``BlankNodeNamer`` is shared across elements, so
 explicit ``_:x`` labels keep their document-scoped identity.  Output is
@@ -117,8 +119,9 @@ def _streamable_node(doc, ctx: Context, base: str | None):
     ``included_keys`` (@included streams per included node),
     ``graph_keys`` (a wrapper WITH properties streams its named-graph
     elements one by one), ``nest_keys`` (each @nest entry expands as one
-    unit).  Only value/list objects and unknown/aliased keywords
-    (@value, @set, @list, ...) still fall back to batch."""
+    unit).  Value/list objects route through ``_value_or_list_ctx``
+    (single-pass, round 5); only unknown aliased keywords (@set with
+    extra members, ...) still fall back to batch."""
     if not isinstance(doc, dict):
         return None
     if "@context" in doc:
@@ -175,6 +178,26 @@ def _streamable_node(doc, ctx: Context, base: str | None):
         prop_keys,
         extras,
     )
+
+
+def _value_or_list_ctx(doc, ctx: Context, base: str | None):
+    """→ parsed ctx when the top level is a VALUE or LIST object (any key
+    expands to @value/@list); None otherwise.  These expand to at most a
+    handful of quads (free-floating values/lists drop at the top level),
+    but the reference streams ANY shape single-pass
+    (streaming_reader.rb:74-423) — routing them through the same
+    per-element emit closes the last batch-fallback shape, with
+    validation errors surfacing exactly as in batch (same expand())."""
+    if not isinstance(doc, dict):
+        return None
+    if "@context" in doc:
+        ctx = ctx.parse(doc["@context"], base_url=base)
+    for key in doc:
+        if key == "@context":
+            continue
+        if ctx.expand_key(key) in ("@value", "@list"):
+            return ctx
+    return None
 
 
 def _type_scoped(ctx: Context, type_values) -> Context:
@@ -350,16 +373,24 @@ def _stream_node_properties(
     # apply, so the identical type quads they emit are suppressed here —
     # the reference's single-pass reader emits each type statement once
     # (streaming_reader_spec.rb interface cases count exact statements).
-    # Memory: O(node's type count).
-    shell_type_quads: set = set()
+    # The re-included @type key re-emits EXACTLY the shell's type quads in
+    # every property mini-doc (same doc[type_key], same ctx), so each
+    # shell quad is suppressed at most ONCE per mini-doc — a property
+    # whose own IRI is rdf:type keeps its legitimately duplicate quad,
+    # matching the batch multiset. Memory: O(node's type count).
+    from collections import Counter
+
+    shell_type_quads: Counter = Counter()
     for i, (md, c) in enumerate(minidocs()):
+        suppressed: Counter = Counter()
         for q in _emit_elements(
             [(md, c)], None, namer, options, rdf_direction, produce_generalized_rdf
         ):
             if type_key is not None:
                 if i == 0:
-                    shell_type_quads.add(q)
-                elif q in shell_type_quads:
+                    shell_type_quads[q] += 1
+                elif suppressed[q] < shell_type_quads[q]:
+                    suppressed[q] += 1
                     continue
             yield q
     if warnings_out is not None:
@@ -420,6 +451,21 @@ def stream_doc_quads(
                 warnings_out,
                 rdfstar=rdfstar,
             )
+            return
+        vl_ctx = _value_or_list_ctx(doc, ctx, base)
+        if vl_ctx is not None:
+            options = ExpandOptions(base=base, rdfstar=rdfstar)
+            namer = BlankNodeNamer()
+            yield from _emit_elements(
+                ((doc, vl_ctx),),
+                None,
+                namer,
+                options,
+                rdf_direction,
+                produce_generalized_rdf,
+            )
+            if warnings_out is not None:
+                warnings_out.extend(options.warnings)
             return
         from ..to_rdf import doc_to_quads
 

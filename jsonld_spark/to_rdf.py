@@ -42,8 +42,22 @@ from .rdf_model import (
 )
 
 
+# process-level memo: predicates/types/graph names repeat across nodes
+# and documents, so the absolute-IRI regex runs once per distinct term.
+# Pure function of the string; capped so adversarial unique-IRI streams
+# can't grow worker memory.
+_VALID_RESOURCE_MEMO: dict[str, bool] = {}
+
+
 def _valid_resource(term: str) -> bool:
-    return is_bnode(term) or is_absolute_iri(term)
+    memo = _VALID_RESOURCE_MEMO
+    hit = memo.get(term)
+    if hit is None:
+        hit = is_bnode(term) or is_absolute_iri(term)
+        if len(memo) > 100_000:
+            memo.clear()
+        memo[term] = hit
+    return hit
 
 
 def _nt_term(obj, lit: bool, dt, lang) -> str:

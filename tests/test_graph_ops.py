@@ -155,6 +155,37 @@ def test_cc_uses_reliable_checkpoint(spark):
     assert spark.sparkContext.getCheckpointDir() is not None
 
 
+def test_dense_ids_match_global_window_and_avoid_single_partition(spark):
+    """VERDICT r4 #5: the dictionary-encode id assignment must be
+    byte-identical to the single-partition ``row_number().over(
+    Window.orderBy(iri))`` it replaced, with NO single-partition
+    exchange anywhere in its plan (the two-phase per-partition-offset
+    assignment parallelizes every stage)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from jsonld_spark.operators.graph import dense_ids_by_sorted_order
+
+    rng = random.Random(7)
+    iris = [f"http://e/{rng.randrange(10**9):09d}" for _ in range(997)]
+    iris = list(dict.fromkeys(iris))  # distinct, insertion order random
+    df = spark.createDataFrame([(i,) for i in iris], "iri string")
+
+    got = dense_ids_by_sorted_order(df, "iri")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(_pid" in plan, plan  # per-partition rank
+
+    expected = {
+        (r.iri, r.vid)
+        for r in df.withColumn(
+            "vid", F.row_number().over(Window.orderBy("iri")).cast("long")
+        ).collect()
+    }
+    assert {(r.iri, r.vid) for r in got.collect()} == expected
+
+
 def test_connected_components_dictionary_encoded_equivalence(spark):
     """dictionary_encode=True must produce the identical (id, comp)
     mapping — ids are assigned in lexicographic IRI order, so min-id

@@ -309,6 +309,68 @@ def test_streaming_reader_isomorphic_on_rich_shapes(doc):
         ), "silent batch fallback on a streamable shape"
 
 
+def _value_or_list_docs():
+    """Top-level VALUE and LIST objects — the round-5 single-pass shapes
+    (they expand to few/no quads, but must not batch-fallback)."""
+    value_obj = st.fixed_dictionaries(
+        {"@value": _scalar},
+        optional={
+            "@language": st.sampled_from(["en", "de"]),
+            "@index": st.sampled_from(["i0", "i1"]),
+        },
+    )
+    list_obj = st.fixed_dictionaries(
+        {
+            "@list": st.lists(
+                st.one_of(value_obj, st.fixed_dictionaries({"@id": _iri})),
+                max_size=3,
+            )
+        },
+        optional={"@index": st.sampled_from(["i0", "i1"])},
+    )
+    return st.one_of(value_obj, list_obj)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_value_or_list_docs())
+def test_streaming_reader_single_pass_on_value_and_list_objects(doc):
+    """VERDICT r4 #3: top-level @value/@list objects stream single-pass
+    (batch fallback FORBIDDEN — asserted by poisoning doc_to_quads) with
+    output and warnings identical to the batch path."""
+    import jsonld_spark.to_rdf as to_rdf_mod
+    from jsonld_spark.errors import JsonLdError
+    from jsonld_spark.streaming.reader import stream_doc_quads
+
+    # batch outcome: quads, or a typed validation error (e.g. @language
+    # on a non-string @value) — streaming must reproduce either exactly
+    try:
+        batch = sorted(to_rdf_mod.doc_to_quads(
+            json.loads(json.dumps(doc)), base="http://base.e/"
+        ))
+        batch_err = None
+    except JsonLdError as e:
+        batch, batch_err = None, e.code
+
+    real = to_rdf_mod.doc_to_quads
+
+    def poisoned(*a, **k):
+        raise AssertionError("batch fallback on a value/list object")
+
+    to_rdf_mod.doc_to_quads = poisoned
+    try:
+        try:
+            streamed = sorted(stream_doc_quads(
+                json.loads(json.dumps(doc)), base="http://base.e/"
+            ))
+            stream_err = None
+        except JsonLdError as e:
+            streamed, stream_err = None, e.code
+    finally:
+        to_rdf_mod.doc_to_quads = real
+    assert stream_err == batch_err
+    assert streamed == batch  # multiset — labels batch-identical
+
+
 _ROUNDTRIP_CONTEXTS = [
     {"@vocab": "http://ex.org/"},
     {"ex": "http://ex.org/"},

@@ -262,6 +262,30 @@ def test_json_typed_scoped_array_streams_as_one_literal():
     assert streamed == batch
 
 
+def test_rdf_type_valued_property_not_suppressed():
+    """Shell type-quad suppression must eat ONLY the re-included @type
+    copies, once per mini-doc — a regular term whose IRI is rdf:type
+    keeps its own (legitimately duplicate) type quad, so the streamed
+    MULTISET matches batch (ADVICE r4: equality suppression dropped
+    these)."""
+    doc = {
+        "@context": {
+            "@vocab": "http://v.e/",
+            "typ": {
+                "@id": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                "@type": "@id",
+            },
+        },
+        "@id": "http://e.com/x",
+        "@type": ["Thing", "Thing2"],
+        "typ": ["http://v.e/Thing", "http://v.e/Other"],
+        "name": ["a", "b"],
+    }
+    batch = sorted(doc_to_quads(doc, base="http://base.e/"))
+    streamed = sorted(stream_doc_quads(doc, base="http://base.e/"))
+    assert streamed == batch  # multiset equality, not just set
+
+
 def test_anonymous_top_node_sentinel_collision():
     """A document that uses the synthetic anonymous-top-node label
     itself must NOT merge with the anonymous node: batch emits
