@@ -15,9 +15,9 @@ re-expressed Spark-first:
   network).
 """
 
-from .context import Context, ContextCache, canon_context_url
+from .context import Context, ContextCache, canon_context_url, load_api_input
 from .errors import JsonLdError
-from .expand import expand_document
+from .expand import expand_document, expand_input
 from .flatten import flatten_document, flatten_expanded
 from .rdf_model import Quad, parse_nquads, quad_to_nquads, quads_to_nquads
 from .to_rdf import doc_to_quads, expanded_to_quads
@@ -32,6 +32,8 @@ __all__ = [
     "canon_context_url",
     "doc_to_quads",
     "expand_document",
+    "expand_input",
+    "load_api_input",
     "expanded_to_quads",
     "flatten_document",
     "flatten_expanded",

@@ -140,6 +140,92 @@ def _resolve_remote_document(body, ctx_url: str, cache: ContextCache):
     return doc
 
 
+def _json_parse_validating(text: str, validate: bool):
+    """Parse JSON text; under ``validate`` (reference ``validate: true``,
+    backed by jsonlint) duplicate object keys raise LoadingDocumentFailed
+    (api_spec.rb "detects invalid JSON")."""
+    if not validate:
+        return json.loads(text)
+
+    def hook(pairs):
+        d: dict = {}
+        for k, v in pairs:
+            if k in d:
+                raise err.LoadingDocumentFailed(f"duplicate key {k!r}")
+            d[k] = v
+        return d
+
+    return json.loads(text, object_pairs_hook=hook)
+
+
+def load_api_input(
+    input_,
+    cache: "ContextCache | None" = None,
+    base: str | None = None,
+    validate: bool = False,
+):
+    """API#initialize input resolution (reference api.rb:117-160).
+
+    - a parsed dict/list passes through unchanged;
+    - a file-like (``.read()``) is JSON-parsed (validate-mode duplicate
+      keys raise LoadingDocumentFailed);
+    - a string URL is fetched through the offline loader (the broadcast
+      cache).  A wrapped RemoteDocument entry surfaces its
+      ``documentUrl`` (new base) and ``contextUrl`` — the Link-header
+      context the loader recorded, which initialize uses as the DEFAULT
+      active context (``context ||= context_ref``, api.rb:156).
+
+    → ``(document, base, context_ref)``; ``context_ref`` is the
+    contextUrl string or None.
+    """
+    cache = cache if cache is not None else EMPTY_CACHE
+    context_ref = None
+    doc_base = base
+    if isinstance(input_, (dict, list)):
+        return input_, doc_base, None
+    if hasattr(input_, "read"):
+        text = input_.read()
+        if isinstance(text, (bytes, bytearray)):
+            text = text.decode("utf-8")
+        try:
+            return _json_parse_validating(text, validate), doc_base, None
+        except ValueError as e:
+            raise err.LoadingDocumentFailed(str(e)) from e
+    if not isinstance(input_, str):
+        raise err.LoadingDocumentFailed(f"unsupported input {type(input_).__name__}")
+    entry = cache.get(input_)
+    if entry is None:
+        raise err.LoadingDocumentFailed(input_)
+    doc_base = base or input_
+    if isinstance(entry, dict) and entry.get("@remote-document"):
+        ct = entry.get("contentType", "application/ld+json")
+        if isinstance(ct, str):
+            ct = ct.split(";", 1)[0].strip()
+        if ct != "application/ld+json" and not _JSON_CT_RE.match(ct or ""):
+            raise err.LoadingDocumentFailed(
+                f"{input_}: unsupported content type {ct!r}"
+            )
+        links = entry.get("contextUrl") or []
+        if isinstance(links, str):
+            links = [links]
+        if len(links) > 1:
+            raise err.MultipleContextLinkHeaders(
+                f"expected at most 1 Link header with rel=jsonld:context, "
+                f"got {len(links)} at {input_}"
+            )
+        if links:
+            context_ref = resolve_iri(doc_base, links[0])
+        doc_base = entry.get("documentUrl") or doc_base
+        doc = entry.get("document")
+        if isinstance(doc, str):
+            try:
+                doc = _json_parse_validating(doc, validate)
+            except ValueError as e:
+                raise err.LoadingDocumentFailed(str(e)) from e
+        return doc, doc_base, context_ref
+    return entry, doc_base, None
+
+
 class TermDefinition:
     """One term's mappings (reference: context.rb:2103-2357)."""
 

@@ -795,3 +795,35 @@ def expand_document(
     if expanded is None:
         return []
     return expanded if isinstance(expanded, list) else [expanded]
+
+
+def expand_input(
+    input_,
+    context=None,
+    base: str | None = None,
+    cache=None,
+    expand_context=None,
+    validate: bool = False,
+    **kwargs,
+) -> list:
+    """API.expand over an UNRESOLVED input — a URL (fetched through the
+    offline loader), a file-like, or a parsed document — mirroring
+    API#initialize (api.rb:117-160): the RemoteDocument's documentUrl
+    becomes the base, and its contextUrl (Link header recorded by the
+    loader) becomes the default active context when none is provided, so
+    loading a document also loads its linked context through the loader
+    (api_spec.rb "#initialize loads document with loader and loads
+    context")."""
+    from .context import load_api_input
+
+    doc, doc_base, context_ref = load_api_input(
+        input_, cache=cache, base=base, validate=validate
+    )
+    return expand_document(
+        doc,
+        context=context if context is not None else context_ref,
+        base=doc_base,
+        cache=cache,
+        expand_context=expand_context,
+        **kwargs,
+    )

@@ -1,6 +1,10 @@
 """Driver-gate rehearsal: run every ``queries()`` entry on Spark and its
-``oracle_sql()`` on DuckDB over the same sf0.01 parquet, compare
-row-count + column names + values (order-insensitive, like the driver)."""
+``oracle_sql()`` on DuckDB over the same parquet, compare row-count +
+column names + values (order-insensitive, like the driver).
+
+VERDICT r4 #6: parity runs at TWO scale factors (sf0.01 — the driver's
+gate — AND sf0.1) in the same session, pinning scale-dependent
+divergence (overflow, collect bounds, AQE plan flips) every round."""
 
 import math
 import os
@@ -12,6 +16,7 @@ import __spark_entry__ as entry_mod
 from conftest import TESTDATA
 
 SF_DIR = os.path.join(TESTDATA, "sf0.01")
+SF_DIRS = ["sf0.01", "sf0.1"]
 
 TABLES = [
     "region",
@@ -27,12 +32,20 @@ TABLES = [
 ]
 
 
+@pytest.fixture(scope="module", params=SF_DIRS, ids=SF_DIRS)
+def sf_dir(request):
+    d = os.path.join(TESTDATA, request.param)
+    if not os.path.isdir(d):
+        pytest.skip(f"{d} not generated")
+    return d
+
+
 @pytest.fixture(scope="module")
-def duck():
+def duck(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     yield con
     con.close()
@@ -65,9 +78,9 @@ ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
-def test_oracle_parity(spark, duck, name):
+def test_oracle_parity(spark, duck, sf_dir, name):
     q = entry_mod.queries()[name]
-    sdf = q(spark, SF_DIR).toPandas()
+    sdf = q(spark, sf_dir).toPandas()
     odf = duck.execute(entry_mod.oracle_sql()[name]).fetchdf()
     assert len(sdf) == len(odf), f"{name}: rowcount {len(sdf)} vs {len(odf)}"
     scols = sorted(sdf.columns)
