@@ -465,6 +465,14 @@ def _q_jaccard_pairs(spark, sf_dir):
     return textops.jaccard_pairs(_docs(spark, sf_dir))
 
 
+def _q_passage_dedup(spark, sf_dir):
+    return textops.passage_dedup(_docs(spark, sf_dir))
+
+
+def _q_decontaminate(spark, sf_dir):
+    return textops.decontaminate(_docs(spark, sf_dir))
+
+
 def _q_minhash_candidates(spark, sf_dir):
     return textops.minhash_candidate_pairs(_docs(spark, sf_dir))
 
@@ -526,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_type_users": _q_multi_type_users,
         # dedup / text analysis
         "dedup_exact": _q_dedup_exact,
+        "passage_dedup": _q_passage_dedup,
+        "decontaminate": _q_decontaminate,
         "token_stats": _q_token_stats,
         "token_count_bpe": _q_token_count_bpe,
         "quality_score": _q_quality,
@@ -706,6 +716,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id""",
         "token_count_bpe": textops.TOKEN_COUNT_BPE_SQL,
         "dedup_exact": textops.EXACT_DEDUP_SQL,
+        "passage_dedup": textops.passage_dedup_sql(),
+        "decontaminate": textops.decontaminate_sql(),
         "token_stats": textops.TOKEN_STATS_SQL,
         "quality_score": textops.QUALITY_SCORE_SQL,
         "lang_id": textops.LANG_ID_SQL,

@@ -604,6 +604,32 @@ harness is accurate at longer durations: +0.7% on identical code.)
             )
         f.write(
             """
+## Fused-UDF constant attack (round 5, VERDICT r4 #2)
+
+Profile first (cProfile inside one process over the 20 k-page bench
+corpus, 28 286 embedded docs): the loop is a flat TREE WALK — expand
+2.6 s cum, create_node_map 1.0 s (208 k recursive calls), node_to_quads
+1.2 s, canon 0.75 s; `json.loads` itself is NOT the bottleneck (parse +
+script-scan ≈ 0.9 s of 7.5 profiled).  orjson/ujson are not installable
+in this runtime (no pip; import-probed absent) and stdlib json already
+uses the C accelerator, so the parse-swap remedy is unavailable and
+unneeded.  GC tuning A/B'd a wash.  What landed instead, measured on
+the same corpus (single-process best-of-5 page_to_rows, byte-identical
+output asserted by the full suite + 2-SF oracle parity): round-4
+baseline 2.806 s (7 127 pages/s) → hoisted per-call imports in the
+flatten/expand hot loops 2.550 s (−9.1%) → plus `expand_key` vocab-memo
+probe, unsorted type-key scan (mirrors expand.rb's eager
+`.sort.select`), positional recursion in create_node_map/expand, and a
+memoized `_valid_resource` ⇒ **2.519 s (7 941 pages/s, −10.2%)**.
+Spark-level confirmation in the FIRST quiet window of the session
+(interleaved vs_prev, min-of-3 × 2 reps): pages_extract_16f 2.432 vs
+3.038 s = **−19.9%**; an immediate back-to-back window read +3.9% with
+UNTOUCHED JVM-only queries swinging +16/+22% alongside — churn, exactly
+the measurement floor above.  Remaining profile is spread across ~10
+call sites at <0.5 s each; no single lever ≥5% is left short of fusing
+expand→node-map→emit into one pass, whose regression risk across 11
+swept spec corpora outweighs a constant-factor win.
+
 ## Checkpoint cadence A/B (round 3)
 
 `full_pipeline_linked` regressed +11% in round 2 when connected

@@ -533,6 +533,161 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- passage-level exact dedup ------------------------------------------------
+
+PASSAGE_TOKENS = 16
+# (doc_id, pidx) pairs order-encode into one int64 so both engines elect
+# the identical keeper with a plain min(): pidx < 2^20 (a 16-token
+# passage index of 2^20 means a ~16M-token doc — beyond any crawl page;
+# the pipeline's max_html_bytes guard fires long before)
+_PASSAGE_KEY_SHIFT = 1 << 20
+
+
+def passage_dedup(docs: DataFrame, passage_tokens: int = PASSAGE_TOKENS) -> DataFrame:
+    """Passage-level EXACT dedup — the 'exact substring' regime of
+    training-data dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022 — public paper): text splits into
+    fixed-width token passages; a passage is a duplicate when an
+    identical passage occurs at a lower-keyed position (earlier doc, or
+    earlier offset within the same doc).
+
+    → (doc_id, n_passages, n_dup_passages, dup_ratio_x1000), one row per
+    document.
+
+    100-TB shape: the only wide exchange carries (md5 digest, one
+    encoded int64) per passage — never the text; keeper election is a
+    map-side-combinable min(); flagging re-joins on the digest (AQE
+    sizes it); no self-join, no window."""
+    K = passage_tokens
+    passages = (
+        docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(toks) / {K}.0) as int) - 1), "
+                    f"i -> md5(concat_ws(' ', slice(toks, i * {K} + 1, {K}))))"
+                )
+            ).alias("pidx", "ph"),
+        )
+        .withColumn(
+            "pkey", F.col("doc_id") * F.lit(_PASSAGE_KEY_SHIFT) + F.col("pidx")
+        )
+    )
+    keeper = passages.groupBy("ph").agg(F.min("pkey").alias("keeper_key"))
+    flagged = passages.join(keeper, "ph").withColumn(
+        "is_dup", (F.col("pkey") != F.col("keeper_key")).cast("int")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum("is_dup").alias("n_dup_passages"),
+        )
+        .withColumn(
+            "dup_ratio_x1000",
+            F.expr("cast(floor(1000 * n_dup_passages / n_passages) as bigint)"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def passage_dedup_sql(passage_tokens: int = PASSAGE_TOKENS) -> str:
+    K = passage_tokens
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+ p AS (
+  SELECT doc_id, i AS pidx,
+         md5(array_to_string(toks[i * {K} + 1 : i * {K} + {K}], ' ')) AS ph,
+         doc_id * {_PASSAGE_KEY_SHIFT} + i AS pkey
+  FROM toks, unnest(range(0, cast(ceil(len(toks) / {K}.0) AS int))) AS u(i)),
+ k AS (SELECT ph, min(pkey) AS keeper_key FROM p GROUP BY 1),
+ f AS (SELECT p.doc_id, CASE WHEN p.pkey != k.keeper_key THEN 1 ELSE 0 END AS is_dup
+       FROM p JOIN k USING (ph))
+SELECT doc_id, count(*) AS n_passages,
+       cast(sum(is_dup) AS bigint) AS n_dup_passages,
+       cast(floor(1000 * sum(is_dup) / count(*)) AS bigint) AS dup_ratio_x1000
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- benchmark decontamination -------------------------------------------------
+
+DECON_NGRAM = 8
+DECON_EVAL_MOD = 20
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_mod: int = DECON_EVAL_MOD,
+    ngram: int = DECON_NGRAM,
+    threshold: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination audit (the n-gram-overlap filter every
+    eval-hygiene pipeline runs before training): flag training documents
+    sharing ≥ ``threshold`` distinct ``ngram``-token n-grams with the
+    held-out split (docs with ``doc_id % eval_mod == 0`` stand in for
+    the benchmark set — at production the eval side is a real benchmark
+    table).
+
+    → (doc_id, n_overlap, contaminated) for every training doc.
+
+    100-TB shape: the eval side projects to DISTINCT n-gram digests —
+    benchmark-sized, so it BROADCASTS; training n-grams stream through a
+    broadcast hash join (no shuffle of the big side), then one partial
+    count-distinct agg per doc."""
+    grams_expr = (
+        f"transform(sequence(0, size(toks) - {ngram}), "
+        f"i -> md5(concat_ws(' ', slice(toks, i + 1, {ngram}))))"
+    )
+    grams = (
+        docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+        .filter(F.size(F.expr(TOKENS_EXPR)) >= ngram)
+        .select("doc_id", F.explode(F.array_distinct(F.expr(grams_expr))).alias("g"))
+    )
+    eval_g = (
+        grams.filter(F.col("doc_id") % eval_mod == 0).select("g").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % eval_mod != 0)
+    overlap = (
+        train.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))  # grams pre-distinct per doc
+    )
+    train_docs = (
+        docs.filter(F.col("doc_id") % eval_mod != 0).select("doc_id").distinct()
+    )
+    return (
+        train_docs.join(overlap, "doc_id", "left")
+        .fillna(0, subset=["n_overlap"])
+        .withColumn("contaminated", F.col("n_overlap") >= threshold)
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_sql(
+    eval_mod: int = DECON_EVAL_MOD,
+    ngram: int = DECON_NGRAM,
+    threshold: int = 1,
+) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+ g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - {ngram} + 2),
+           i -> md5(array_to_string(toks[i : i + {ngram} - 1], ' '))))) AS g
+  FROM toks WHERE len(toks) >= {ngram}),
+ ev AS (SELECT DISTINCT g FROM g WHERE doc_id % {eval_mod} = 0),
+ ov AS (SELECT doc_id, count(*) AS n_overlap
+        FROM g JOIN ev USING (g) WHERE doc_id % {eval_mod} != 0 GROUP BY 1)
+SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+       coalesce(ov.n_overlap, 0) >= {threshold} AS contaminated
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % {eval_mod} != 0) d
+LEFT JOIN ov USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # --- corpus vocabulary / deterministic sampling ------------------------------
 
 

@@ -146,3 +146,39 @@ def test_jaccard_stop_shingle_cap(spark):
         .toString()
     )
     assert "flatten(transform" in plan and "CartesianProduct" not in plan, plan
+
+
+def test_passage_dedup_plan_no_text_on_exchange(spark):
+    """passage_dedup's wide exchanges carry (digest, encoded int64) —
+    never the text column — and the keeper election is an aggregate,
+    not a window or self-join."""
+    from jsonld_spark.functions import text as textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        textops.passage_dedup(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "Window" not in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text" not in ln, ln
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval n-gram set is the SMALL side: it must broadcast, so
+    training n-grams stream through a BroadcastHashJoin with no shuffle
+    of the big side on the join key."""
+    from jsonld_spark.functions import text as textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        textops.decontaminate(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
