@@ -688,6 +688,49 @@ ORDER BY d.doc_id
 """
 
 
+# --- per-group quota sampling ---------------------------------------------------
+
+
+def quota_sample(
+    docs: DataFrame, group_col: str = "source", quota: int = 50
+) -> DataFrame:
+    """Domain-mix rebalancing: keep at most ``quota`` documents per
+    group (source/domain), selected in md5(doc_id) order — deterministic,
+    cluster-size-independent, reproducible across re-runs (the standard
+    per-domain cap every crawl-mix pipeline applies before training).
+
+    → (doc_id, group_col, rk) for the kept documents.
+
+    100-TB shape: rank-within-group plans as a WindowGroupLimit —
+    Spark's partial per-partition top-k runs BEFORE the exchange, so a
+    mega-domain contributes at most ``quota`` rows per input partition
+    to the shuffle instead of its full row count (plan-asserted)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", group_col, "rk")
+        .orderBy(group_col, "rk")
+    )
+
+
+def quota_sample_sql(group_col: str = "source", quota: int = 50) -> str:
+    return f"""
+WITH r AS (
+  SELECT doc_id, {group_col},
+         row_number() OVER (
+           PARTITION BY {group_col}
+           ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rk
+  FROM documents)
+SELECT doc_id, {group_col}, rk FROM r WHERE rk <= {quota}
+ORDER BY {group_col}, rk
+"""
+
+
 # --- corpus vocabulary / deterministic sampling ------------------------------
 
 

@@ -167,25 +167,36 @@ def page_to_rows(
             # bnode is stable across re-serializations of the same content
             quads = canonicalize_quads(quads)
         si = d.script_index
+        # one sha256 per DISTINCT label per doc, not per occurrence — a
+        # bnode typically appears in several quads
+        salted: dict[str, str] = {}
+
+        def _salt(label: str, _u=url, _si=si, _m=salted) -> str:
+            s = _m.get(label)
+            if s is None:
+                s = salt_bnode(_u, _si, label)
+                _m[label] = s
+            return s
+
         for q in quads:
             # schema convention: NULL obj_datatype + obj_is_literal ⇒
             # xsd:string — the dominant datatype; NULL costs a validity
             # bit instead of a 40-byte string per row through Arrow,
             # shuffle and parquet
             dt = None if q.obj_datatype == XSD_STRING else q.obj_datatype
-            s = salt_bnode(url, si, q.subj) if q.subj.startswith("_:") else q.subj
+            s = _salt(q.subj) if q.subj.startswith("_:") else q.subj
             if s.startswith("<<"):
                 s = _salt_quoted_term(url, si, s)
-            p = salt_bnode(url, si, q.pred) if q.pred.startswith("_:") else q.pred
+            p = _salt(q.pred) if q.pred.startswith("_:") else q.pred
             o = (
-                salt_bnode(url, si, q.obj)
+                _salt(q.obj)
                 if (not q.obj_is_literal and q.obj.startswith("_:"))
                 else q.obj
             )
             if not q.obj_is_literal and o.startswith("<<"):
                 o = _salt_quoted_term(url, si, o)
             g = (
-                salt_bnode(url, si, q.graph)
+                _salt(q.graph)
                 if (q.graph is not None and q.graph.startswith("_:"))
                 else q.graph
             )

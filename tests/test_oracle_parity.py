@@ -182,3 +182,19 @@ def test_decontaminate_broadcasts_eval_side(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_quota_sample_plan_uses_window_group_limit(spark):
+    """The per-group rank must plan as WindowGroupLimit: partial top-k
+    runs per input partition BEFORE the exchange, so a mega-domain
+    contributes at most `quota` rows per partition to the shuffle."""
+    from jsonld_spark.functions import text as textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        textops.quota_sample(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
