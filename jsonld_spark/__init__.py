@@ -17,6 +17,7 @@ re-expressed Spark-first:
 
 from .context import Context, ContextCache, canon_context_url, load_api_input
 from .errors import JsonLdError
+from .api import compact_input, flatten_input, frame_input, to_rdf_input
 from .expand import expand_document, expand_input
 from .flatten import flatten_document, flatten_expanded
 from .rdf_model import Quad, parse_nquads, quad_to_nquads, quads_to_nquads
@@ -31,8 +32,12 @@ __all__ = [
     "Quad",
     "canon_context_url",
     "doc_to_quads",
+    "compact_input",
     "expand_document",
     "expand_input",
+    "flatten_input",
+    "frame_input",
+    "to_rdf_input",
     "load_api_input",
     "expanded_to_quads",
     "flatten_document",

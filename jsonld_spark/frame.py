@@ -555,10 +555,16 @@ def frame_document(
     frame_default: bool = False,
     ordered: bool = False,
     omit_graph: bool = True,
+    expand_context=None,
 ):
-    """API.frame equivalent (reference api.rb:382-509)."""
+    """API.frame equivalent (reference api.rb:382-509).
+    ``expand_context`` applies to the INPUT document's expansion (the
+    reference's expandContext option, threaded through initialize —
+    e.g. a Link-header contextUrl from the loader)."""
     validate_frame(frame)
-    expanded = expand_document(doc, base=base, cache=cache)
+    expanded = expand_document(
+        doc, base=base, cache=cache, expand_context=expand_context
+    )
     expanded_frame = expand_document(frame, base=base, cache=cache, frame_expansion=True)
     # validate the EXPANDED frame too (reference validates inside the
     # recursive frame() call over expanded input, frame.rb:28): context

@@ -221,7 +221,16 @@ def remove_base(base: str | None, iri: str) -> str:
     if i_frag is not None:
         suffix += "#" + i_frag
     if i_path == b_path:
-        return suffix if suffix else iri
+        if suffix:
+            return suffix
+        # iri == base exactly: the reference relativizes against the
+        # base's PARENT (context.rb remove_base @base_and_parents) —
+        # 'http://e/a/foo' under base 'http://e/a/foo' → 'foo', and a
+        # directory base 'http://e/a/' under itself → './'
+        if b_path.endswith("/"):
+            return "./"
+        seg = i_path.rsplit("/", 1)[-1]
+        return seg if seg else iri
     b_segs = b_path.split("/")
     i_segs = i_path.split("/")
     b_dir = b_segs[:-1]

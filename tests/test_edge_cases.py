@@ -377,3 +377,25 @@ def test_error_index_not_string():
         {"@id": "http://e/a", "http://x/p": {"@value": 1, "@index": 5}},
         err.InvalidIndexValue,
     )
+
+
+def test_remove_base_self_and_directory_parity():
+    """remove_base parity with context.rb @base_and_parents (round 5):
+    an IRI EQUAL to the base relativizes to its last path segment; a
+    directory base under itself gives './'; fragments/queries on the
+    base stay suffix-only.  Every output must resolve back to the
+    input."""
+    from jsonld_spark.iri import remove_base, resolve_iri
+
+    cases = [
+        ("http://e.com/a/foo", "http://e.com/a/foo", "foo"),
+        ("http://e.com/a/", "http://e.com/a/", "./"),
+        ("http://e.com/a/foo", "http://e.com/a/foo#x", "#x"),
+        ("http://e.com/a/foo", "http://e.com/a/foo?q=1", "?q=1"),
+        ("http://e.com/a/foo", "http://e.com/a/bar", "bar"),
+        ("http://e.com/a/foo", "http://other.com/a/foo", "http://other.com/a/foo"),
+    ]
+    for base, iri, want in cases:
+        got = remove_base(base, iri)
+        assert got == want, (base, iri, got, want)
+        assert resolve_iri(base, got) == iri, (base, iri, got)

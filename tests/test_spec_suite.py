@@ -2045,6 +2045,51 @@ def test_api_spec_sweep():
         lambda: expand_input("http://absent.example/doc", cache=ContextCache({})),
     )
 
+    def other_entry_points_resolve_inputs():
+        # every API entry point funnels through initialize: compact /
+        # flatten / frame / toRdf accept a URL input with the same
+        # loader contract (api.rb:117-160)
+        from jsonld_spark.api import (
+            compact_input,
+            flatten_input,
+            frame_input,
+            to_rdf_input,
+        )
+
+        def cache():
+            return _TracingCache(
+                {
+                    "http://example.com/foo": {
+                        "@remote-document": True,
+                        "documentUrl": "http://example.com/foo",
+                        "contextUrl": "http://example.com/context",
+                        "document": '{"@id": "", "name": "foo"}',
+                    },
+                    "http://example.com/context": FOO_CTX,
+                }
+            )
+
+        name_iri = "http://xmlns.com/foaf/0.1/name"
+        c = compact_input(
+            "http://example.com/foo", {"n": name_iri}, cache=cache()
+        )
+        quads = to_rdf_input("http://example.com/foo", cache=cache())
+        fl = flatten_input("http://example.com/foo", cache=cache())
+        fr = frame_input(
+            "http://example.com/foo", {"@id": "http://example.com/foo"},
+            cache=cache(),
+        )
+        return (
+            c.get("n") == "foo"
+            and [(q.subj, q.pred, q.obj) for q in quads]
+            == [("http://example.com/foo", name_iri, "foo")]
+            and fl == [{"@id": "http://example.com/foo", name_iri: [{"@value": "foo"}]}]
+            and fr.get("@id") == "http://example.com/foo"
+        )
+
+    sw.case("initialize", "compact/flatten/frame/toRdf resolve inputs",
+            other_entry_points_resolve_inputs)
+
     # ---- validate mode (api_spec.rb:42-49) --------------------------------
     sw.expect_err(
         "validating", "detects invalid JSON", "LoadingDocumentFailed",
