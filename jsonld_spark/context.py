@@ -97,6 +97,33 @@ EMPTY_CACHE = ContextCache()
 _JSON_CT_RE = re.compile(r"application/(\w[\w.-]*\+)?json$")
 
 
+def _remote_entry_meta(entry: dict):
+    """Shared unwrap of a wrapped RemoteDocument cache entry → (content
+    type with parameters stripped, normalized Link-context list, raw
+    document).  Both loaders (`_resolve_remote_document` for contexts,
+    `load_api_input` for API inputs) go through here so content-type and
+    Link-header normalization cannot drift apart; each caller applies
+    its own at-most-one-Link validation (the reference raises only in
+    the branch that would USE the link, api.rb:646-658)."""
+    ct = entry.get("contentType", "application/ld+json")
+    if isinstance(ct, str):
+        # strip media-type parameters ("application/ld+json; charset=…")
+        # before matching — loaders record them verbatim
+        ct = ct.split(";", 1)[0].strip()
+    links = entry.get("contextUrl") or []
+    if isinstance(links, str):
+        links = [links]
+    return ct, links, entry.get("document")
+
+
+def _at_most_one_link(links, url: str):
+    if len(links) > 1:
+        raise err.MultipleContextLinkHeaders(
+            f"expected at most 1 Link header with rel=jsonld:context, "
+            f"got {len(links)} at {url}"
+        )
+
+
 def _resolve_remote_document(body, ctx_url: str, cache: ContextCache):
     """loadRemoteDocument content-negotiation semantics over the offline
     cache (reference api.rb:645-690).  A cache entry may be a wrapped
@@ -108,21 +135,9 @@ def _resolve_remote_document(body, ctx_url: str, cache: ContextCache):
     ``multiple context link headers`` exactly like the reference."""
     if not (isinstance(body, dict) and body.get("@remote-document")):
         return body
-    ct = body.get("contentType", "application/ld+json")
-    if isinstance(ct, str):
-        # strip media-type parameters ("application/ld+json; charset=…")
-        # before matching — loaders record them verbatim
-        ct = ct.split(";", 1)[0].strip()
-    links = body.get("contextUrl") or []
-    if isinstance(links, str):
-        links = [links]
-    doc = body.get("document")
+    ct, links, doc = _remote_entry_meta(body)
     if ct != "application/ld+json" and _JSON_CT_RE.match(ct or ""):
-        if len(links) > 1:
-            raise err.MultipleContextLinkHeaders(
-                f"expected at most 1 Link header with rel=jsonld:context, "
-                f"got {len(links)} at {ctx_url}"
-            )
+        _at_most_one_link(links, ctx_url)
         if links:
             linked_url = resolve_iri(ctx_url, links[0])
             linked = cache.get(linked_url)
@@ -171,12 +186,22 @@ def load_api_input(
       keys raise LoadingDocumentFailed);
     - a string URL is fetched through the offline loader (the broadcast
       cache).  A wrapped RemoteDocument entry surfaces its
-      ``documentUrl`` (new base) and ``contextUrl`` — the Link-header
-      context the loader recorded, which initialize uses as the DEFAULT
-      active context (``context ||= context_ref``, api.rb:156).
+      ``documentUrl`` (new base — unless the caller passed an explicit
+      ``base``, which WINS, mirroring api.rb:690
+      ``remote_doc.documentUrl = base if base``) and ``contextUrl`` —
+      the Link-header context the loader recorded, which initialize
+      uses as the DEFAULT active context (``context ||= context_ref``,
+      api.rb:156); a RELATIVE contextUrl resolves against the effective
+      final base.
 
     → ``(document, base, context_ref)``; ``context_ref`` is the
     contextUrl string or None.
+
+    Validate-mode duplicate-key detection applies wherever TEXT reaches
+    this parser: file-like inputs and wrapped RemoteDocument string
+    bodies.  Unwrapped cache entries are already-parsed JSON (the
+    broadcast cache ships parsed values cluster-wide by design), so
+    their duplicates were collapsed last-wins at cache build time.
     """
     cache = cache if cache is not None else EMPTY_CACHE
     context_ref = None
@@ -198,25 +223,22 @@ def load_api_input(
         raise err.LoadingDocumentFailed(input_)
     doc_base = base or input_
     if isinstance(entry, dict) and entry.get("@remote-document"):
-        ct = entry.get("contentType", "application/ld+json")
-        if isinstance(ct, str):
-            ct = ct.split(";", 1)[0].strip()
+        ct, links, doc = _remote_entry_meta(entry)
         if ct != "application/ld+json" and not _JSON_CT_RE.match(ct or ""):
             raise err.LoadingDocumentFailed(
                 f"{input_}: unsupported content type {ct!r}"
             )
-        links = entry.get("contextUrl") or []
-        if isinstance(links, str):
-            links = [links]
-        if len(links) > 1:
-            raise err.MultipleContextLinkHeaders(
-                f"expected at most 1 Link header with rel=jsonld:context, "
-                f"got {len(links)} at {input_}"
-            )
+        # a loader can only have recorded >1 rel=jsonld:context header
+        # from a response loadRemoteDocument itself rejects — defensive
+        _at_most_one_link(links, input_)
+        # explicit base wins over the loader's documentUrl (api.rb:690)
+        if base is None:
+            doc_base = entry.get("documentUrl") or doc_base
         if links:
+            # a relative Link context resolves against the EFFECTIVE
+            # final base (api.rb:133-134 set documentUrl before
+            # Context.parse sees the ref)
             context_ref = resolve_iri(doc_base, links[0])
-        doc_base = entry.get("documentUrl") or doc_base
-        doc = entry.get("document")
         if isinstance(doc, str):
             try:
                 doc = _json_parse_validating(doc, validate)

@@ -642,7 +642,8 @@ def decontaminate(
     )
     grams = (
         docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
-        .filter(F.size(F.expr(TOKENS_EXPR)) >= ngram)
+        .filter(F.size(F.col("toks")) >= ngram)  # on the projected col —
+        # re-tokenizing via TOKENS_EXPR here would split(text) twice
         .select("doc_id", F.explode(F.array_distinct(F.expr(grams_expr))).alias("g"))
     )
     eval_g = (

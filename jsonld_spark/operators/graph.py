@@ -162,6 +162,7 @@ def dense_ids_by_sorted_order(df: DataFrame, col: str = "iri") -> DataFrame:
     spark = df.sparkSession
     from pyspark.sql import Window
 
+    _ensure_checkpoint_dir(df)  # public helper: callable standalone
     ranged = (
         df.repartitionByRange(F.col(col))
         .withColumn("_pid", F.spark_partition_id())

@@ -2045,6 +2045,50 @@ def test_api_spec_sweep():
         lambda: expand_input("http://absent.example/doc", cache=ContextCache({})),
     )
 
+    def explicit_base_beats_document_url():
+        # api.rb:690: `remote_doc.documentUrl = base if base` — a
+        # caller-supplied base REPLACES the loader's documentUrl
+        from jsonld_spark import load_api_input
+
+        cache = ContextCache(
+            {
+                "http://req/doc": {
+                    "@remote-document": True,
+                    "documentUrl": "http://final/dir/doc",
+                    "document": '{"@id": ""}',
+                }
+            }
+        )
+        _, b_default, _ = load_api_input("http://req/doc", cache=cache)
+        _, b_explicit, _ = load_api_input(
+            "http://req/doc", cache=cache, base="http://user/base/"
+        )
+        return b_default == "http://final/dir/doc" and b_explicit == "http://user/base/"
+
+    sw.case("initialize", "explicit base beats documentUrl",
+            explicit_base_beats_document_url)
+
+    def relative_context_url_resolves_against_final_base():
+        # the Link context resolves against the EFFECTIVE final base
+        # (documentUrl after any redirect), not the request URL
+        from jsonld_spark import load_api_input
+
+        cache = ContextCache(
+            {
+                "http://req/doc": {
+                    "@remote-document": True,
+                    "documentUrl": "http://final/dir/doc",
+                    "contextUrl": "ctx.jsonld",
+                    "document": "{}",
+                }
+            }
+        )
+        _, _, ref = load_api_input("http://req/doc", cache=cache)
+        return ref == "http://final/dir/ctx.jsonld"
+
+    sw.case("initialize", "relative Link context resolves against final base",
+            relative_context_url_resolves_against_final_base)
+
     def other_entry_points_resolve_inputs():
         # every API entry point funnels through initialize: compact /
         # flatten / frame / toRdf accept a URL input with the same
