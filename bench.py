@@ -621,11 +621,14 @@ flatten/expand hot loops 2.550 s (−9.1%) → plus `expand_key` vocab-memo
 probe, unsorted type-key scan (mirrors expand.rb's eager
 `.sort.select`), positional recursion in create_node_map/expand, and a
 memoized `_valid_resource` ⇒ **2.519 s (7 941 pages/s, −10.2%)**.
-Spark-level confirmation in the FIRST quiet window of the session
-(interleaved vs_prev, min-of-3 × 2 reps): pages_extract_16f 2.432 vs
-3.038 s = **−19.9%**; an immediate back-to-back window read +3.9% with
-UNTOUCHED JVM-only queries swinging +16/+22% alongside — churn, exactly
-the measurement floor above.  Remaining profile is spread across ~10
+Spark-level confirmation across FOUR interleaved vs_prev windows
+(min-of-3 × 2 reps each): pages_extract_16f **−19.9%** (first fresh
+window, 2.432 vs 3.038 s), **−4.2%** (driver-style full-bench run),
+**−7.3%** (post-suite settle window, 2.172 vs 2.343 s), and one
+churn-contaminated +3.9% back-to-back reading in which UNTOUCHED
+JVM-only queries swung +16/+22% alongside — sign-stable HEAD-faster in
+every uncontaminated window, exactly the multi-window standard the
+measurement-floor note above demands.  Remaining profile is spread across ~10
 call sites at <0.5 s each; no single lever ≥5% is left short of fusing
 expand→node-map→emit into one pass, whose regression risk across 11
 swept spec corpora outweighs a constant-factor win.
