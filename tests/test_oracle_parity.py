@@ -198,3 +198,53 @@ def test_quota_sample_plan_uses_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_passage_dedup_semantics(spark):
+    """Pin the keeper-election semantics independently of the oracle:
+    an exact-duplicate later document has EVERY passage flagged; the
+    earliest occurrence owns the passage; a repeated passage WITHIN one
+    doc counts against its later offset."""
+    from jsonld_spark.functions.text import passage_dedup
+
+    words = " ".join(f"w{i}" for i in range(32))  # 2 passages of 16
+    docs = spark.createDataFrame(
+        [
+            (1, words),
+            (2, words),                      # exact dup of doc 1
+            (3, " ".join(f"w{i}" for i in range(16)) + " " + " ".join(f"w{i}" for i in range(16))),
+            # doc 3 = passage A twice: second offset is an internal dup
+            (4, "unique tokens only here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in passage_dedup(docs).collect()}
+    assert rows[1].n_dup_passages == 0 and rows[1].n_passages == 2
+    assert rows[2].n_dup_passages == 2 and rows[2].dup_ratio_x1000 == 1000
+    # doc 3's first 16 tokens equal doc 1's first passage (owned by doc
+    # 1), and its second passage equals its own first → both dups
+    assert rows[3].n_dup_passages == 2
+    assert rows[4].n_dup_passages == 0
+
+
+def test_decontaminate_semantics(spark):
+    """Pin eval-split semantics: a training doc sharing an 8-gram with
+    an eval doc (doc_id % 20 == 0) is contaminated; disjoint text is
+    not; eval docs themselves are excluded from the output."""
+    from jsonld_spark.functions.text import decontaminate
+
+    eval_text = " ".join(f"e{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (20, eval_text),                       # eval split member
+            (1, "prefix " + eval_text),            # shares 8-grams
+            (2, " ".join(f"x{i}" for i in range(10))),  # disjoint
+            (3, "too short"),                      # < 8 tokens: no grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in decontaminate(docs).collect()}
+    assert 20 not in rows
+    assert rows[1].contaminated and rows[1].n_overlap >= 1
+    assert not rows[2].contaminated and rows[2].n_overlap == 0
+    assert not rows[3].contaminated and rows[3].n_overlap == 0
