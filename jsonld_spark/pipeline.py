@@ -125,10 +125,19 @@ class KGPipeline:
         streamed for earlier spine elements stay — see
         streaming/reader.py's error-semantics note); url is the identity
         quads and error rows share, so the anti-join retracts a failed
-        document's partial quads page-wide.  The error-side projection is
+        document's partial quads page-wide.  ``warning:`` rows are NOT
+        failures — page_to_rows emits them alongside a page's triples as
+        observability (dropped keys, malformed tags) and its contract is
+        explicit that warnings never suppress output; only real error
+        rows put a url in the failed set.  The error-side projection is
         thin (url only) and typically broadcasts."""
         failed = (
-            extracted.filter(F.col("error").isNotNull()).select("url").distinct()
+            extracted.filter(
+                F.col("error").isNotNull()
+                & ~F.col("error").startswith("warning:")
+            )
+            .select("url")
+            .distinct()
         )
         return (
             extracted.filter(F.col("error").isNull())
@@ -162,21 +171,48 @@ class KGPipeline:
         this plan exists to avoid (the digest set per url is tiny: one
         entry per distinct elected payload).
 
+        The election key is ``min(struct(url, warc_ts))`` per content
+        hash, so SAME-url recrawls of unchanged content (the most common
+        duplicate: a second snapshot of the same page) also collapse to
+        one row — a url-only election would re-admit every same-url copy
+        of the winning payload.  Byte-identical FULL duplicates (same
+        url, html AND warc_ts) still both pass — discriminating them
+        needs a full-row shuffle that would put html on an exchange, and
+        the downstream 8-tuple dropDuplicates absorbs their triples.
+
         NULL-html rows (fetch failures) have no content to dedup and
         pass through untouched — md5(NULL) would otherwise silently
         drop them from the keeper election."""
+        # NULL-safe ts: struct equality with a NULL field would silently
+        # drop the row at the probe below.  Frames without a warc_ts
+        # column (the schema is url+html minimum) elect on url alone —
+        # same-url same-content duplicates then rely on the downstream
+        # triple dedup, exactly the pre-round-5 behavior.
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ts = (
+            F.coalesce(F.col("warc_ts"), epoch)
+            if "warc_ts" in pages.columns
+            else epoch
+        )
         with_html = pages.filter(F.col("html").isNotNull())
         null_html = pages.filter(F.col("html").isNull())
         keepers = (
-            with_html.select("url", F.md5("html").alias("h"))
+            with_html.select(
+                "url", F.md5("html").alias("h"), ts.alias("ts")
+            )
             .groupBy("h")
-            .agg(F.min("url").alias("url"))
-            .groupBy("url")
-            .agg(F.collect_set("h").alias("hs"))
+            .agg(F.min(F.struct("url", "ts")).alias("k"))
+            .groupBy(F.col("k.url").alias("url"))
+            .agg(F.collect_set(F.struct("h", F.col("k.ts").alias("ts"))).alias("hts"))
         )
         deduped = (
             with_html.join(keepers, "url", "inner")
-            .filter(F.array_contains(F.col("hs"), F.md5("html")))
+            .filter(
+                F.array_contains(
+                    F.col("hts"),
+                    F.struct(F.md5("html").alias("h"), ts.alias("ts")),
+                )
+            )
             .select(*pages.columns)
         )
         return deduped.unionByName(null_html)
@@ -389,6 +425,13 @@ class KGPipeline:
             self.spark.read.option("mergeSchema", "true")
             .parquet(self._lineage_path(out_dir))
             .filter(F.col("run_id") == run_id)
+            # lineage is append-only: re-running the SAME run_id without
+            # resume appends a second complete row per part_id while
+            # dynamic overwrite REPLACED the data — dedup per part so the
+            # reported totals match what is actually on disk (identical
+            # re-runs dedup exactly; a re-run over changed input should
+            # use a new run_id)
+            .dropDuplicates(["part_id"])
         )
         agg = this_run.agg(
             F.sum("triple_count").alias("t"),

@@ -151,6 +151,11 @@ def _streamable_node(doc, ctx: Context, base: str | None):
         elif expanded == "@included":
             extras["included_keys"].append(key)
         elif expanded == "@graph":
+            if extras["graph_keys"]:
+                # batch raises CollidingKeywords on a second @graph key
+                # (@graph is not in expand.rb's @included/@type/@reverse
+                # exemption) — fall back so the error row matches
+                return None
             extras["graph_keys"].append(key)
         elif expanded == "@nest":
             extras["nest_keys"].append(key)
@@ -507,6 +512,12 @@ def _emit_elements(
     statement window."""
     for element, ctx in pairs:
         expanded = expand(element, None, ctx, options)
+        if len(options.warnings) > 64:
+            # per-item mini-docs re-derive the SAME warning for every
+            # element (e.g. one droppable key over a 10M-item array);
+            # dedup in place so warning memory is O(distinct), keeping
+            # the reader's bounded-memory contract
+            options.warnings[:] = dict.fromkeys(options.warnings)
         if expanded is None:
             continue
         expanded = expanded if isinstance(expanded, list) else [expanded]
@@ -541,7 +552,7 @@ def make_streaming_pages_to_triples(
     import pandas as pd
 
     from ..sources.html_jsonld import extract_jsonld
-    from ..udfs import TRIPLE_COLS, _get_cache, salt_bnode
+    from ..udfs import TRIPLE_COLS, _get_cache, _salt_quoted_term, salt_bnode
     from ..rdf_model import XSD_STRING
 
     def fn(batches):
@@ -573,6 +584,18 @@ def make_streaming_pages_to_triples(
                         )
                         continue
                     si = d.script_index
+                    # one sha256 per DISTINCT label per doc (matches the
+                    # batch path's per-doc memo)
+                    salted: dict = {}
+
+                    def _salt(label, _u=url, _si=si, _m=salted):
+                        v = _m.get(label)
+                        if v is None:
+                            v = salt_bnode(_u, _si, label)
+                            _m[label] = v
+                        return v
+
+                    warnings: list = []
                     try:
                         doc = (
                             d.parsed
@@ -586,6 +609,7 @@ def make_streaming_pages_to_triples(
                             rdf_direction=rdf_direction,
                             produce_generalized_rdf=produce_generalized_rdf,
                             rdfstar=rdfstar,
+                            warnings_out=warnings,
                         ):
                             dt = (
                                 None
@@ -593,22 +617,31 @@ def make_streaming_pages_to_triples(
                                 else q.obj_datatype
                             )
                             s = (
-                                salt_bnode(url, si, q.subj)
+                                _salt(q.subj)
                                 if q.subj.startswith("_:")
                                 else q.subj
                             )
+                            if s.startswith("<<"):
+                                # RDF-star quoted terms carry bnode labels
+                                # INSIDE the term text: salt them too, or
+                                # the annotation stops referencing the
+                                # asserted triple (batch parity,
+                                # udfs.py _salt_quoted_term)
+                                s = _salt_quoted_term(url, si, s)
                             p = (
-                                salt_bnode(url, si, q.pred)
+                                _salt(q.pred)
                                 if q.pred.startswith("_:")
                                 else q.pred
                             )
                             o = (
-                                salt_bnode(url, si, q.obj)
+                                _salt(q.obj)
                                 if (not q.obj_is_literal and q.obj.startswith("_:"))
                                 else q.obj
                             )
+                            if not q.obj_is_literal and o.startswith("<<"):
+                                o = _salt_quoted_term(url, si, o)
                             g = (
-                                salt_bnode(url, si, q.graph)
+                                _salt(q.graph)
                                 if (q.graph is not None and q.graph.startswith("_:"))
                                 else q.graph
                             )
@@ -617,6 +650,13 @@ def make_streaming_pages_to_triples(
                             )
                             if len(out) >= chunk_rows:
                                 yield flush()
+                        # warning rows AFTER a successful stream, deduped
+                        # — the batch path's observability contract
+                        for w in dict.fromkeys(warnings):
+                            out.append(
+                                (url, None, None, None, None, None, None,
+                                 None, f"warning: {w}")
+                            )
                     except JsonLdError as e:
                         out.append(
                             (url, None, None, None, None, None, None, None, e.code)

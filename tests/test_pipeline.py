@@ -401,3 +401,57 @@ def test_dedup_pages_null_html_passthrough(spark, pipe):
     pages = spark.createDataFrame(rows, "url string, html binary")
     out = sorted(r.url for r in pipe.dedup_pages(pages).collect())
     assert out == ["http://a.e/1", "http://a.e/2", "http://a.e/3"]
+
+
+def test_dedup_pages_same_url_recrawl_collapses(spark, pipe):
+    """Round-5 review fix: the most common duplicate — the SAME url
+    recrawled with unchanged content at a later warc_ts — collapses to
+    the earliest snapshot (election key is min(struct(url, warc_ts))
+    per content hash)."""
+    import datetime
+
+    t1 = datetime.datetime(2026, 1, 1)
+    t2 = datetime.datetime(2026, 2, 1)
+    rows = [
+        ("http://a.e/1", t1, b"<html>same</html>"),
+        ("http://a.e/1", t2, b"<html>same</html>"),   # same-url recrawl
+        ("http://a.e/1", t2, b"<html>changed</html>"),  # new content kept
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = sorted((r.url, r.warc_ts, bytes(r.html)) for r in pipe.dedup_pages(pages).collect())
+    assert out == [
+        ("http://a.e/1", t1, b"<html>same</html>"),
+        ("http://a.e/1", t2, b"<html>changed</html>"),
+    ]
+
+
+def test_drop_failed_pages_keeps_warning_only_pages(spark, pipe):
+    """Round-5 review fix: 'warning:' rows are observability, not
+    failures — a page with only warnings keeps its quads; a page with a
+    real error row loses them."""
+    rows = [
+        ("http://w.e/1", "http://s/1", "http://p/x", "v", True, None, None, None, None),
+        ("http://w.e/1", None, None, None, None, None, None, None, "warning: dropped key 'junk'"),
+        ("http://f.e/2", "http://s/2", "http://p/x", "v", True, None, None, None, None),
+        ("http://f.e/2", None, None, None, None, None, None, None, "loading document failed"),
+    ]
+    from jsonld_spark.udfs import TRIPLES_SCHEMA
+
+    extracted = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    kept = {r.url for r in KGPipeline.drop_failed_pages(extracted).collect()}
+    assert kept == {"http://w.e/1"}
+
+
+def test_rerun_same_run_id_stats_not_doubled(spark, pipe, pages):
+    """Round-5 review fix: lineage is append-only, so re-running the
+    SAME run_id without resume appends a second complete row per part
+    while dynamic overwrite replaced the data — the reported stats must
+    dedup per part_id and match what is on disk."""
+    out = os.path.join(DATA_DIR, "kg_out_rerun")
+    shutil.rmtree(out, ignore_errors=True)
+    stats1 = pipe.run(pages, out, run_id="same", resume=False)
+    stats2 = pipe.run(pages, out, run_id="same", resume=False)
+    assert stats2["triples"] == stats1["triples"]
+    written = spark.read.parquet(os.path.join(out, "triples")).count()
+    assert written == stats2["triples"]
+    shutil.rmtree(out, ignore_errors=True)

@@ -327,3 +327,90 @@ def test_node_property_stream_is_lazy():
     except Exception:
         return
     raise AssertionError("poison item did not raise")
+
+
+def _drive_streaming_udf(pages_rows, rdfstar=False):
+    """Drive the mapInPandas fn directly with pandas batches (no Spark)."""
+    from jsonld_spark.streaming.reader import make_streaming_pages_to_triples
+    from jsonld_spark.udfs import TRIPLE_COLS
+
+    fn = make_streaming_pages_to_triples(None, rdfstar=rdfstar)
+    pdf = pd.DataFrame(pages_rows, columns=["url", "html"])
+    out = pd.concat(list(fn(iter([pdf]))), ignore_index=True)
+    assert list(out.columns) == TRIPLE_COLS
+    return out
+
+
+def _page(ld: str) -> bytes:
+    return (
+        '<html><body><script type="application/ld+json">'
+        + ld
+        + "</script></body></html>"
+    ).encode()
+
+
+def test_streaming_udf_emits_warning_rows():
+    """Round-5 review fix: the streaming UDF surfaces 'warning:' rows
+    (dropped keys etc.) exactly like the batch path — previously they
+    were silently discarded."""
+    doc = json.dumps(
+        {"@context": {"name": "http://v.e/name"},
+         "@id": "http://e/x", "name": "n", "junkkey": "dropped"}
+    )
+    out = _drive_streaming_udf([("http://p.e/1", _page(doc))])
+    warnings = out[out.error.str.startswith("warning:").fillna(False)]
+    assert len(warnings) == 1 and "junkkey" in warnings.iloc[0].error
+    quads = out[out.error.isna()]
+    assert len(quads) == 1  # warnings never suppress output
+
+
+def test_streaming_udf_salts_quoted_terms_like_batch():
+    """Round-5 review fix: bnode labels INSIDE RDF-star quoted terms are
+    salted in the streaming UDF, so the annotation references the same
+    salted id as the asserted triple (batch parity)."""
+    from jsonld_spark.context import ContextCache
+    from jsonld_spark.udfs import page_to_rows
+
+    doc = json.dumps(
+        {
+            "@context": {"@vocab": "http://v.e/"},
+            "p": {"@value": "v", "@annotation": {"q": "a"}},
+        }
+    )
+    url = "http://p.e/star"
+    out = _drive_streaming_udf([(url, _page(doc))], rdfstar=True)
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in out[out.error.isna()].itertuples()
+    }
+    batch = {
+        (r[1], r[2], r[3])
+        for r in page_to_rows(url, _page(doc), ContextCache(), rdfstar=True,
+                              canonical_bnodes=False)
+        if r[1] is not None
+    }
+    assert got == batch
+    quoted = [s for s, _, _ in got if s.startswith("<<")]
+    assert quoted, "expected an annotation with a quoted-term subject"
+    for q in quoted:
+        assert "_:b" not in q and "_:h" in q, q  # inner labels salted
+
+
+def test_streaming_double_graph_key_error_parity():
+    """Round-5 review fix: a second key expanding to @graph must raise
+    CollidingKeywords in streaming exactly as in batch (previously the
+    node probe streamed both graphs, emitting quads batch rejects)."""
+    import pytest as _pytest
+
+    from jsonld_spark import errors as err
+
+    doc = {
+        "@context": {"g": "@graph"},
+        "@id": "http://e/x",
+        "@graph": [{"@id": "http://e/a", "http://v.e/p": "1"}],
+        "g": [{"@id": "http://e/b", "http://v.e/p": "2"}],
+    }
+    with _pytest.raises(err.CollidingKeywords):
+        doc_to_quads(json.loads(json.dumps(doc)), base="http://base.e/")
+    with _pytest.raises(err.CollidingKeywords):
+        list(stream_doc_quads(json.loads(json.dumps(doc)), base="http://base.e/"))
