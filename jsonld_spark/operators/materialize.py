@@ -6,15 +6,20 @@ full fromRdf semantics (rdf:first/rest list folding, which crosses
 subjects) run per-graph via ``applyInPandas`` over the grouped quads.
 
 At 100 TB: named graphs in crawl data are page-scoped (small), so the
-per-graph grouped-map never sees unbounded groups; the default graph is
-materialized per *subject* instead (lists spanning the default graph of
-a 10^12-triple corpus are not a thing a sane pipeline folds globally).
+per-graph grouped-map never sees unbounded groups — EXCEPT the default
+graph (graph IS NULL), which aggregates the whole corpus into one group.
+``default_graph_per_subject=True`` splits that group per subject (one
+document per default-graph subject; cross-subject rdf list folding is
+forfeited there — lists spanning the default graph of a 10^12-triple
+corpus are not a thing a sane pipeline folds globally).  The default
+(False) keeps whole-graph folding for Writer-parity outputs at
+page/test scale.
 """
 
 from __future__ import annotations
 
 import json
-from typing import Iterator
+from typing import Callable
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -58,8 +63,15 @@ def materialize_graphs(
     triples: DataFrame,
     ordered: bool = True,
     use_native_types: bool = False,
+    default_graph_per_subject: bool = False,
+    post: Callable | None = None,
 ) -> DataFrame:
-    """Per-graph fromRdf via applyInPandas: (graph, expanded JSON, n_nodes)."""
+    """Per-graph fromRdf via applyInPandas: (graph, JSON, n_nodes).
+
+    ``post`` (optional) transforms the expanded document list INSIDE the
+    same grouped-map pass (e.g. compaction/framing) — nothing extra
+    crosses the Arrow boundary.  ``n_nodes`` counts the expanded nodes
+    before ``post``."""
     import pandas as pd
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -68,31 +80,42 @@ def materialize_graphs(
             g = None
         quads = [
             Quad(
-                r.subj,
-                r.pred,
-                r.obj,
-                bool(r.obj_is_literal),
+                subj,
+                pred,
+                obj,
+                bool(lit),
                 ("http://www.w3.org/2001/XMLSchema#string"
-                 if r.obj_is_literal and r.obj_datatype is None and r.obj_lang is None
-                 else r.obj_datatype),
-                r.obj_lang,
+                 if lit and dt is None and lang is None
+                 else dt),
+                lang,
                 None,
             )
-            for r in pdf.itertuples(index=False)
+            for subj, pred, obj, lit, dt, lang in zip(
+                pdf["subj"], pdf["pred"], pdf["obj"],
+                pdf["obj_is_literal"], pdf["obj_datatype"], pdf["obj_lang"],
+            )
         ]
         docs = from_quads(quads, ordered=ordered, use_native_types=use_native_types)
+        n = len(docs)
+        out_doc = post(docs) if post is not None else docs
         return pd.DataFrame(
-            [(g, json.dumps(docs, sort_keys=True), len(docs))],
+            [(g, json.dumps(out_doc, sort_keys=True), n)],
             columns=["graph", "jsonld", "n_nodes"],
         )
 
-    return (
-        triples.select(
-            "graph", "subj", "pred", "obj", "obj_is_literal", "obj_datatype", "obj_lang"
-        )
-        .groupBy("graph")
-        .applyInPandas(fold, MATERIALIZED_SCHEMA)
+    sel = triples.select(
+        "graph", "subj", "pred", "obj", "obj_is_literal", "obj_datatype", "obj_lang"
     )
+    if default_graph_per_subject:
+        # named graphs keep whole-graph folding; the default graph splits
+        # into one bounded group per subject (split key NULL elsewhere)
+        keyed = sel.withColumn(
+            "_split", F.when(F.col("graph").isNull(), F.col("subj"))
+        )
+        return keyed.groupBy("graph", "_split").applyInPandas(
+            fold, MATERIALIZED_SCHEMA
+        )
+    return sel.groupBy("graph").applyInPandas(fold, MATERIALIZED_SCHEMA)
 
 
 def materialize_compacted(
@@ -105,25 +128,16 @@ def materialize_compacted(
     → (graph, jsonld, n_nodes) with ``jsonld`` a COMPACTED document (the
     reference's Writer emits compacted JSON-LD when given a context,
     writer.rb).  The context is closed over (tiny) — compaction runs
-    inside the same grouped-map pass, nothing extra leaves the JVM."""
-    import pandas as pd
-
+    inside the same grouped-map pass via ``post``, so nothing extra
+    crosses the Arrow boundary."""
     from ..compact import compact_document
 
-    base = materialize_graphs(
-        triples, ordered=ordered, use_native_types=use_native_types
+    return materialize_graphs(
+        triples,
+        ordered=ordered,
+        use_native_types=use_native_types,
+        post=lambda docs: compact_document(docs, context),
     )
-
-    def compact_fold(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in it:
-            out = []
-            for r in pdf.itertuples(index=False):
-                expanded = json.loads(r.jsonld)
-                compacted = compact_document(expanded, context)
-                out.append((r.graph, json.dumps(compacted, sort_keys=True), r.n_nodes))
-            yield pd.DataFrame(out, columns=["graph", "jsonld", "n_nodes"])
-
-    return base.mapInPandas(compact_fold, MATERIALIZED_SCHEMA)
 
 
 def materialize_framed(
@@ -135,22 +149,12 @@ def materialize_framed(
     """Writer frame parity: per-graph fromRdf + framing against ``frame``
     (the reference Writer frames serialization output when given one,
     writer.rb:350-357) → (graph, jsonld, n_nodes) with ``jsonld`` the
-    FRAMED document."""
-    import pandas as pd
-
+    FRAMED document — framed in the same grouped-map pass via ``post``."""
     from ..frame import frame_document
 
-    base = materialize_graphs(
-        triples, ordered=ordered, use_native_types=use_native_types
+    return materialize_graphs(
+        triples,
+        ordered=ordered,
+        use_native_types=use_native_types,
+        post=lambda docs: frame_document(docs, frame),
     )
-
-    def frame_fold(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in it:
-            out = []
-            for r in pdf.itertuples(index=False):
-                expanded = json.loads(r.jsonld)
-                framed = frame_document(expanded, frame)
-                out.append((r.graph, json.dumps(framed, sort_keys=True), r.n_nodes))
-            yield pd.DataFrame(out, columns=["graph", "jsonld", "n_nodes"])
-
-    return base.mapInPandas(frame_fold, MATERIALIZED_SCHEMA)

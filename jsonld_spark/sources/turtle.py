@@ -37,9 +37,16 @@ _TOKEN_RE = re.compile(
   | (?P<prefix_decl>@prefix|@base|PREFIX|BASE)
   | (?P<lang>@[a-zA-Z][a-zA-Z0-9-]*)
   | (?P<dtype>\^\^)
-  | (?P<num>[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.?\d+(?:[eE][+-]?\d+)?))
-  | (?P<pname>[A-Za-z_][\w.-]*?:[\w.-]*|:[\w.-]*|[A-Za-z_][\w.-]*:)
-  | (?P<bnode_label>_:[\w-]+)
+    # BEFORE pname: '_:' must tokenize as a blank-node label, never as a
+    # pname with prefix '_'; dots allowed inside a label, not trailing
+  | (?P<bnode_label>_:[\w](?:[\w.-]*[\w-])?)
+    # Turtle numeric grammar: a trailing '.' belongs to the statement
+    # (DECIMAL needs digits after the dot; a dot-no-digits form is legal
+    # only with an exponent) — '5.' is INTEGER 5 + terminator
+  | (?P<num>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.\d+(?:[eE][+-]?\d+)?|\d+\.\d+|\d+(?:[eE][+-]?\d+)?))
+    # PN_PREFIX / PN_LOCAL may contain dots but cannot END with one —
+    # 'ex:o.' is pname ex:o + statement terminator
+  | (?P<pname>(?:[A-Za-z_](?:[\w.-]*[\w-])?)?:(?:[\w](?:[\w.-]*[\w-])?)?)
   | (?P<kw_a>\ba\b)
   | (?P<bool>\btrue\b|\bfalse\b)
   | (?P<punct>[\[\](){};,.])
@@ -111,10 +118,10 @@ class TurtleParser:
                     ik, iv = self._next()
                     if ik != "iri":
                         raise TurtleError("expected IRI in @prefix")
-                    self.prefixes[prefix] = iv[1:-1]
+                    self.prefixes[prefix] = _unescape_iri(iv[1:-1])
                 else:
                     ik, iv = self._next()
-                    self.base = iv[1:-1]
+                    self.base = _unescape_iri(iv[1:-1])
                 if val.startswith("@"):
                     self._expect_punct(".")
                 continue
@@ -164,11 +171,8 @@ class TurtleParser:
         while True:
             pred = self._predicate()
             while True:
-                obj = self._object(subj, pred)
-                if obj is not None:
-                    self.quads.append(
-                        Quad(subj, pred, *obj, self.graph)
-                    )
+                obj = self._object()
+                self.quads.append(Quad(subj, pred, *obj, self.graph))
                 kind, val = self._peek()
                 if kind == "punct" and val == ",":
                     self._next()
@@ -178,7 +182,9 @@ class TurtleParser:
             if kind == "punct" and val == ";":
                 self._next()
                 kind, val = self._peek()
-                if kind == "punct" and val in (".", "]"):
+                # a trailing ';' is legal before any list terminator —
+                # including a TriG graph block's '}'
+                if kind == "punct" and val in (".", "]", "}"):
                     return
                 continue
             return
@@ -188,7 +194,7 @@ class TurtleParser:
         if kind == "kw_a":
             return RDF_TYPE
         if kind == "iri":
-            return self._abs(val[1:-1])
+            return self._abs(_unescape_iri(val[1:-1]))
         if kind == "pname":
             return self._resolve_pname(val)
         raise TurtleError(f"bad predicate {val!r}")
@@ -196,16 +202,17 @@ class TurtleParser:
     def _resource(self) -> str:
         kind, val = self._next()
         if kind == "iri":
-            return self._abs(val[1:-1])
+            return self._abs(_unescape_iri(val[1:-1]))
         if kind == "pname":
             return self._resolve_pname(val)
         if kind == "bnode_label":
             return val
         raise TurtleError(f"bad subject {val!r}")
 
-    def _object(self, subj, pred):
-        """Returns (obj, is_literal, datatype, lang) or None (value already
-        emitted, e.g. nested structures return their node)."""
+    def _object(self):
+        """Returns the object term tuple (obj, is_literal, datatype,
+        lang); nested [ ] / ( ) structures emit their own quads and
+        return their node."""
         kind, val = self._peek()
         if kind == "punct" and val == "[":
             node = self._bnode_property_list()
@@ -215,7 +222,7 @@ class TurtleParser:
             return (node, False, None, None)
         self._next()
         if kind == "iri":
-            return (self._abs(val[1:-1]), False, None, None)
+            return (self._abs(_unescape_iri(val[1:-1])), False, None, None)
         if kind == "pname":
             return (self._resolve_pname(val), False, None, None)
         if kind == "bnode_label":
@@ -227,7 +234,7 @@ class TurtleParser:
                 self._next()
                 dk, dv = self._next()
                 dt = (
-                    self._abs(dv[1:-1]) if dk == "iri" else self._resolve_pname(dv)
+                    self._abs(_unescape_iri(dv[1:-1])) if dk == "iri" else self._resolve_pname(dv)
                 )
                 return (lex, True, dt, None)
             if nk == "lang":
@@ -260,7 +267,7 @@ class TurtleParser:
             if kind == "punct" and val == ")":
                 self._next()
                 break
-            items.append(self._object(None, None))
+            items.append(self._object())
         if not items:
             return RDF_NIL
         head = self._new_bnode()
@@ -288,17 +295,29 @@ class TurtleParser:
         return iri
 
 
-_ESC = {"\\n": "\n", "\\t": "\t", "\\r": "\r", '\\"': '"', "\\\\": "\\"}
+_ESC = {"\\n": "\n", "\\t": "\t", "\\r": "\r", '\\"': '"', "\\\\": "\\",
+        "\\b": "\b", "\\f": "\f", "\\'": "'"}
 
 
 def _unescape(s: str) -> str:
     return re.sub(
-        r"\\u[0-9A-Fa-f]{4}|\\.",
+        r"\\U[0-9A-Fa-f]{8}|\\u[0-9A-Fa-f]{4}|\\.",
         lambda m: (
             chr(int(m.group()[2:], 16))
-            if m.group().startswith("\\u")
+            if m.group()[1] in "uU"
             else _ESC.get(m.group(), m.group()[1:])
         ),
+        s,
+    )
+
+
+def _unescape_iri(s: str) -> str:
+    """IRIREF allows only \\uXXXX / \\UXXXXXXXX numeric escapes."""
+    if "\\" not in s:
+        return s
+    return re.sub(
+        r"\\U[0-9A-Fa-f]{8}|\\u[0-9A-Fa-f]{4}",
+        lambda m: chr(int(m.group()[2:], 16)),
         s,
     )
 

@@ -27,17 +27,24 @@ _OUT_SCHEMA = T.StructType(
 def _first_seen_fn(key, pdfs, state: GroupState):
     import pandas as pd
 
+    if state.exists:
+        # already emitted in an earlier batch → swallow re-crawls WITHOUT
+        # scanning this batch's chunks (the steady-state majority of a
+        # recrawl-heavy stream is already-seen keys)
+        (seen,) = state.get
+        if seen:
+            return iter(())
     n = 0
     first_ts = None
     for pdf in pdfs:
         n += len(pdf)
-        if len(pdf) and first_ts is None:
-            first_ts = pdf["warc_ts"].min()
-    if state.exists:
-        # already emitted in an earlier batch → swallow re-crawls
-        (seen,) = state.get
-        if seen:
-            return iter(())
+        if len(pdf):
+            # a key's rows arrive as an ITERATOR of chunks (Arrow batch
+            # splits): the true first-seen ts is the min over ALL of
+            # them, not the first non-empty chunk's min
+            m = pdf["warc_ts"].min()
+            if first_ts is None or m < first_ts:
+                first_ts = m
     state.update((True,))
     return iter(
         [pd.DataFrame([(key[0], first_ts, n)], columns=["url", "warc_ts", "n_occurrences"])]

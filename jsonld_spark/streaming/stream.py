@@ -91,7 +91,15 @@ def stream_pages_to_triples(
     per-document streaming reader (streaming/reader.py): quads leave the
     Python worker in bounded Arrow chunks, so micro-batches containing
     giant dataset-dump pages cannot balloon a worker.  Canonical bnode
-    relabeling is skipped in that mode (whole-document pass)."""
+    relabeling is skipped in that mode (whole-document pass), and error
+    semantics are AT-LEAST-PARTIAL: a page failing mid-document has
+    already flushed its earlier elements' quads, which an append sink
+    cannot retract — the error-row filter here drops only the error row
+    itself (the batch UDF is all-or-nothing per page).  Consumers
+    needing batch-equivalent strictness anti-join the written triples
+    against the error rows on url, exactly
+    ``KGPipeline.drop_failed_pages`` (see streaming/reader.py's
+    error-semantics note)."""
     from ..pipeline import KGPipeline
 
     pages = read_pages_stream(spark, pages_dir)
