@@ -96,11 +96,15 @@ FROM documents ORDER BY doc_id
 # Oracle for the mapInPandas feature stage: every output column is a
 # deterministic function of the payload bytes (md5-derived fake dims
 # stand in for the stubbed decode), so DuckDB can predict it exactly.
+# coalesce(text, '') mirrors extract_features' NULL-payload → b"" branch
+# (without it, DuckDB's NULL-skipping concat() yields '0x' and the INT
+# cast crashes the oracle while Spark returns a normal row).
 MULTIMODAL_FEATURES_SQL = """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS digest,
-       CAST(64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) AS INTEGER) AS width,
-       CAST(64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) AS INTEGER) AS height
-FROM documents ORDER BY doc_id
+       CAST(64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS INTEGER) AS width,
+       CAST(64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) AS INTEGER) AS height
+FROM t ORDER BY doc_id
 """

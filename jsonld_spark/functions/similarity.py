@@ -33,24 +33,35 @@ def _norm_expr(a: str) -> str:
     return f"sqrt({_dot_expr(a, a)})"
 
 
+def _cos_x1e6(q: str, e: str, qn: str, en: str):
+    """Integer-scaled cosine from a per-pair dot product and PRECOMPUTED
+    per-vector norm columns — recomputing the norms inside the pair
+    expression would re-run two full d-element aggregates per candidate
+    pair (3x the arithmetic at candidate-set scale)."""
+    return F.expr(
+        f"cast(floor(1000000 * {_dot_expr(q, e)} / ({qn} * {en})) as bigint)"
+    )
+
+
 def cosine_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:
     """Top-k cosine neighbors for the first ``n_queries`` vectors.
     Returns (query_id, neighbor_id, rank, cos_x1e6)."""
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.expr(_norm_expr("embedding")).alias("qn"),
     )
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e"))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e"),
+        F.expr(_norm_expr("embedding")).alias("en"),
+    )
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos_x1e6",
-            F.expr(
-                f"cast(floor(1000000 * {_dot_expr('q', 'e')} / ({_norm_expr('q')} * {_norm_expr('e')})) as bigint)"
-            ),
-        )
+        .withColumn("cos_x1e6", _cos_x1e6("q", "e", "qn", "en"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_x1e6").desc(), F.col("neighbor_id").asc()
@@ -90,9 +101,11 @@ def near_dup_embeddings(
     at 10^12 rows, so bucketing is the default and the cross join sits
     behind ``exact=True`` (the exactness baseline, recall asserted in
     tests).  The DuckDB oracle mirrors the same bucket construction."""
+    na_col = F.expr(_norm_expr("embedding")).alias("na")
+    nb_col = F.expr(_norm_expr("embedding")).alias("nb")
     if exact:
-        a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-        b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), na_col)
+        b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), nb_col)
         pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
     else:
         bk = lsh_buckets(emb)
@@ -109,16 +122,11 @@ def near_dup_embeddings(
             )
             .distinct()
         )
-        ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-        eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), na_col)
+        eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), nb_col)
         pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
     return (
-        pairs.withColumn(
-            "cos_x1e6",
-            F.expr(
-                f"cast(floor(1000000 * {_dot_expr('ea', 'eb')} / ({_norm_expr('ea')} * {_norm_expr('eb')})) as bigint)"
-            ),
-        )
+        pairs.withColumn("cos_x1e6", _cos_x1e6("ea", "eb", "na", "nb"))
         .filter(F.col("cos_x1e6") >= threshold_x1e6)
         .select("vec_a", "vec_b", "cos_x1e6")
         .orderBy("vec_a", "vec_b")
@@ -417,19 +425,21 @@ def ann_topk_ivf(
     probes = spark.createDataFrame(probe_pairs, "query_id long, cell int")
 
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.expr(_norm_expr("embedding")).alias("qn"),
     )
     cand = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e"))
-        .join(F.broadcast(q), "query_id")
-        .withColumn(
-            "cos_x1e6",
-            F.expr(
-                f"cast(floor(1000000 * {_dot_expr('q', 'e')} / ({_norm_expr('q')} * {_norm_expr('e')})) as bigint)"
-            ),
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("e"),
+            F.expr(_norm_expr("embedding")).alias("en"),
         )
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos_x1e6", _cos_x1e6("q", "e", "qn", "en"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_x1e6").desc(), F.col("neighbor_id").asc()
@@ -457,18 +467,19 @@ def ann_topk_lsh(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
         .distinct()
     )
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.expr(_norm_expr("embedding")).alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e"),
+        F.expr(_norm_expr("embedding")).alias("en"),
+    )
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .withColumn(
-            "cos_x1e6",
-            F.expr(
-                f"cast(floor(1000000 * {_dot_expr('q', 'e')} / ({_norm_expr('q')} * {_norm_expr('e')})) as bigint)"
-            ),
-        )
+        .withColumn("cos_x1e6", _cos_x1e6("q", "e", "qn", "en"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_x1e6").desc(), F.col("neighbor_id").asc()

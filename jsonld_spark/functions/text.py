@@ -43,14 +43,20 @@ def _spark_h32(s: str) -> str:
 
 
 def _duck_h32(s: str) -> str:
-    return f"cast(concat('0x', substr(md5({s}), 1, 8)) as bigint)"
+    # '||' (not concat) so NULL input → NULL, matching Spark's conv(md5(NULL));
+    # DuckDB concat() skips NULLs and CAST('0x' AS BIGINT) would crash
+    return f"cast(('0x' || substr(md5({s}), 1, 8)) as bigint)"
 
 
 _DUCK_TOKENS = "string_split_regex(trim(text), ' +')"
 
+# <3 tokens → no 3-gram shingles: guard the sequence() bound — Spark's
+# sequence(0, n) DESCENDS for n<0 ([0,-1,-2]), which crashes element_at
+# under ANSI; DuckDB's range(1, n) is already empty for n<=1
 SHINGLES_EXPR = (
+    "case when size(toks) < 3 then slice(toks, 1, 0) else "
     "transform(sequence(0, size(toks) - 3), "
-    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) end"
 )
 _DUCK_SHINGLES = (
     "list_transform(range(1, len(toks) - 1), "
@@ -83,7 +89,10 @@ FROM documents GROUP BY 1 ORDER BY 1
 def token_stats(docs: DataFrame) -> DataFrame:
     toks = F.expr(TOKENS_EXPR)
     n = F.size(toks)
-    total_len = F.expr(f"aggregate(transform({TOKENS_EXPR}, t -> length(t)), 0, (s, x) -> s + x)")
+    # bigint accumulator — an int32 init would wrap past 2^31 total chars
+    total_len = F.expr(
+        f"aggregate(transform({TOKENS_EXPR}, t -> length(t)), cast(0 as bigint), (s, x) -> s + x)"
+    )
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     n_stop = F.expr(f"size(filter({TOKENS_EXPR}, t -> t in ({stop_list})))")
     return docs.select(
@@ -117,7 +126,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.expr(
-            f"cast(floor(1000 * size(filter({toks}, t -> t in ({stop_list}))) / size({toks})) as bigint)"
+            f"cast(floor(1000 * cast(size(filter({toks}, t -> t in ({stop_list}))) as bigint) / size({toks})) as bigint)"
         ).alias("stop_ratio_x1000"),
         F.expr(
             f"case when length(text) between 100 and 500 then 1 else 0 end"
@@ -237,12 +246,16 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.expr(expr).alias("fp")).orderBy("doc_id")
 
 
+# CASE: Spark's aggregate(NULL, ...) is NULL for NULL text, while
+# DuckDB's list_prepend(0, NULL) degenerates to [0] → fp 0; the oracle
+# must mirror the NULL
 FINGERPRINT_SQL = f"""
 SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL ELSE
        list_reduce(
          list_prepend(cast(0 AS bigint),
            list_transform({_DUCK_TOKENS}, t -> {_duck_h32('t')} % {TOKEN_HASH_MOD})),
-         (h, x) -> (h * 31 + x) % {FP_MOD}) AS fp
+         (h, x) -> (h * 31 + x) % {FP_MOD}) END AS fp
 FROM documents ORDER BY doc_id
 """
 
@@ -266,16 +279,25 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
-    sig_items = ", ".join(
+def _duck_sig_items() -> str:
+    """Per-permutation minhash min-exprs — ONE definition shared by all
+    three oracle mirrors so the hash formula cannot desynchronize."""
+    return ", ".join(
         f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {MINHASH_P}))"
         for a, b in MINHASH_AB
     )
-    return f"""
+
+
+# shared tokens→shingles→hashes CTE prologue for the minhash mirrors
+_DUCK_MINHASH_CTES = f"""
 WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
      s AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM t),
-     h AS (SELECT doc_id, list_transform(shingles, s -> {_duck_h32('s')} % {MINHASH_P}) AS hs FROM s)
-SELECT doc_id, [{sig_items}] AS sig FROM h ORDER BY doc_id
+     h AS (SELECT doc_id, list_transform(shingles, s -> {_duck_h32('s')} % {MINHASH_P}) AS hs FROM s)"""
+
+
+def _minhash_sql() -> str:
+    return f"""{_DUCK_MINHASH_CTES}
+SELECT doc_id, [{_duck_sig_items()}] AS sig FROM h ORDER BY doc_id
 """
 
 
@@ -299,15 +321,11 @@ def minhash_signature_str(docs: DataFrame) -> DataFrame:
 
 
 def _minhash_str_sql() -> str:
-    sig_items = ", ".join(
-        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {MINHASH_P}))"
-        for a, b in MINHASH_AB
-    )
-    return f"""
-WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
-     s AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM t),
-     h AS (SELECT doc_id, list_transform(shingles, s -> {_duck_h32('s')} % {MINHASH_P}) AS hs FROM s)
-SELECT doc_id, array_to_string([{sig_items}], ',') AS sig FROM h ORDER BY doc_id
+    # coalesce: Spark's concat_ws renders an all-NULL signature (a
+    # no-shingle doc) as '', never NULL — mirror that
+    return f"""{_DUCK_MINHASH_CTES}
+SELECT doc_id, coalesce(array_to_string([{_duck_sig_items()}], ','), '') AS sig
+FROM h ORDER BY doc_id
 """
 
 
@@ -316,8 +334,16 @@ MINHASH_STR_SQL = _minhash_str_sql()
 
 def minhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """LSH band keys: (band_id, band_hash) per doc — join on these buckets
-    to get candidate near-dup pairs without the O(n²) cross join."""
-    sig = minhash_signature(docs, id_col=id_col)
+    to get candidate near-dup pairs without the O(n²) cross join.
+
+    Docs with NO shingles (<3 tokens, NULL text) have an undefined
+    signature and are EXCLUDED from banding: at crawl scale every such
+    doc would otherwise hash into the single md5('') bucket — billions
+    of rows on one band key, a quadratic hot key in the candidate
+    self-join.  Short docs are not near-dup candidates by definition."""
+    sig = minhash_signature(docs, id_col=id_col).filter(
+        F.col("sig")[0].isNotNull()
+    )
     n_bands = MINHASH_K // LSH_BAND_ROWS
     bands = F.array(
         *[
@@ -346,10 +372,6 @@ def minhash_candidate_pairs_sql() -> str:
     """DuckDB mirror of ``minhash_candidate_pairs``: identical md5 band
     hashes (the band construction is fully deterministic), UNION ALL of
     one select per band, self-join on (band_id, band_hash)."""
-    sig_items = ", ".join(
-        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {MINHASH_P}))"
-        for a, b in MINHASH_AB
-    )
     n_bands = MINHASH_K // LSH_BAND_ROWS
     band_selects = []
     for b in range(n_bands):
@@ -361,11 +383,11 @@ def minhash_candidate_pairs_sql() -> str:
             f"SELECT doc_id, {b} AS band_id, md5(concat_ws(',', {cols})) AS band_hash FROM sig"
         )
     bands = " UNION ALL ".join(band_selects)
-    return f"""
-WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
-     s AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM t),
-     h AS (SELECT doc_id, list_transform(shingles, s -> {_duck_h32('s')} % {MINHASH_P}) AS hs FROM s),
-     sig AS (SELECT doc_id, [{sig_items}] AS sig FROM h),
+    # sig[1] IS NOT NULL mirrors the Spark-side hot-key guard: no-shingle
+    # docs never enter a band bucket
+    return f"""{_DUCK_MINHASH_CTES},
+     sig AS (SELECT * FROM (SELECT doc_id, [{_duck_sig_items()}] AS sig FROM h)
+             WHERE sig[1] IS NOT NULL),
      bands AS ({bands})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
@@ -507,8 +529,8 @@ def jaccard_pairs_sql(
     threshold_x1000: int = 300, max_df: int | None = 256
 ) -> str:
     raw = f"""
-  SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES.replace('toks', _DUCK_TOKENS)})) AS sh
-  FROM documents"""
+  SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS sh
+  FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents)"""
     if max_df is None:
         s_cte = f"s AS ({raw})"
     else:
@@ -536,11 +558,6 @@ ORDER BY doc_a, doc_b
 # --- passage-level exact dedup ------------------------------------------------
 
 PASSAGE_TOKENS = 16
-# (doc_id, pidx) pairs order-encode into one int64 so both engines elect
-# the identical keeper with a plain min(): pidx < 2^20 (a 16-token
-# passage index of 2^20 means a ~16M-token doc — beyond any crawl page;
-# the pipeline's max_html_bytes guard fires long before)
-_PASSAGE_KEY_SHIFT = 1 << 20
 
 
 def passage_dedup(docs: DataFrame, passage_tokens: int = PASSAGE_TOKENS) -> DataFrame:
@@ -554,10 +571,12 @@ def passage_dedup(docs: DataFrame, passage_tokens: int = PASSAGE_TOKENS) -> Data
     → (doc_id, n_passages, n_dup_passages, dup_ratio_x1000), one row per
     document.
 
-    100-TB shape: the only wide exchange carries (md5 digest, one
-    encoded int64) per passage — never the text; keeper election is a
-    map-side-combinable min(); flagging re-joins on the digest (AQE
-    sizes it); no self-join, no window."""
+    100-TB shape: the only wide exchange carries (md5 digest, two
+    int64s) per passage — never the text; keeper election is a
+    map-side-combinable min() over a (doc_id, pidx) struct (lexicographic
+    in BOTH engines — an encoded ``doc_id * 2^k + pidx`` int64 would
+    overflow for hash-derived 64-bit doc_ids); flagging re-joins on the
+    digest (AQE sizes it); no self-join, no window."""
     K = passage_tokens
     passages = (
         docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
@@ -571,7 +590,7 @@ def passage_dedup(docs: DataFrame, passage_tokens: int = PASSAGE_TOKENS) -> Data
             ).alias("pidx", "ph"),
         )
         .withColumn(
-            "pkey", F.col("doc_id") * F.lit(_PASSAGE_KEY_SHIFT) + F.col("pidx")
+            "pkey", F.struct(F.col("doc_id").alias("d"), F.col("pidx").alias("p"))
         )
     )
     keeper = passages.groupBy("ph").agg(F.min("pkey").alias("keeper_key"))
@@ -599,7 +618,7 @@ WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
  p AS (
   SELECT doc_id, i AS pidx,
          md5(array_to_string(toks[i * {K} + 1 : i * {K} + {K}], ' ')) AS ph,
-         doc_id * {_PASSAGE_KEY_SHIFT} + i AS pkey
+         {{'d': doc_id, 'p': i}} AS pkey
   FROM toks, unnest(range(0, cast(ceil(len(toks) / {K}.0) AS int))) AS u(i)),
  k AS (SELECT ph, min(pkey) AS keeper_key FROM p GROUP BY 1),
  f AS (SELECT p.doc_id, CASE WHEN p.pkey != k.keeper_key THEN 1 ELSE 0 END AS is_dup

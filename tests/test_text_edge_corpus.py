@@ -1,0 +1,195 @@
+"""Edge-corpus differential parity: Spark builders vs DuckDB oracles on a
+crafted ``documents`` table the sf* testdata never exercises — sub-shingle
+docs (<3 tokens), NULL text, empty text, and hash-derived 64-bit doc_ids.
+
+Regression anchors (all found by review, all previously crashing or
+silently diverging under ANSI):
+- ``sequence(0, size-3)`` DESCENDS for <3 tokens → [INVALID_ARRAY_INDEX]
+  crash in every shingle consumer (minhash/jaccard), or bogus ''
+  shingles (false near-dup pairs) with ANSI off;
+- DuckDB ``concat('0x', md5(NULL))`` skips the NULL → CAST('0x') crash
+  in every h32-based oracle, while Spark returns NULL;
+- ``doc_id * 2^20 + pidx`` passage keys overflow int64 for
+  doc_id ≥ 2^43 (hash-derived ids) — keeper election now min()s a
+  (doc_id, pidx) struct, lexicographic in both engines;
+- int32 accumulators in token_stats/quality_score (wrap past 2^31).
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from jsonld_spark.functions import multimodal as mm
+from jsonld_spark.functions import text as textops
+
+NORMAL = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "to find a quiet place of rest and calm under the old oak tree "
+    "while the wind blows gently through the leaves of the forest"
+)
+
+ROWS = [
+    # doc_id, text, lang, source, n_chars
+    (1, "hello", "en", "a", 5),                       # 1 token: no shingles
+    (2, "two words", "en", "a", 9),                   # 2 tokens: no shingles
+    (3, None, "en", "a", 0),                          # NULL text
+    (4, "", "en", "b", 0),                            # empty: one '' token
+    (5, "just three tokens", "en", "b", 17),          # exactly one shingle
+    (6, NORMAL, "en", "b", len(NORMAL)),
+    ((1 << 50) + 7, NORMAL, "en", "c", len(NORMAL)),  # hash-scale id, dup text
+    (20, "eval split doc with the quick brown fox jumps over the lazy dog phrase", "en", "c", 71),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_corpus")
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in ROWS], type=pa.int64()),
+            "text": pa.array([r[1] for r in ROWS], type=pa.string()),
+            "lang": pa.array([r[2] for r in ROWS], type=pa.string()),
+            "source": pa.array([r[3] for r in ROWS], type=pa.string()),
+            "n_chars": pa.array([r[4] for r in ROWS], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, corpus_dir):
+    return spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def duck(corpus_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(corpus_dir, 'documents.parquet')}'"
+    )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return tuple(_norm(x) for x in v.tolist())
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if hasattr(v, "item"):
+        return _norm(v.item())
+    return v
+
+
+def _assert_parity(sdf_pandas, odf_pandas, name):
+    cols = sorted(sdf_pandas.columns)
+    assert cols == sorted(odf_pandas.columns), name
+    s = sorted(
+        (
+            tuple(_norm(v) for v in row)
+            for row in sdf_pandas[cols].itertuples(index=False, name=None)
+        ),
+        key=repr,  # None sorts fine under repr; rows stay comparable
+    )
+    o = sorted(
+        (
+            tuple(_norm(v) for v in row)
+            for row in odf_pandas[cols].itertuples(index=False, name=None)
+        ),
+        key=repr,
+    )
+    assert s == o, f"{name}: {[(a, b) for a, b in zip(s, o) if a != b][:5]}"
+
+
+PAIRS = [
+    ("exact_dedup", textops.exact_dedup, lambda: textops.EXACT_DEDUP_SQL),
+    ("token_stats", textops.token_stats, lambda: textops.TOKEN_STATS_SQL),
+    ("quality_score", textops.quality_score, lambda: textops.QUALITY_SCORE_SQL),
+    ("token_count_bpe", textops.token_count_bpe, lambda: textops.TOKEN_COUNT_BPE_SQL),
+    ("lang_id", textops.lang_id, lambda: textops.LANG_ID_SQL),
+    ("fingerprint", textops.fingerprint, lambda: textops.FINGERPRINT_SQL),
+    ("minhash_str", textops.minhash_signature_str, lambda: textops.MINHASH_STR_SQL),
+    ("minhash_pairs", textops.minhash_candidate_pairs, textops.minhash_candidate_pairs_sql),
+    ("simhash", textops.simhash, lambda: textops.SIMHASH_SQL),
+    ("jaccard_pairs", textops.jaccard_pairs, textops.jaccard_pairs_sql),
+    ("passage_dedup", textops.passage_dedup, textops.passage_dedup_sql),
+    ("decontaminate", textops.decontaminate, textops.decontaminate_sql),
+    ("quota_sample", lambda d: textops.quota_sample(d, quota=2), lambda: textops.quota_sample_sql(quota=2)),
+    ("top_tokens", lambda d: textops.top_tokens(d, k=10), lambda: textops.top_tokens_sql(k=10)),
+    ("sample_by_hash", textops.sample_by_hash, None),  # SQL resolved below
+    ("payload_meta", mm.payload_meta, lambda: mm.PAYLOAD_META_SQL),
+]
+
+
+def _sql_for(name, sql_thunk):
+    if name == "sample_by_hash":
+        fn = getattr(textops, "sample_by_hash_sql", None)
+        return fn() if callable(fn) else getattr(textops, "SAMPLE_BY_HASH_SQL")
+    return sql_thunk()
+
+
+@pytest.mark.parametrize("name,builder,sql_thunk", PAIRS, ids=[p[0] for p in PAIRS])
+def test_edge_corpus_parity(docs, duck, name, builder, sql_thunk):
+    sdf = builder(docs).toPandas()
+    odf = duck.execute(_sql_for(name, sql_thunk)).fetchdf()
+    assert len(sdf) == len(odf), f"{name}: rowcount {len(sdf)} vs {len(odf)}"
+    _assert_parity(sdf, odf, name)
+
+
+def test_multimodal_features_null_payload(docs, duck):
+    """NULL text → b'' payload on the Spark side; the oracle must not
+    crash and must predict the same (0, md5(''), fake dims) row."""
+    sdf = mm.extract_features(mm.attach_payload(docs)).toPandas()
+    odf = duck.execute(mm.MULTIMODAL_FEATURES_SQL).fetchdf()
+    assert len(sdf) == len(odf)
+    _assert_parity(sdf, odf, "multimodal_features")
+    null_row = sdf[sdf.doc_id == 3].iloc[0]
+    assert null_row.n_bytes == 0
+    assert null_row.digest == "d41d8cd98f00b204e9800998ecf8427e"
+
+
+def test_short_docs_have_no_shingle_artifacts(docs):
+    """<3-token docs: empty shingle set — NOT ['', '', ...] — so they
+    produce no jaccard pairs with each other."""
+    short = {1, 2, 3, 4}
+    pairs = textops.jaccard_pairs(docs).toPandas()
+    assert not [
+        r for r in pairs.itertuples() if r.doc_a in short or r.doc_b in short
+    ]
+    # and the LSH path: no-shingle docs never enter a band bucket, so
+    # they can't all collide in the md5('') hot bucket at crawl scale
+    cand = textops.minhash_candidate_pairs(docs).toPandas()
+    assert not [
+        r for r in cand.itertuples() if r.doc_a in short or r.doc_b in short
+    ]
+
+
+def test_passage_dedup_hash_scale_doc_id(docs):
+    """doc_id = 2^50 + 7 (hash-derived): keeper election must not
+    overflow; the lower doc_id (5..6 range) wins for every shared
+    passage, so the huge-id duplicate shows dup_ratio_x1000 == 1000."""
+    out = {r.doc_id: r for r in textops.passage_dedup(docs).collect()}
+    big = (1 << 50) + 7
+    assert out[big].n_dup_passages == out[big].n_passages
+    assert out[big].dup_ratio_x1000 == 1000
+    assert out[6].n_dup_passages == 0
+
+
+def test_token_stats_bigint_schema(docs):
+    schema = dict(textops.token_stats(docs).dtypes)
+    assert schema["token_chars"] == "bigint"
