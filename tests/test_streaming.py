@@ -279,3 +279,68 @@ def test_bounded_reader_partial_emission_and_strict_drop(spark):
     strict = KGPipeline.drop_failed_pages(extracted).collect()
     assert all(r.url == "http://good.e/" for r in strict)
     assert len(strict) == 1
+
+
+def test_stateful_first_seen_min_over_all_chunks(spark):
+    """A key's rows arrive as an ITERATOR of Arrow chunks; the emitted
+    warc_ts must be the min over ALL chunks, not the first non-empty
+    chunk's min.  Forced by shrinking maxRecordsPerBatch so one url's
+    rows split across several chunks, with the smallest ts LAST."""
+    import os
+    import shutil
+
+    from jsonld_spark.streaming.stateful import first_seen_pages
+    from jsonld_spark.streaming.stream import PAGES_SCHEMA
+
+    base = os.path.join(DATA_DIR, "stream_chunk_min")
+    shutil.rmtree(base, ignore_errors=True)
+    pages_dir = os.path.join(base, "pages")
+    os.makedirs(pages_dir)
+    out, cp = os.path.join(base, "out"), os.path.join(base, "cp")
+
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # one url, 9 rows, descending ts so the global min sits in the LAST
+    # arrow chunk; a second url pins normal behavior
+    rows = [
+        ("http://x.example/only", datetime(2026, 1, 9 - i), None, "t", "en")
+        for i in range(9)
+    ] + [("http://x.example/other", datetime(2026, 2, 1), None, "t", "en")]
+    # single top-level file — the file-stream source does not recurse
+    pq.write_table(
+        pa.table(
+            {
+                "url": [r[0] for r in rows],
+                "warc_ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                "html": pa.array([r[2] for r in rows], type=pa.binary()),
+                "text": [r[3] for r in rows],
+                "lang": [r[4] for r in rows],
+            }
+        ),
+        os.path.join(pages_dir, "b0.parquet"),
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+        q = (
+            first_seen_pages(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    got = {r.url: r for r in spark.read.parquet(out).collect()}
+    assert got["http://x.example/only"].n_occurrences == 9
+    assert got["http://x.example/only"].warc_ts == datetime(2026, 1, 1)
+    assert got["http://x.example/other"].n_occurrences == 1
