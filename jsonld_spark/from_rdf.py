@@ -11,6 +11,7 @@ per graph / per subject partition) lives in operators/materialize.py.
 from __future__ import annotations
 
 import json
+import math
 from typing import Any
 
 from . import errors as err
@@ -51,7 +52,13 @@ def _literal_to_object(
         converted = obj == "true"
     elif use_native_types and datatype in (XSD_INTEGER, XSD_DOUBLE):
         try:
-            converted = int(obj) if datatype == XSD_INTEGER else float(obj)
+            n = int(obj) if datatype == XSD_INTEGER else float(obj)
+            # NaN/INF/-INF are valid xsd:double lexicals (our own
+            # canonical_double emits them) but have no JSON
+            # representation — json.dumps would produce invalid JSON
+            # downstream; keep them as typed strings
+            if datatype == XSD_INTEGER or math.isfinite(n):
+                converted = n
         except ValueError:
             pass
     elif datatype == RDF_JSON:

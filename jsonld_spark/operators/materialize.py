@@ -123,6 +123,7 @@ def materialize_compacted(
     context,
     ordered: bool = True,
     use_native_types: bool = False,
+    default_graph_per_subject: bool = False,
 ) -> DataFrame:
     """Writer parity: per-graph fromRdf + compaction against ``context``
     → (graph, jsonld, n_nodes) with ``jsonld`` a COMPACTED document (the
@@ -136,6 +137,7 @@ def materialize_compacted(
         triples,
         ordered=ordered,
         use_native_types=use_native_types,
+        default_graph_per_subject=default_graph_per_subject,
         post=lambda docs: compact_document(docs, context),
     )
 
@@ -145,6 +147,7 @@ def materialize_framed(
     frame: dict,
     ordered: bool = True,
     use_native_types: bool = False,
+    default_graph_per_subject: bool = False,
 ) -> DataFrame:
     """Writer frame parity: per-graph fromRdf + framing against ``frame``
     (the reference Writer frames serialization output when given one,
@@ -156,5 +159,6 @@ def materialize_framed(
         triples,
         ordered=ordered,
         use_native_types=use_native_types,
+        default_graph_per_subject=default_graph_per_subject,
         post=lambda docs: frame_document(docs, frame),
     )

@@ -40,12 +40,15 @@ def nquad_col(
     obj_lang: Column | str = "obj_lang",
     graph: Column | str = "graph",
 ) -> Column:
-    subj, pred, obj = F.col(subj), F.col(pred), F.col(obj)
+    def _c(c):
+        return c if isinstance(c, Column) else F.col(c)
+
+    subj, pred, obj = _c(subj), _c(pred), _c(obj)
     lit, dt, lang, g = (
-        F.col(obj_is_literal),
-        F.col(obj_datatype),
-        F.col(obj_lang),
-        F.col(graph),
+        _c(obj_is_literal),
+        _c(obj_datatype),
+        _c(obj_lang),
+        _c(graph),
     )
     literal = F.concat(F.lit('"'), _escape(obj), F.lit('"'))
     literal = (

@@ -73,9 +73,27 @@ def _attrs(attr_text: str) -> dict[str, str]:
     return out
 
 
+# comments are stripped BEFORE scanning for scripts/base (a DOM parser
+# never sees commented elements; commented-out structured-data blocks
+# are common in templated HTML).  <script> bodies are raw text in HTML
+# — '<!--' inside one does NOT open a comment — so script regions pass
+# through verbatim (group 1); a comment that CONTAINS a script wins
+# because its '<!--' starts earlier in the scan.  Unterminated comments
+# run to EOF per the HTML spec.
+_COMMENT_OR_SCRIPT_RE = re.compile(
+    r"(<script\b.*?</script\s*>)|<!--.*?(?:-->|\Z)", re.I | re.S
+)
+
+
+def _strip_comments(html: str) -> str:
+    if "<!--" not in html:
+        return html
+    return _COMMENT_OR_SCRIPT_RE.sub(lambda m: m.group(1) or "", html)
+
+
 def html_base_href(html: str, fallback: str | None = None) -> str | None:
     """First ``<base href>`` wins (api.rb:823-828)."""
-    for m in _BASE_RE.finditer(html):
+    for m in _BASE_RE.finditer(_strip_comments(html)):
         attrs = _attrs(m.group(1))
         href = attrs.get("href")
         if href:
@@ -89,7 +107,7 @@ def find_jsonld_scripts(html: str) -> list[ScriptBlock]:
     """All ld+json script blocks in document order."""
     blocks: list[ScriptBlock] = []
     idx = 0
-    for m in _SCRIPT_RE.finditer(html):
+    for m in _SCRIPT_RE.finditer(_strip_comments(html)):
         attrs = _attrs(m.group(1))
         type_attr = attrs.get("type", "")
         tm = _JSONLD_TYPE_RE.match(type_attr.strip())
@@ -136,6 +154,7 @@ def extract_jsonld(
     """
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", "replace")
+    html = _strip_comments(html)  # once — the helpers' own strip no-ops
     if fragment is None and url and "#" in url:
         fragment = url.split("#", 1)[1] or None
     base = html_base_href(html, url.split("#", 1)[0] if url else None)

@@ -34,7 +34,9 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+|\#[^\n]*)
   | (?P<iri><[^>]*>)
   | (?P<string>"(?:[^"\\]|\\.)*")
-  | (?P<prefix_decl>@prefix|@base|PREFIX|BASE)
+    # lookahead so '@baseball'/'@prefixed' tokenize as LANGTAGs, not
+    # directives ('@base' is a strict prefix of valid language tags)
+  | (?P<prefix_decl>(?:@prefix|@base|PREFIX|BASE)(?![A-Za-z0-9-]))
   | (?P<lang>@[a-zA-Z][a-zA-Z0-9-]*)
   | (?P<dtype>\^\^)
     # BEFORE pname: '_:' must tokenize as a blank-node label, never as a
@@ -121,6 +123,8 @@ class TurtleParser:
                     self.prefixes[prefix] = _unescape_iri(iv[1:-1])
                 else:
                     ik, iv = self._next()
+                    if ik != "iri":
+                        raise TurtleError("expected IRI in @base")
                     self.base = _unescape_iri(iv[1:-1])
                 if val.startswith("@"):
                     self._expect_punct(".")
@@ -155,8 +159,16 @@ class TurtleParser:
         if kind == "punct" and val == "[":
             subj = self._bnode_property_list()
             kind, val = self._peek()
-            if not (kind == "punct" and val == "."):
+            # predicateObjectList is OPTIONAL after a bnode property
+            # list; it may be followed by '.', a graph block's '}', or
+            # EOF (kind None) — only a further predicate continues it
+            if not (kind is None or (kind == "punct" and val in (".", "}"))):
                 self._predicate_object_list(subj)
+        elif kind == "punct" and val == "(":
+            # collection in subject position (valid Turtle; its quads
+            # emit here and the head bnode becomes the subject)
+            subj = self._collection()
+            self._predicate_object_list(subj)
         else:
             subj = self._resource()
             kind, val = self._peek()

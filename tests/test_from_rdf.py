@@ -290,3 +290,29 @@ def test_materialize_framed(spark):
     doc = _json.loads(row.jsonld)
     assert doc["@type"] == "Library"
     assert doc["contains"]["title"] == "T"  # book embedded under the library
+
+
+def test_native_types_nonfinite_double_stays_typed_string():
+    """NaN/INF are valid xsd:double lexicals but have no JSON
+    representation — native conversion must skip them so downstream
+    json.dumps stays valid JSON."""
+    import json as _json
+
+    from jsonld_spark.from_rdf import from_quads
+    from jsonld_spark.rdf_model import Quad
+
+    XSD_D = "http://www.w3.org/2001/XMLSchema#double"
+    docs = from_quads(
+        [
+            Quad("http://s", "http://p", "NaN", True, XSD_D, None, None),
+            Quad("http://s", "http://p", "INF", True, XSD_D, None, None),
+            Quad("http://s", "http://p", "4.2E0", True, XSD_D, None, None),
+        ],
+        use_native_types=True,
+    )
+    vals = docs[0]["http://p"]
+    by_val = {_json.dumps(v.get("@value")): v for v in vals}
+    assert '"NaN"' in by_val and by_val['"NaN"']["@type"] == XSD_D
+    assert '"INF"' in by_val and by_val['"INF"']["@type"] == XSD_D
+    assert 4.2 in [v.get("@value") for v in vals]
+    _json.loads(_json.dumps(docs))  # round-trips as STRICT JSON

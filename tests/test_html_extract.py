@@ -86,3 +86,48 @@ def test_parse_all_merges_arrays():
 def test_bytes_input():
     docs = extract_jsonld(HTML.encode("utf-8"), "http://doc.example/x")
     assert len(docs) == 3
+
+
+def test_commented_script_and_base_skipped():
+    """A DOM parser never sees commented elements — neither should the
+    scanner (review r5: commented blocks injected spurious triples)."""
+    from jsonld_spark.sources.html_jsonld import extract_jsonld, html_base_href
+
+    html = (
+        '<!-- <script type="application/ld+json">{"@id":"http://commented"}'
+        "</script> -->"
+        '<script type="application/ld+json">{"@id":"http://real"}</script>'
+    )
+    docs = extract_jsonld(html, url="http://ex.org/")
+    assert len(docs) == 1 and '"http://real"' in docs[0].json_text
+
+    base = html_base_href(
+        '<!-- <base href="http://commented/"> --><base href="http://real/">'
+    )
+    assert base == "http://real/"
+
+
+def test_comment_markers_inside_script_are_content():
+    """'<!--' inside a <script> body is raw text per the HTML spec, not
+    a comment opener — the block must survive stripping intact."""
+    from jsonld_spark.sources.html_jsonld import extract_jsonld
+
+    html = (
+        '<script type="application/ld+json">'
+        '{"@id":"http://a", "http://p": {"@value": "x <!-- y --> z"}}'
+        "</script>"
+    )
+    docs = extract_jsonld(html, url="http://ex.org/")
+    assert len(docs) == 1 and docs[0].error is None
+    assert "<!--" in docs[0].json_text
+
+
+def test_unterminated_comment_runs_to_eof():
+    from jsonld_spark.sources.html_jsonld import extract_jsonld
+
+    html = (
+        '<script type="application/ld+json">{"@id":"http://a"}</script>'
+        '<!-- <script type="application/ld+json">{"@id":"http://b"}</script>'
+    )
+    docs = extract_jsonld(html, url="http://ex.org/")
+    assert len(docs) == 1 and '"http://a"' in docs[0].json_text

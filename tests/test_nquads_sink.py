@@ -32,3 +32,20 @@ def test_write_nquads_sink(spark):
     assert any('"v\\nw"' in ln for ln in lines)  # escaped newline
     assert any("@fr" in ln for ln in lines)
     assert any('"5"^^<http://www.w3.org/2001/XMLSchema#integer> <http://g/1>' in ln for ln in lines)
+
+
+def test_nquad_col_accepts_column_args(spark):
+    """Signature says Column | str — Column inputs must not crash."""
+    from pyspark.sql import functions as F
+
+    from jsonld_spark.operators.nquads import nquad_col
+
+    df = spark.createDataFrame(
+        [("http://s", "http://p", "http://o", False, None, None, None)],
+        "subj string, pred string, obj string, obj_is_literal boolean,"
+        " obj_datatype string, obj_lang string, graph string",
+    )
+    out = df.select(
+        nquad_col(subj=F.col("subj"), pred="pred").alias("line")
+    ).collect()
+    assert out[0].line == "<http://s> <http://p> <http://o> .\n" or "<http://s>" in out[0].line

@@ -68,3 +68,39 @@ def test_to_rdf_matches_reference_ttl(n):
     assert isomorphic(ours, expected), (
         f"ours={sorted(ours)}\nexpected={sorted(expected)}"
     )
+
+
+def test_langtag_prefixed_by_directive_keyword():
+    """'@baseball' is a valid LANGTAG — '@base' must not greedily match."""
+    from jsonld_spark.sources.turtle import parse_turtle
+
+    qs = parse_turtle('<http://s> <http://p> "x"@baseball .')
+    assert qs[0].obj_lang == "baseball"
+    qs = parse_turtle('<http://s> <http://p> "y"@prefixed .')
+    assert qs[0].obj_lang == "prefixed"
+
+
+def test_trig_block_final_bnode_statement_no_dot():
+    from jsonld_spark.sources.turtle import parse_turtle
+
+    qs = parse_turtle("<http://g> { [ <http://p> <http://o> ] }")
+    assert len(qs) == 1
+    assert qs[0].graph == "http://g" and qs[0].pred == "http://p"
+
+
+def test_collection_as_subject():
+    from jsonld_spark.sources.turtle import parse_turtle
+
+    qs = parse_turtle("(1 2) <http://p> <http://o> .")
+    objs = {(q.pred, q.obj) for q in qs}
+    assert ("http://p", "http://o") in objs
+    assert ("http://www.w3.org/1999/02/22-rdf-syntax-ns#first", "1") in objs
+
+
+def test_base_directive_requires_iri():
+    import pytest
+
+    from jsonld_spark.sources.turtle import TurtleError, parse_turtle
+
+    with pytest.raises(TurtleError):
+        parse_turtle("@prefix ex: <http://e/> . @base ex:b . <s> <p> <o> .")
