@@ -477,6 +477,10 @@ def _q_quota_sample(spark, sf_dir):
     return textops.quota_sample(_docs(spark, sf_dir))
 
 
+def _q_repetition_stats(spark, sf_dir):
+    return textops.repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_minhash_candidates(spark, sf_dir):
     return textops.minhash_candidate_pairs(_docs(spark, sf_dir))
 
@@ -541,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": _q_passage_dedup,
         "decontaminate": _q_decontaminate,
         "quota_sample": _q_quota_sample,
+        "repetition_stats": _q_repetition_stats,
         "token_stats": _q_token_stats,
         "token_count_bpe": _q_token_count_bpe,
         "quality_score": _q_quality,
@@ -724,6 +729,7 @@ def oracle_sql() -> dict[str, str]:
         "passage_dedup": textops.passage_dedup_sql(),
         "decontaminate": textops.decontaminate_sql(),
         "quota_sample": textops.quota_sample_sql(),
+        "repetition_stats": textops.REPETITION_STATS_SQL,
         "token_stats": textops.TOKEN_STATS_SQL,
         "quality_score": textops.QUALITY_SCORE_SQL,
         "lang_id": textops.LANG_ID_SQL,

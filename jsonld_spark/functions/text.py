@@ -800,3 +800,101 @@ SELECT doc_id, CAST({bucket} AS BIGINT) AS sample_bucket
 FROM documents WHERE {bucket} < {rate_x1000}
 ORDER BY doc_id
 """
+
+
+# --- Gopher-style repetition / quality signals --------------------------------
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition + format signals from the Gopher quality
+    filters (Rae et al., "Scaling Language Models: ... Gopher", 2021,
+    §A1.1 — public paper): duplicate-line fraction, duplicate-line
+    CHARACTER fraction (all occurrences of any repeated line counted),
+    symbol-to-token ratio ('#' and '...'), bullet-point and
+    ellipsis-terminated line fractions.  Integer-scaled x1000.
+
+    100-TB shape: pure map stage — every signal is a higher-order
+    function over the line array, nothing shuffles, NULL text propagates
+    NULL.  Duplicate detection sorts the line array and marks values
+    equal to their sorted neighbor (O(L log L) + O(L·D) membership, D =
+    distinct duplicated values — web pages have bounded line counts)."""
+    lines = "split(text, '\\n')"
+    # values that occur more than once == equal to a sorted neighbor
+    dupvals = (
+        f"array_distinct(filter(transform("
+        f"case when size({lines}) < 2 then array() else sequence(0, size({lines}) - 2) end, "
+        f"i -> case when array_sort({lines})[i] = array_sort({lines})[i+1] "
+        f"then array_sort({lines})[i] end), x -> x is not null))"
+    )
+    n_lines = f"size({lines})"
+    n_dup_lines = f"size(filter({lines}, l -> array_contains({dupvals}, l)))"
+    dup_chars = (
+        f"aggregate(filter({lines}, l -> array_contains({dupvals}, l)), "
+        f"cast(0 as bigint), (s, l) -> s + length(l))"
+    )
+    total_chars = (
+        f"aggregate({lines}, cast(0 as bigint), (s, l) -> s + length(l))"
+    )
+    hash_count = "length(text) - length(replace(text, '#', ''))"
+    ellipsis_count = "(length(text) - length(replace(text, '...', ''))) / 3"
+    n_toks = f"size({TOKENS_EXPR})"
+    bullet = (
+        f"size(filter({lines}, l -> ltrim(l) like '-%' or ltrim(l) like '*%' "
+        f"or ltrim(l) like '•%'))"
+    )
+    ell_lines = f"size(filter({lines}, l -> rtrim(l) like '%...'))"
+    x1000 = "cast(floor(1000 * cast({num} as bigint) / {den}) as bigint)"
+    return docs.select(
+        "doc_id",
+        F.expr(f"cast({n_lines} as bigint)").alias("n_lines"),
+        F.expr(x1000.format(num=n_dup_lines, den=n_lines)).alias(
+            "dup_line_frac_x1000"
+        ),
+        F.expr(
+            f"case when {total_chars} = 0 then 0 else "
+            + x1000.format(num=dup_chars, den=total_chars)
+            + " end"
+        ).alias("dup_line_char_frac_x1000"),
+        F.expr(
+            f"case when {n_toks} = 0 then 0 else "
+            f"cast(floor(1000 * ({hash_count} + {ellipsis_count}) / {n_toks}) as bigint) end"
+        ).alias("symbol_ratio_x1000"),
+        F.expr(x1000.format(num=bullet, den=n_lines)).alias("bullet_line_frac_x1000"),
+        F.expr(x1000.format(num=ell_lines, den=n_lines)).alias(
+            "ellipsis_line_frac_x1000"
+        ),
+    ).orderBy("doc_id")
+
+
+REPETITION_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+         string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+ d AS (
+  SELECT doc_id, text, lines, toks,
+         list_distinct(list_filter(list_transform(
+           CASE WHEN len(lines) < 2 THEN [] ELSE range(1, len(lines)) END,
+           i -> CASE WHEN list_sort(lines)[i] = list_sort(lines)[i+1]
+                THEN list_sort(lines)[i] END), x -> x IS NOT NULL)) AS dupvals
+  FROM t)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(floor(1000 * len(list_filter(lines, l -> list_contains(dupvals, l))) / len(lines)) AS BIGINT)
+    AS dup_line_frac_x1000,
+  CASE WHEN CAST(list_sum(list_transform(lines, l -> length(l))) AS BIGINT) = 0 THEN 0 ELSE
+    -- coalesce: DuckDB list_sum([]) is NULL where Spark's aggregate init
+    -- is 0; NULL text still yields NULL via the NULL denominator
+    CAST(floor(1000 * coalesce(CAST(list_sum(list_transform(list_filter(lines, l -> list_contains(dupvals, l)), l -> length(l))) AS BIGINT), 0)
+      / CAST(list_sum(list_transform(lines, l -> length(l))) AS BIGINT)) AS BIGINT) END
+    AS dup_line_char_frac_x1000,
+  CASE WHEN len(toks) = 0 THEN 0 ELSE
+    CAST(floor(1000 * ((length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '...', ''))) / 3) / len(toks)) AS BIGINT) END
+    AS symbol_ratio_x1000,
+  CAST(floor(1000 * len(list_filter(lines, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE chr(8226) || '%')) / len(lines)) AS BIGINT)
+    AS bullet_line_frac_x1000,
+  CAST(floor(1000 * len(list_filter(lines, l -> rtrim(l) LIKE '%...')) / len(lines)) AS BIGINT)
+    AS ellipsis_line_frac_x1000
+FROM d ORDER BY doc_id
+"""

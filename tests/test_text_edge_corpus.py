@@ -40,6 +40,8 @@ ROWS = [
     (6, NORMAL, "en", "b", len(NORMAL)),
     ((1 << 50) + 7, NORMAL, "en", "c", len(NORMAL)),  # hash-scale id, dup text
     (20, "eval split doc with the quick brown fox jumps over the lazy dog phrase", "en", "c", 71),
+    # repeated lines, bullets, ellipsis, '#' symbols → repetition_stats
+    (9, "same line\nsame line\n- bullet one\n* bullet two\ntrailing dots...\n# head ##\nsame line", "en", "c", 80),
 ]
 
 
@@ -130,6 +132,7 @@ PAIRS = [
     ("passage_dedup", textops.passage_dedup, textops.passage_dedup_sql),
     ("decontaminate", textops.decontaminate, textops.decontaminate_sql),
     ("quota_sample", lambda d: textops.quota_sample(d, quota=2), lambda: textops.quota_sample_sql(quota=2)),
+    ("repetition_stats", textops.repetition_stats, lambda: textops.REPETITION_STATS_SQL),
     ("top_tokens", lambda d: textops.top_tokens(d, k=10), lambda: textops.top_tokens_sql(k=10)),
     ("sample_by_hash", textops.sample_by_hash, None),  # SQL resolved below
     ("payload_meta", mm.payload_meta, lambda: mm.PAYLOAD_META_SQL),
@@ -193,3 +196,14 @@ def test_passage_dedup_hash_scale_doc_id(docs):
 def test_token_stats_bigint_schema(docs):
     schema = dict(textops.token_stats(docs).dtypes)
     assert schema["token_chars"] == "bigint"
+
+
+def test_repetition_stats_semantics(docs):
+    """Pin the Gopher-signal arithmetic on the crafted repetitive doc."""
+    r = {x.doc_id: x for x in textops.repetition_stats(docs).collect()}[9]
+    assert r.n_lines == 7
+    assert r.dup_line_frac_x1000 == 428       # floor(3000/7): 'same line' x3
+    assert r.dup_line_char_frac_x1000 == 355  # floor(27000/76)
+    assert r.bullet_line_frac_x1000 == 285    # 2 bullet lines
+    assert r.ellipsis_line_frac_x1000 == 142  # 1 '...'-terminated line
+    assert r.symbol_ratio_x1000 == 363        # (3 '#' + 1 '...') / 11 tokens
