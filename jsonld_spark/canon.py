@@ -44,23 +44,54 @@ from .rdf_model import Quad
 _SELF = "\x01self"
 _OTHER = "\x01blank"
 
-_BNODE_TOKEN_RE = re.compile(r"_:[A-Za-z0-9]+")
+# label charset MUST match rdf_model._NQ_BNODE — a narrower token regex
+# tokenizes '_:x-1' as phantom '_:x' and corrupts quoted-term relabeling
+_BNODE_TOKEN_RE = re.compile(r"_:[A-Za-z0-9_.\-]+")
+
+
+def _string_segments(term: str):
+    """Escape-aware split of an N-Triples-star term into
+    ``(text, outside)`` segments — a regex lookbehind misreads a closing
+    quote preceded by an ESCAPED backslash (literal ending in ``\\\\``)
+    and flips string parity for the rest of the term."""
+    segs = []
+    i = 0
+    start = 0
+    in_str = False
+    n = len(term)
+    while i < n:
+        c = term[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == '"':
+                segs.append((term[start : i + 1], False))
+                start = i + 1
+                in_str = False
+        elif c == '"':
+            segs.append((term[start:i], True))
+            start = i
+            in_str = True
+        i += 1
+    segs.append((term[start:], not in_str))
+    return segs
 
 
 def _map_quoted(term: str, fn) -> str:
     """Apply ``fn`` to every bnode token of an N-Triples-star quoted term
     (``<< … >>``), quote-aware so string-literal content is untouched."""
-    parts = re.split(r'(?<!\\)"', term)
-    for i in range(0, len(parts), 2):  # even segments are outside quotes
-        parts[i] = _BNODE_TOKEN_RE.sub(lambda m: fn(m.group(0)), parts[i])
-    return '"'.join(parts)
+    return "".join(
+        _BNODE_TOKEN_RE.sub(lambda m: fn(m.group(0)), text) if outside else text
+        for text, outside in _string_segments(term)
+    )
 
 
 def _quoted_bnodes(term: str) -> list[str]:
-    parts = re.split(r'(?<!\\)"', term)
     out: list[str] = []
-    for i in range(0, len(parts), 2):
-        out.extend(_BNODE_TOKEN_RE.findall(parts[i]))
+    for text, outside in _string_segments(term):
+        if outside:
+            out.extend(_BNODE_TOKEN_RE.findall(text))
     return out
 
 # Max individualization branches explored per document before falling
@@ -108,6 +139,8 @@ def _incident_map(quads, bnodes) -> dict[str, list]:
             seen.add(q.subj)
         elif q.subj.startswith("<<"):
             seen.update(b for b in _quoted_bnodes(q.subj) if b in inc)
+        if q.pred in inc:  # generalized-RDF bnode predicate
+            seen.add(q.pred)
         if not q.obj_is_literal:
             if q.obj in inc:
                 seen.add(q.obj)
@@ -127,7 +160,9 @@ def _hash_neighborhood(bnode: str, incident, labels=None) -> str:
             "|".join(
                 (
                     _term_repr(q.subj, bnode, labels),
-                    q.pred,
+                    # generalized RDF permits bnode predicates — mask them
+                    # like any other position (IRIs pass through unchanged)
+                    _term_repr(q.pred, bnode, labels),
                     _term_repr(q.obj, bnode, labels)
                     if not q.obj_is_literal
                     else f"L{q.obj}\x02{q.obj_datatype}\x02{q.obj_lang}",
@@ -250,6 +285,8 @@ def canonical_bnode_labels(quads: list[Quad], prefix: str = "c") -> dict[str, st
             bnodes.add(q.subj)
         elif q.subj.startswith("<<"):
             bnodes.update(_quoted_bnodes(q.subj))
+        if q.pred.startswith("_:"):  # generalized-RDF bnode predicate
+            bnodes.add(q.pred)
         if not q.obj_is_literal:
             if q.obj.startswith("_:"):
                 bnodes.add(q.obj)

@@ -76,6 +76,20 @@ def _rename_embedded_bnodes(node, namer: BlankNodeNamer):
         for k, v in node.items():
             if k == "@id" and isinstance(v, str) and v.startswith("_:"):
                 v = namer.get_name(v)
+            elif k == "@type":
+                # the reference's upfront rename_bnodes pass renames ALL
+                # bnode strings — a bnode @type inside the embedded copy
+                # must track the asserted type's new label
+                v = [
+                    namer.get_name(t)
+                    if isinstance(t, str) and t.startswith("_:")
+                    else t
+                    for t in v
+                ] if isinstance(v, list) else (
+                    namer.get_name(v)
+                    if isinstance(v, str) and v.startswith("_:")
+                    else v
+                )
             out[k] = _rename_embedded_bnodes(v, namer)
         return out
     return node

@@ -100,11 +100,15 @@ def value_match(pattern: dict, value: dict) -> bool:
     return True
 
 
-def node_match(state: FrameState, pattern: dict, value: dict) -> bool:
+def node_match(
+    state: FrameState, pattern: dict, value: dict, require_all: bool
+) -> bool:
+    """frame.rb:592-597 — the ENCLOSING frame's effective @requireAll
+    flag threads into nested node patterns (not the API option)."""
     if "@id" not in value:
         return False
     node = state.subjects.get(value["@id"])
-    return node is not None and filter_subject(state, node, pattern, state.require_all)
+    return node is not None and filter_subject(state, node, pattern, require_all)
 
 
 _FRAMING_KEYWORDS = frozenset(
@@ -145,11 +149,13 @@ def filter_subject(
             elif vals == [{}]:
                 match_this = bool(types)
             elif (
-                len(vals) == 1
+                vals
                 and isinstance(vals[0], dict)
                 and set(vals[0]) == {"@default"}
             ):
-                # a map with only @default matches like an empty map
+                # a map with only @default matches like an empty map —
+                # the reference checks only v.first (frame.rb:382), so
+                # trailing elements do not disable the wildcard
                 match_this = True
             else:
                 match_this = bool(
@@ -199,14 +205,16 @@ def filter_subject(
                         )
                     elif isinstance(vv, dict):
                         match_this = any(
-                            isinstance(nv, dict) and node_match(state, vv, nv)
+                            isinstance(nv, dict)
+                            and node_match(state, vv, nv, require_all)
                             for nv in inner
                         )
                     else:
                         match_this = False
             elif isinstance(sub, dict):
                 match_this = any(
-                    isinstance(nv, dict) and node_match(state, sub, nv)
+                    isinstance(nv, dict)
+                    and node_match(state, sub, nv, require_all)
                     for nv in node_values
                 )
             else:
@@ -248,12 +256,14 @@ def _get_flag(frame: dict, state_value, name: str):
     return v
 
 
-def _implicit_frame(embed, explicit, require_all, omit_default) -> dict:
+def _implicit_frame(embed, explicit, require_all) -> dict:
+    # frame.rb:583-589 over flags {embed, explicit, requireAll} ONLY —
+    # the reference's implicit frames never carry @omitDefault; nested
+    # default processing falls back to the API option instead
     return {
         "@embed": [embed],
         "@explicit": [explicit],
         "@requireAll": [require_all],
-        "@omitDefault": [omit_default],
     }
 
 
@@ -364,7 +374,7 @@ def frame_node(state: FrameState, subjects, frame: dict, parent, active_property
                     else (fv if isinstance(fv, dict) else None)
                 )
                 if subframe is None:
-                    subframe = _implicit_frame(embed, explicit, require_all, omit_default)
+                    subframe = _implicit_frame(embed, explicit, require_all)
                 if _list_obj(item):
                     sub_list = subframe.get("@list") if isinstance(subframe, dict) else None
                     item_frame = (
@@ -373,7 +383,7 @@ def frame_node(state: FrameState, subjects, frame: dict, parent, active_property
                         else (
                             sub_list
                             if isinstance(sub_list, dict)
-                            else _implicit_frame(embed, explicit, require_all, omit_default)
+                            else _implicit_frame(embed, explicit, require_all)
                         )
                     )
                     lst_out: dict[str, Any] = {"@list": []}
@@ -407,7 +417,9 @@ def frame_node(state: FrameState, subjects, frame: dict, parent, active_property
             elif is_keyword(prop):
                 continue
             n = first if isinstance(first, dict) else {}
-            if bool(_flag(n, omit_default, "@omitDefault")):
+            # get_frame_flag(n, OPTIONS, :omitDefault) — the API option is
+            # the fallback, not the enclosing frame's inherited flag
+            if bool(_flag(n, state.omit_default, "@omitDefault")):
                 continue
             if prop in output:
                 continue
@@ -442,8 +454,9 @@ def frame_node(state: FrameState, subjects, frame: dict, parent, active_property
 
 def _remove_embed(state: FrameState, sid: str) -> None:
     """@last: replace the previous embed of ``sid`` with a bare
-    reference (frame.rb:521-545)."""
-    embed = state.unique_embeds.get(state.graph, {}).get(sid)
+    reference (frame.rb:521-562)."""
+    embeds = state.unique_embeds.get(state.graph, {})
+    embed = embeds.get(sid)
     if not embed:
         return
     parent, prop = embed["parent"], embed["property"]
@@ -460,6 +473,18 @@ def _remove_embed(state: FrameState, sid: str) -> None:
         vals = parent[prop]
         if isinstance(vals, list):
             replace(vals)
+
+    # recursively drop dependent dangling embeds (frame.rb:547-561) —
+    # a surviving entry would later resolve to a bare reference whose
+    # full content lives only in the discarded subtree
+    def remove_dependents(rid: str) -> None:
+        for dep_id, e in list(embeds.items()):
+            p = e.get("parent") if isinstance(e, dict) else None
+            if isinstance(p, dict) and p.get("@id") == rid:
+                embeds.pop(dep_id, None)
+                remove_dependents(dep_id)
+
+    remove_dependents(sid)
 
 
 def _cleanup_preserve(element):
@@ -562,6 +587,13 @@ def frame_document(
     reference's expandContext option, threaded through initialize —
     e.g. a Link-header contextUrl from the loader)."""
     validate_frame(frame)
+    # a one-element-array frame is valid (validate_frame accepts it; the
+    # framing spec allows an array of exactly one node object) — unwrap
+    # so the @context / @graph probes below see the real frame instead
+    # of silently framing with no context against the merged graph (the
+    # reference crashes on frame['@context'] here, api.rb:431)
+    if isinstance(frame, list) and len(frame) == 1 and isinstance(frame[0], dict):
+        frame = frame[0]
     expanded = expand_document(
         doc, base=base, cache=cache, expand_context=expand_context
     )

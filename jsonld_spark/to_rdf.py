@@ -20,6 +20,7 @@ from .expand import expand_document
 from .flatten import BlankNodeNamer, node_map_from_expanded
 from .iri import is_absolute_iri
 from .rdf_model import (
+    _escape_literal,
     RDF_DIRECTION,
     RDF_FIRST,
     RDF_JSON,
@@ -66,13 +67,10 @@ def _nt_term(obj, lit: bool, dt, lang) -> str:
         if obj.startswith(("_:", "<<")):
             return obj
         return f"<{obj}>"
-    esc = (
-        obj.replace("\\", "\\\\")
-        .replace('"', '\\"')
-        .replace("\n", "\\n")
-        .replace("\r", "\\r")
-        .replace("\t", "\\t")
-    )
+    # rdf_model's writer escaping (\\b, \\f, C0 controls, DEL too) — the
+    # quoted-term text must byte-match the asserted serialization of the
+    # same literal or set/canonical comparisons break
+    esc = _escape_literal(obj)
     if lang is not None and dt == RDF_LANGSTRING:
         return f'"{esc}"@{lang}'
     if dt is not None and dt != XSD_STRING:

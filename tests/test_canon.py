@@ -333,3 +333,64 @@ def test_greedy_fallback_differential_vs_full_search():
                 assert frozenset(canonicalize_quads(list(pq))) == full
                 assert canon_greedy(pq) == greedy
     assert checked_perm_stability >= 10
+
+
+def test_quoted_term_label_with_punctuation_chars():
+    """_:x-1-style labels (legal per rdf_model._NQ_BNODE) must tokenize
+    whole — a narrower regex created a phantom '_:x' prefix and
+    corrupted quoted-term relabeling."""
+    from jsonld_spark.canon import canonicalize_quads
+    from jsonld_spark.rdf_model import Quad
+
+    quads = [
+        Quad("_:x-1", "http://p", "v", True, None, None, None),
+        Quad("<< _:x-1 <http://p> \"v\" >>", "http://q", "w", True, None, None, None),
+    ]
+    out = canonicalize_quads(quads)
+    # the direct subject and the quoted-term occurrence get the SAME label
+    direct = out[0].subj
+    assert direct.startswith("_:c")
+    assert out[1].subj == f"<< {direct} <http://p> \"v\" >>", out[1].subj
+
+
+def test_quoted_term_literal_ending_in_escaped_backslash():
+    """A literal ending in an escaped backslash ('x\\\\') must not flip
+    string parity — bnodes after it still get relabeled."""
+    from jsonld_spark.canon import canonicalize_quads
+    from jsonld_spark.rdf_model import Quad
+
+    # serialized literal 'x\' is  "x\\"  — the closing quote follows a
+    # backslash CHARACTER that is itself escaped; _:b sits AFTER it
+    # inside the same (nested) quoted term
+    term = '<< << _:a <http://p> "x\\\\" >> <http://q> _:b >>'
+    quads = [
+        Quad("_:a", "http://p", "x\\", True, None, None, None),
+        Quad(term, "http://r", "v", True, None, None, None),
+        Quad("_:b", "http://s", "w", True, None, None, None),
+    ]
+    out = canonicalize_quads(quads)
+    # NO raw input label survives anywhere — including _:b occurrences
+    # AFTER the tricky literal inside the quoted term
+    for q in out:
+        for t in (q.subj, q.obj if not q.obj_is_literal else ""):
+            assert "_:a" not in t and "_:b" not in t, out
+
+
+def test_generalized_rdf_bnode_predicate_relabeled():
+    """produce_generalized_rdf can emit bnode predicates; they must be
+    collected, masked in hashing, and relabeled — label-independently."""
+    from jsonld_spark.canon import canonicalize_quads
+    from jsonld_spark.rdf_model import Quad
+
+    def run(pred_label, other):
+        quads = [
+            Quad("http://s", pred_label, "v", True, None, None, None),
+            Quad(other, "http://q", "w", True, None, None, None),
+        ]
+        return canonicalize_quads(quads)
+
+    a = run("_:p1", "_:z9")
+    b = run("_:zz", "_:aa")  # same graph, different input labels
+    assert a[0].pred.startswith("_:c")  # relabeled at all
+    assert [q.pred for q in a] == [q.pred for q in b]
+    assert [q.subj for q in a] == [q.subj for q in b]

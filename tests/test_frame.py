@@ -301,3 +301,58 @@ def test_empty_frame_still_wildcards():
     # context-less frames still compact (against the empty context) and
     # the 1.1 default omit_graph unwraps the single match
     assert out == {"@id": "http://e/a", "http://v/name": "x"}
+
+
+def test_nested_node_pattern_honors_enclosing_require_all():
+    """frame.rb:423 threads the ENCLOSING frame's @requireAll flag into
+    nested node patterns — a nested pattern with two properties must
+    require both when @requireAll is on, even if the API option is off."""
+    doc = [
+        {
+            "@id": "http://ex/x",
+            "http://ex/p": [{"@id": "http://ex/a"}],
+        },
+        {"@id": "http://ex/a", "@type": ["http://ex/T"]},  # lacks ex:q
+    ]
+    frame = {
+        "@requireAll": True,
+        "http://ex/p": {"@type": ["http://ex/T"], "http://ex/q": [{}]},
+    }
+    out = frame_document(doc, frame, require_all=False)
+    graph = out.get("@graph", [out] if "@graph" not in out else [])
+    txt = str(out)
+    # x itself must not match: its ex:p value fails the nested pattern
+    assert "http://ex/x" not in txt or "http://ex/p" not in txt
+
+
+def test_array_frame_keeps_context():
+    doc = {"@id": "http://ex/a", "http://ex/name": "A"}
+    frame = [{"@context": {"name": "http://ex/name"}, "name": {}}]
+    out = frame_document(doc, frame)
+    assert out.get("@context") == {"name": "http://ex/name"}
+    assert "name" in str(out)
+
+
+def test_omit_default_falls_back_to_api_option():
+    """frame.rb:188 consults get_frame_flag(n, OPTIONS, :omitDefault) —
+    the frame-level @omitDefault does not leak into per-property
+    default processing (only the property subframe's own flag or the
+    API option count)."""
+    doc = {"@id": "http://ex/a", "@type": ["http://ex/T"]}
+    frame = {"@omitDefault": True, "@type": ["http://ex/T"], "http://ex/p": [{}]}
+    out = frame_document(doc, frame, omit_default=False)
+    # API option False → default @null → property present as null
+    assert "http://ex/p" in str(out)
+
+
+def test_type_default_map_with_trailing_elements_is_wildcard():
+    """frame.rb:382 checks only v.first: [{'@default': ...}, 'ex:Other']
+    still matches every subject."""
+    doc = [
+        {"@id": "http://ex/a", "@type": ["http://ex/T"]},
+        {"@id": "http://ex/b", "@type": ["http://ex/Other"]},
+    ]
+    frame = {"@type": [{"@default": "http://ex/D"}, "http://ex/Other"]}
+    out = frame_document(doc, frame)
+    txt = str(out)
+    assert "http://ex/a" in txt and "http://ex/b" in txt

@@ -449,3 +449,51 @@ def test_streaming_reader_rdfstar_parity():
             stream_doc_quads(json.loads(json.dumps(doc)), base="http://b/", rdfstar=True)))))
         assert s == b
         assert any(q.subj.startswith("<<") for q in b)
+
+
+def test_quoted_term_escaping_matches_asserted_literal():
+    """A \\b (U+0008) in the annotated literal must serialize identically
+    inside the quoted term and in the asserted quad (rdf_model's writer
+    escaping), or set/canonical comparisons diverge."""
+    doc = {
+        "@id": "http://ex/s",
+        "http://ex/p": {
+            "@value": "a\bb",
+            "@annotation": {"http://ex/conf": 1},
+        },
+    }
+    quads = doc_to_quads(doc, rdfstar=True)
+    asserted = [q for q in quads if q.subj == "http://ex/s"]
+    annot = [q for q in quads if q.subj.startswith("<<")]
+    assert asserted and annot
+    from jsonld_spark.rdf_model import quad_to_nquads
+    line = quad_to_nquads(asserted[0])
+    lit_text = line.split(" ", 2)[2].rsplit(" .", 1)[0]
+    assert lit_text in annot[0].subj, (lit_text, annot[0].subj)
+    assert "\b" not in annot[0].subj  # raw control byte never embedded
+
+
+def test_embedded_bnode_type_tracks_asserted_rename():
+    """A bnode @type inside an embedded statement (used as @id) must get
+    the same renamed label as the asserted @type occurrence — the
+    upfront rename pass covers @type values, not just @id strings."""
+    doc = [
+        {
+            "@id": {"@id": "http://ex/x", "@type": "_:t"},
+            "http://ex/q": "v",
+        },
+        {"@id": "http://ex/x", "@type": "_:t"},
+    ]
+    quads = doc_to_quads(doc, rdfstar=True)
+    type_objs = {
+        q.obj for q in quads
+        if q.pred == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        and q.subj == "http://ex/x"
+    }
+    assert type_objs and all(o.startswith("_:") and o != "_:t" for o in type_objs)
+    renamed = next(iter(type_objs))
+    star_subjects = [q.subj for q in quads if q.subj.startswith("<<")]
+    assert star_subjects
+    for t in star_subjects:
+        assert "_:t" not in t.replace(renamed, ""), (renamed, t)
+        assert renamed in t, (renamed, t)
