@@ -481,6 +481,10 @@ def _q_repetition_stats(spark, sf_dir):
     return textops.repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_top_ngram_stats(spark, sf_dir):
+    return textops.top_ngram_stats(_docs(spark, sf_dir))
+
+
 def _q_minhash_candidates(spark, sf_dir):
     return textops.minhash_candidate_pairs(_docs(spark, sf_dir))
 
@@ -546,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "quota_sample": _q_quota_sample,
         "repetition_stats": _q_repetition_stats,
+        "top_ngram_stats": _q_top_ngram_stats,
         "token_stats": _q_token_stats,
         "token_count_bpe": _q_token_count_bpe,
         "quality_score": _q_quality,
@@ -730,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": textops.decontaminate_sql(),
         "quota_sample": textops.quota_sample_sql(),
         "repetition_stats": textops.REPETITION_STATS_SQL,
+        "top_ngram_stats": textops.top_ngram_stats_sql(),
         "token_stats": textops.TOKEN_STATS_SQL,
         "quality_score": textops.QUALITY_SCORE_SQL,
         "lang_id": textops.LANG_ID_SQL,

@@ -898,3 +898,75 @@ SELECT doc_id,
     AS ellipsis_line_frac_x1000
 FROM d ORDER BY doc_id
 """
+
+
+def top_ngram_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Most-frequent word ``n``-gram per document + the fraction of
+    characters it covers (the remaining Gopher §A1.1 repetition signal:
+    'fraction of characters in the most frequent n-gram').
+
+    → (doc_id, top_ngram, top_count, top_char_frac_x1000).
+
+    100-TB shape: pure map stage.  The per-doc mode is found WITHOUT a
+    shuffle via aggregate() carrying a struct accumulator over the
+    SORTED gram array (run-length scan; ties → lexicographically first
+    gram, which the ascending sort makes the first-reached run).  The
+    oracle states the same semantics relationally (count + row_number)."""
+    grams = (
+        f"case when size(toks) < {n} then slice(toks, 1, 0) else "
+        f"transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'toks[i+{j}]' for j in range(n))})) end"
+    )
+    run = "case when g = s.prev then s.run + 1 else cast(1 as bigint) end"
+    scan = (
+        f"aggregate(array_sort(grams), "
+        f"struct('' as prev, cast(0 as bigint) as run, cast(0 as bigint) as best, '' as bg), "
+        f"(s, g) -> named_struct("
+        f"'prev', g, "
+        f"'run', {run}, "
+        f"'best', case when ({run}) > s.best then ({run}) else s.best end, "
+        f"'bg', case when ({run}) > s.best then g else s.bg end))"
+    )
+    total_chars = "aggregate(toks, cast(0 as bigint), (s, t) -> s + length(t))"
+    return (
+        docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+        .select("doc_id", "toks", F.expr(grams).alias("grams"))
+        .select("doc_id", F.expr(scan).alias("w"), F.expr(total_chars).alias("tc"))
+        .select(
+            "doc_id",
+            F.expr("w.bg").alias("top_ngram"),
+            F.expr("w.best").alias("top_count"),
+            F.expr(
+                "case when tc = 0 or w.best = 0 then cast(0 as bigint) else "
+                "cast(floor(1000 * w.best * length(w.bg) / tc) as bigint) end"
+            ).alias("top_char_frac_x1000"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def top_ngram_stats_sql(n: int = 2) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS toks FROM documents),
+ g AS (
+  SELECT doc_id, {gram} AS g
+  FROM t, unnest(CASE WHEN len(toks) < {n} THEN [] ELSE range(1, len(toks) - {n} + 2) END) AS u(i)),
+ c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+ top AS (
+  SELECT doc_id, g, c FROM (
+    SELECT doc_id, g, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+    FROM c) WHERE rn = 1),
+ tc AS (SELECT doc_id, text,
+               CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS tc
+        FROM t)
+SELECT tc.doc_id,
+  CASE WHEN tc.text IS NULL THEN NULL ELSE coalesce(top.g, '') END AS top_ngram,
+  CASE WHEN tc.text IS NULL THEN NULL ELSE CAST(coalesce(top.c, 0) AS BIGINT) END AS top_count,
+  CASE WHEN tc.text IS NULL THEN NULL
+       WHEN tc.tc = 0 OR top.c IS NULL THEN 0
+       ELSE CAST(floor(1000 * top.c * length(top.g) / tc.tc) AS BIGINT) END AS top_char_frac_x1000
+FROM tc LEFT JOIN top USING (doc_id)
+ORDER BY tc.doc_id
+"""

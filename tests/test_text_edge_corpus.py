@@ -133,6 +133,7 @@ PAIRS = [
     ("decontaminate", textops.decontaminate, textops.decontaminate_sql),
     ("quota_sample", lambda d: textops.quota_sample(d, quota=2), lambda: textops.quota_sample_sql(quota=2)),
     ("repetition_stats", textops.repetition_stats, lambda: textops.REPETITION_STATS_SQL),
+    ("top_ngram_stats", textops.top_ngram_stats, textops.top_ngram_stats_sql),
     ("top_tokens", lambda d: textops.top_tokens(d, k=10), lambda: textops.top_tokens_sql(k=10)),
     ("sample_by_hash", textops.sample_by_hash, None),  # SQL resolved below
     ("payload_meta", mm.payload_meta, lambda: mm.PAYLOAD_META_SQL),
@@ -207,3 +208,26 @@ def test_repetition_stats_semantics(docs):
     assert r.bullet_line_frac_x1000 == 285    # 2 bullet lines
     assert r.ellipsis_line_frac_x1000 == 142  # 1 '...'-terminated line
     assert r.symbol_ratio_x1000 == 363        # (3 '#' + 1 '...') / 11 tokens
+
+
+def test_top_ngram_semantics(docs):
+    """Mode 2-gram found by the struct-accumulator scan: doc 6 repeats
+    'the quick'... verify against a plain Python count."""
+    from collections import Counter
+
+    r = {x.doc_id: x for x in textops.top_ngram_stats(docs).collect()}
+    import re as _re
+
+    for doc_id, text in [(6, NORMAL), (9, ROWS[-1][1])]:
+        toks = _re.split(" +", text.strip())  # the engine's tokenizer:
+        # spaces only — newlines stay inside tokens
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        counts = Counter(grams)
+        best = max(counts.values())
+        expect_gram = min(g for g, c in counts.items() if c == best)
+        assert r[doc_id].top_count == best, (doc_id, r[doc_id])
+        assert r[doc_id].top_ngram == expect_gram, (doc_id, r[doc_id])
+    # 1-token doc: no grams
+    assert r[1].top_count == 0 and r[1].top_ngram == ""
+    # NULL text propagates
+    assert r[3].top_ngram is None
