@@ -109,7 +109,9 @@ def compact_iri(
                 type_language_value = common_language
         elif isinstance(value, dict) and "@graph" in value:
             if "@index" in value:
-                containers += ["@graph@index", "@graph@index@set"]
+                # CONTAINERS_GRAPH_INDEX_INDEX (context.rb:1389): the
+                # plain @index containers ride at HIGH priority here
+                containers += ["@graph@index", "@graph@index@set", "@index", "@index@set"]
             if "@id" in value:
                 containers += ["@graph@id", "@graph@id@set"]
             containers += ["@graph", "@graph@set", "@set"]
@@ -117,19 +119,24 @@ def compact_iri(
                 containers += ["@graph@index", "@graph@index@set"]
             if "@id" not in value:
                 containers += ["@graph@id", "@graph@id@set"]
-            containers += ["@index", "@index@set"]
+            if "@index" not in value:
+                containers += ["@index", "@index@set"]
             type_language = "@type"
             type_language_value = "@id"
         else:
             if isinstance(value, dict) and "@value" in value:
-                if "@direction" in value and "@index" not in value:
-                    type_language_value = (
-                        f"{value.get('@language', '')}_{value['@direction']}".lower()
-                    )
-                    containers += ["@language", "@language@set"]
-                elif "@language" in value and "@index" not in value:
+                # branch ORDER mirrors context.rb:1489-1498: @language
+                # first (direction appended if also present, WITH the
+                # language containers); a DIRECTION-ONLY value gets
+                # tl_value '_dir' but NO language containers — selecting
+                # a language-map term would drop @direction on re-expand
+                if "@language" in value and "@index" not in value:
                     type_language_value = value["@language"].lower()
+                    if value.get("@direction"):
+                        type_language_value += f"_{value['@direction']}".lower()
                     containers += ["@language", "@language@set"]
+                elif "@direction" in value and "@index" not in value:
+                    type_language_value = f"_{value['@direction']}"
                 elif "@type" in value:
                     type_language = "@type"
                     type_language_value = value["@type"]
@@ -140,7 +147,10 @@ def compact_iri(
             containers.append("@set")
 
         containers.append("@none")
-        if isinstance(value, dict) and "@index" not in value:
+        # `unless index?(value)` (context.rb:1511) — also true for a
+        # nil/absent value (an @index-container term must be selectable
+        # for an empty property, compacting {} → {"idx": []})
+        if not (isinstance(value, dict) and "@index" in value):
             containers += ["@index", "@index@set"]
         if isinstance(value, dict) and set(value) == {"@value"}:
             containers += ["@language", "@language@set"]

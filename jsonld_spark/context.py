@@ -124,7 +124,9 @@ def _at_most_one_link(links, url: str):
         )
 
 
-def _resolve_remote_document(body, ctx_url: str, cache: ContextCache):
+def _resolve_remote_document(
+    body, ctx_url: str, cache: ContextCache, _seen: frozenset = frozenset()
+):
     """loadRemoteDocument content-negotiation semantics over the offline
     cache (reference api.rb:645-690).  A cache entry may be a wrapped
     RemoteDocument — ``{"@remote-document": true, "contentType": ...,
@@ -132,7 +134,10 @@ def _resolve_remote_document(body, ctx_url: str, cache: ContextCache):
     loader would return.  For a non-ld+json JSON content type: zero or
     one ``rel=http://www.w3.org/ns/json-ld#context`` link is followed
     (resolved against the document URL); more than one raises
-    ``multiple context link headers`` exactly like the reference."""
+    ``multiple context link headers`` exactly like the reference.
+    ``_seen`` guards Link-header reference cycles (two wrapped entries
+    pointing at each other) — a crafted cache must raise, not
+    RecursionError."""
     if not (isinstance(body, dict) and body.get("@remote-document")):
         return body
     ct, links, doc = _remote_entry_meta(body)
@@ -140,10 +145,16 @@ def _resolve_remote_document(body, ctx_url: str, cache: ContextCache):
         _at_most_one_link(links, ctx_url)
         if links:
             linked_url = resolve_iri(ctx_url, links[0])
+            if linked_url in _seen:
+                raise err.LoadingRemoteContextFailed(
+                    f"context link header cycle at {linked_url}"
+                )
             linked = cache.get(linked_url)
             if linked is None:
                 raise err.LoadingRemoteContextFailed(linked_url)
-            return _resolve_remote_document(linked, linked_url, cache)
+            return _resolve_remote_document(
+                linked, linked_url, cache, _seen | {linked_url}
+            )
     elif ct != "application/ld+json" and ct is not None:
         # Neither ld+json nor any +json type (e.g. text/html): the
         # reference's loader fails with "loading document failed"
@@ -289,13 +300,32 @@ class TermDefinition:
         self.simple = False
         self.explicit_prefix = False
 
+    # slots the reference's TermDefinition#== compares (context.rb:2317)
+    # — NOT the bookkeeping slots (simple, explicit_prefix, base_url):
+    # {"@protected": true, "foo": "iri"} then {"foo": {"@id": "iri"}} is
+    # an ACCEPTED identical redefinition even though `simple` differs
+    # container_mapping here includes @set, covering the reference's
+    # separate as_set? comparison
+    _SPEC_SLOTS = (
+        "iri_mapping",
+        "term",
+        "type_mapping",
+        "container_mapping",
+        "nest_value",
+        "language_mapping",
+        "direction_mapping",
+        "reverse_property",
+        "index_mapping",
+        "local_context",
+        "prefix",
+    )
+
     def same_mappings(self, other: "TermDefinition") -> bool:
-        """Equality ignoring ``protected`` — used by the protected-term
-        redefinition check."""
+        """Equality ignoring ``protected`` and non-spec bookkeeping —
+        used by the protected-term redefinition check."""
         return all(
-            getattr(self, s) == getattr(other, s)
-            for s in self.__slots__
-            if s not in ("protected",)
+            getattr(self, s, None) == getattr(other, s, None)
+            for s in self._SPEC_SLOTS
         )
 
     def clone(self) -> "TermDefinition":
@@ -572,7 +602,10 @@ class Context:
                 if value is None:
                     result.default_language = None
                 elif isinstance(value, str):
-                    result.default_language = value.lower()
+                    # case PRESERVED (context.rb:788 lowercases only under
+                    # the lowercaseLanguage option); matching lowercases
+                    # at inverse-context/compaction time instead
+                    result.default_language = value
                 else:
                     raise err.InvalidDefaultLanguage(repr(value))
 
@@ -896,7 +929,9 @@ def parse_initial_cached(
     the in-UDF analog of the reference's preloaded-context registry
     (context.rb:34-44)."""
     try:
-        key = json.dumps(local_ctx, sort_keys=True)
+        # processing_mode is part of the key: a 1.0-mode parse raises on
+        # 1.1 constructs that a memoized 1.1 parse would silently allow
+        key = processing_mode + "\x00" + json.dumps(local_ctx, sort_keys=True)
     except (TypeError, ValueError):
         key = None
     if key is not None and _base_independent(local_ctx):
@@ -1188,7 +1223,8 @@ def create_term_definition(
         if lang is None:
             definition.language_mapping = None
         elif isinstance(lang, str):
-            definition.language_mapping = lang.lower()
+            # case preserved (context.rb:890 — lowercaseLanguage only)
+            definition.language_mapping = lang
         else:
             raise err.InvalidLanguageMapping(repr(lang))
 

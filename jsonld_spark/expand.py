@@ -78,7 +78,11 @@ def expand(
         return None
 
     if active_property == "@default":
-        options = ExpandOptions(options.ordered, False, options.base, options.rdfstar)
+        sub = ExpandOptions(options.ordered, False, options.base, options.rdfstar)
+        # SHARE the warnings sink — a fresh list would silently discard
+        # dropped-key warnings raised inside @default values
+        sub.warnings = options.warnings
+        options = sub
 
     td = active_context.term(active_property)
 
@@ -681,7 +685,9 @@ def _expand_language_map(value: dict, td, active_context: Context, options):
                 options.warnings.append(f"malformed language tag {lang!r}")
             v: dict[str, Any] = {"@value": item}
             if exp_lang != "@none":
-                v["@language"] = lang.lower()
+                # map-key case preserved (expand.rb:666 lowercases only
+                # under lowercaseLanguage); RDF emission lowercases tags
+                v["@language"] = lang
             if direction:
                 v["@direction"] = direction
             result.append(v)
@@ -723,7 +729,13 @@ def _expand_index_map(key, value, td, container, active_context: Context, option
         for item in expanded_items:
             if item is None:
                 continue
-            if as_graph and not ("@graph" in item and set(item) <= {"@graph", "@index"}):
+            # graph?(item) test mirrors utils.rb:60/225 — @context/@id/
+            # @index may accompany @graph (a NAMED graph object passes
+            # through; re-wrapping it would nest a graph inside a graph)
+            if as_graph and not (
+                "@graph" in item
+                and set(item) <= {"@graph", "@index", "@id", "@context"}
+            ):
                 item = {"@graph": item if isinstance(item, list) else [item]}
             if "@index" in container and expanded_index != "@none":
                 if index_key != "@index":

@@ -214,6 +214,11 @@ def remove_base(base: str | None, iri: str) -> str:
     i_scheme, i_auth, i_path, i_query, i_frag = split_iri(iri)
     if b_scheme != i_scheme or b_auth != i_auth:
         return iri
+    if i_path == "" and b_path != "":
+        # authority-only IRI (http://e) under a pathed base: any
+        # relative form ('../') re-resolves with a trailing slash and
+        # fails to round-trip — keep it absolute
+        return iri
     # exact match up to fragment/query
     suffix = ""
     if i_query is not None:
