@@ -102,7 +102,7 @@ def _permute_bnode_labels(quads, rng):
         {
             t
             for q in quads
-            for t in (q.subj, None if q.obj_is_literal else q.obj, q.graph)
+            for t in (q.subj, q.pred, None if q.obj_is_literal else q.obj, q.graph)
             if t and t.startswith("_:")
         }
     )
@@ -112,7 +112,7 @@ def _permute_bnode_labels(quads, rng):
     return [
         Quad(
             m.get(q.subj, q.subj),
-            q.pred,
+            m.get(q.pred, q.pred),
             q.obj if q.obj_is_literal else m.get(q.obj, q.obj),
             q.obj_is_literal,
             q.obj_datatype,
@@ -394,3 +394,28 @@ def test_generalized_rdf_bnode_predicate_relabeled():
     assert a[0].pred.startswith("_:c")  # relabeled at all
     assert [q.pred for q in a] == [q.pred for q in b]
     assert [q.subj for q in a] == [q.subj for q in b]
+
+
+def test_bnode_predicate_permutation_invariance():
+    """Generalized-RDF bnode predicates participate in canonicalization
+    — labels invariant under permutation of ALL positions incl. pred."""
+    import random as _random
+
+    from jsonld_spark.rdf_model import Quad
+
+    quads = [
+        Quad("_:s1", "_:p1", "_:o1", False, None, None, None),
+        Quad("_:s1", "_:p2", "a", True, None, None, None),
+        Quad("_:o1", "_:p1", "b", True, None, None, None),
+    ]
+    base = set(canonicalize_quads(quads))
+    assert not any(
+        l.startswith("_:") and not l.startswith("_:c")
+        for q in base
+        for l in (q.subj, q.pred, q.obj if not q.obj_is_literal else "_:c")
+    )
+    rng = _random.Random(13)
+    for _ in range(8):
+        perm = _permute_bnode_labels(quads, rng)
+        rng.shuffle(perm)
+        assert set(canonicalize_quads(perm)) == base

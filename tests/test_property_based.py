@@ -156,7 +156,7 @@ def test_compact_expand_roundtrip_rich_context(doc):
     assert q1 == q2
 
 
-_langs = st.sampled_from(["en", "de", "fr", "ja", "en-us"])
+_langs = st.sampled_from(["en", "de", "fr", "ja", "en-us", "en-US", "pt-BR"])
 
 _lang_nodes = st.lists(
     st.fixed_dictionaries(
@@ -378,6 +378,11 @@ _ROUNDTRIP_CONTEXTS = [
     {"@vocab": "http://ex.org/", "lst": {"@container": "@list"}},
     {"@vocab": "http://ex.org/", "child": {"@container": "@set"}},
     {"@language": "en", "@vocab": "http://ex.org/"},
+    # mixed-case default language: tags preserve case through parse
+    # (round-5 fix) while compaction matching lowercases — the
+    # round-trip must stay lossless either way
+    {"@language": "en-US", "@vocab": "http://ex.org/"},
+    {"@vocab": "http://ex.org/", "lm": {"@id": "http://ex.org/lm", "@container": "@language"}},
 ]
 
 
