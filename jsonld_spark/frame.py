@@ -581,6 +581,7 @@ def frame_document(
     ordered: bool = False,
     omit_graph: bool = True,
     expand_context=None,
+    rdfstar: bool = False,
 ):
     """API.frame equivalent (reference api.rb:382-509).
     ``expand_context`` applies to the INPUT document's expansion (the
@@ -595,7 +596,8 @@ def frame_document(
     if isinstance(frame, list) and len(frame) == 1 and isinstance(frame[0], dict):
         frame = frame[0]
     expanded = expand_document(
-        doc, base=base, cache=cache, expand_context=expand_context
+        doc, base=base, cache=cache, expand_context=expand_context,
+        rdfstar=rdfstar,
     )
     expanded_frame = expand_document(frame, base=base, cache=cache, frame_expansion=True)
     # validate the EXPANDED frame too (reference validates inside the

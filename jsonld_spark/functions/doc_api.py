@@ -30,14 +30,27 @@ DOC_RESULT_SCHEMA = T.StructType(
 )
 
 
-def _doc_op_udf(op: Callable, cache_entries: dict | None):
+def _doc_op_udf(op: Callable, cache_bc, max_html_bytes: int):
     import pandas as pd
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cache = ContextCache(cache_entries or {})
+        # broadcast + per-process memo (udfs._get_cache) — shipping the
+        # entries dict in the task closure would pay O(cache) pickling
+        # per task and lose cross-task context-parse memoization
+        from ..udfs import _get_cache
+
+        entries = cache_bc.value if cache_bc is not None else None
+        cache = _get_cache(entries, "doc-api")
         for pdf in batches:
             out = []
             for url, html in zip(pdf["url"], pdf["html"]):
+                if html is not None and len(html) > max_html_bytes:
+                    # same oversized-page guard as the fused triples UDF
+                    out.append(
+                        (url, -1, None,
+                         f"document too large: {len(html)} bytes > {max_html_bytes}")
+                    )
+                    continue
                 try:
                     docs = extract_jsonld(html, url)
                 except Exception as e:  # noqa: BLE001
@@ -62,9 +75,19 @@ def _doc_op_udf(op: Callable, cache_entries: dict | None):
     return fn
 
 
-def _apply(pages: DataFrame, op: Callable, cache_entries: dict | None) -> DataFrame:
+def _apply(
+    pages: DataFrame,
+    op: Callable,
+    cache_entries: dict | None,
+    max_html_bytes: int = 64_000_000,
+) -> DataFrame:
+    cache_bc = (
+        pages.sparkSession.sparkContext.broadcast(cache_entries)
+        if cache_entries
+        else None
+    )
     return pages.select("url", "html").mapInPandas(
-        _doc_op_udf(op, cache_entries), DOC_RESULT_SCHEMA
+        _doc_op_udf(op, cache_bc, max_html_bytes), DOC_RESULT_SCHEMA
     )
 
 
@@ -96,7 +119,10 @@ def flatten_docs(
 
 
 def compact_docs(
-    pages: DataFrame, context=None, cache_entries: dict | None = None
+    pages: DataFrame,
+    context=None,
+    cache_entries: dict | None = None,
+    rdfstar: bool = False,
 ) -> DataFrame:
     """Compact each embedded doc with ``context`` (default: the doc's own
     inline @context — the roundtrip case)."""
@@ -105,16 +131,21 @@ def compact_docs(
         ctx = context if context is not None else (
             doc.get("@context") if isinstance(doc, dict) else None
         )
-        expanded = expand_document(doc, base=base, cache=cache)
+        expanded = expand_document(doc, base=base, cache=cache, rdfstar=rdfstar)
         return compact_document(expanded, ctx, base=base, cache=cache)
 
     return _apply(pages, op, cache_entries)
 
 
 def frame_docs(
-    pages: DataFrame, frame: dict, cache_entries: dict | None = None
+    pages: DataFrame,
+    frame: dict,
+    cache_entries: dict | None = None,
+    rdfstar: bool = False,
 ) -> DataFrame:
     def op(doc, base, cache):
-        return frame_document(doc, frame, base=base, cache=cache)
+        return frame_document(
+            doc, frame, base=base, cache=cache, rdfstar=rdfstar
+        )
 
     return _apply(pages, op, cache_entries)

@@ -98,6 +98,11 @@ def context_from_vocabulary(
         ctx["@language"] = default_language
     for r in sorted(rows, key=lambda r: r.subject):
         term = r.term
+        # DELIBERATE deviation from the reference: colliding local names
+        # resolve FIRST-WINS over lexicographic subject order.  The
+        # reference's `term_definitions[term] = ...` is last-wins over
+        # GRAPH ENUMERATION order — nondeterministic across runs; a
+        # distributed build needs a reproducible winner.
         if not term or term in ctx:
             continue
         if r.is_property:

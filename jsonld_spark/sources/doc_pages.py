@@ -32,6 +32,17 @@ _HTML_PREFIX = (
 )
 
 
+def _json_esc(col):
+    """JSON-string-escape an interpolated column (backslash + quote —
+    the chars that would truncate/corrupt the template; the parser
+    unescapes them back, so oracle predictions over the RAW column still
+    hold).  NULL columns still null the page (documented: fixtures are
+    non-null; a null field has no SQL-predictable triple set)."""
+    return F.replace(
+        F.replace(col, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
+    )
+
+
 def pages_from_documents(docs: DataFrame) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) → pages(url, warc_ts,
     html, text, lang)."""
@@ -40,15 +51,17 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
         F.lit('"@id":"' + DOC_NS),
         F.col("doc_id").cast("string"),
         F.lit('","@type":"Document","lang":"'),
-        F.col("lang"),
+        _json_esc(F.col("lang")),
         F.lit('","source":"'),
-        F.col("source"),
+        _json_esc(F.col("source")),
         F.lit('","n_chars":'),
         F.col("n_chars").cast("string"),
         F.lit(',"sameAs":"' + CANON_NS),
         F.pmod(F.col("doc_id"), F.lit(100)).cast("string"),
         F.lit('"}</script></head><body><p>'),
-        F.col("text"),
+        # '<' → '&lt;': body text containing a literal '<script' tag
+        # must not inject a second ld+json block into the page
+        F.replace(F.col("text"), F.lit("<"), F.lit("&lt;")),
         F.lit("</p></body></html>"),
     )
     return docs.select(

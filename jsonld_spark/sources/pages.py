@@ -283,10 +283,23 @@ def write_pages_parquet(
 
 
 def ensure_pages(path: str, n_rows: int, seed: int = 42, n_files: int = 1) -> str:
-    """Materialize once; reuse across test sessions."""
+    """Materialize once; reuse across test sessions.
+
+    Atomic: written under a temp name and renamed into place — an
+    existence-only guard over an incremental write would silently reuse
+    a TRUNCATED directory forever after an interrupted materialization
+    (bench numbers claiming 3.2M rows over 500k actual)."""
     import os
 
     if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        write_pages_parquet(path, n_rows, seed, n_files=n_files)
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        write_pages_parquet(tmp, n_rows, seed, n_files=n_files)
+        os.rename(tmp, path)
     return path

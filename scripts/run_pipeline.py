@@ -48,7 +48,13 @@ def main(argv=None) -> int:
     p.add_argument("--context-cache", help="JSON file: {url: context-doc}")
     p.add_argument("--rdf-direction", choices=["i18n-datatype", "compound-literal"])
     p.add_argument("--generalized-rdf", action="store_true")
+    # --format selects the OUTPUT table format (KGPipeline.run's
+    # table_format); the pages INPUT format is independent — the
+    # north-rule deployment reads parquet pages and writes Iceberg
     p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    p.add_argument(
+        "--input-format", default="parquet", choices=["parquet", "iceberg"]
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -83,7 +89,7 @@ def main(argv=None) -> int:
     )
     pages = (
         spark.read.format("iceberg").load(args.pages)
-        if args.format == "iceberg"
+        if args.input_format == "iceberg"
         else spark.read.parquet(args.pages)
     )
     stats = pipe.run(

@@ -131,3 +131,29 @@ def test_unterminated_comment_runs_to_eof():
     )
     docs = extract_jsonld(html, url="http://ex.org/")
     assert len(docs) == 1 and '"http://a"' in docs[0].json_text
+
+
+def test_doc_pages_template_escapes_dirty_fields(spark):
+    """A documents row with quote/backslash in source and a '<script'
+    payload in text must produce ONE well-formed ld+json block whose
+    parsed fields round-trip to the raw column values."""
+    import json
+
+    from jsonld_spark.functions.doc_api import expand_docs
+    from jsonld_spark.sources.doc_pages import pages_from_documents
+
+    rows = [
+        (1, 'x <script type="application/ld+json">{}</script> y', "en", 'a"b\\', 9)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = expand_docs(pages_from_documents(docs)).collect()
+    assert len(out) == 1 and out[0].error is None, out
+    res = json.loads(out[0].result)
+    vals = {
+        k.rsplit("/", 1)[-1]: v[0].get("@value")
+        for k, v in res[0].items()
+        if isinstance(v, list) and v and isinstance(v[0], dict)
+    }
+    assert vals.get("source") == 'a"b\\'
