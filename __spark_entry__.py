@@ -451,6 +451,10 @@ def _q_sample_by_hash(spark, sf_dir):
     return textops.sample_by_hash(_docs(spark, sf_dir))
 
 
+def _q_pii_scrub(spark, sf_dir):
+    return textops.pii_scrub(_docs(spark, sf_dir))
+
+
 def _q_minhash(spark, sf_dir):
     # string projection of the signature: array columns crash the
     # driver's canonical sort (pandas factorize on lists)
@@ -558,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "top_tokens": _q_top_tokens,
         "sample_by_hash": _q_sample_by_hash,
+        "pii_scrub": _q_pii_scrub,
         "minhash_signature": _q_minhash,
         "simhash": _q_simhash,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -742,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": textops.FINGERPRINT_SQL,
         "top_tokens": textops.top_tokens_sql(),
         "sample_by_hash": textops.sample_by_hash_sql(),
+        "pii_scrub": textops.pii_scrub_sql(),
         "minhash_signature": textops.MINHASH_STR_SQL,
         "simhash": textops.SIMHASH_SQL,
         "jaccard_pairs": textops.jaccard_pairs_sql(),

@@ -970,3 +970,60 @@ SELECT tc.doc_id,
 FROM tc LEFT JOIN top USING (doc_id)
 ORDER BY tc.doc_id
 """
+
+
+# --- PII scrubbing ------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+# interpret identically: literal classes, (…) groups, {m,n} bounds, \b
+# on ASCII word chars.  No lookaround (RE2 has none), no backslash
+# classes inside [] beyond what both share.
+PII_PATTERNS = (
+    # name, pattern, replacement
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # 9+ digit runs: SSN/account/phone-without-separator shaped
+    ("idnum", r"\b\d{9,}\b", "<ID>"),
+)
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """C4/Dolma-style PII redaction signals: count and scrub emails,
+    IPv4 addresses, and 9+-digit identifier runs, in that order, each
+    count taken on the text AFTER the previous scrub so an email's
+    digits are never double-counted as an id.  Returns per-doc counts
+    plus md5 of the fully scrubbed text (the hash, not the text, keeps
+    the oracle comparison small).
+
+    100-TB shape: pure map stage — three JVM regexp passes per doc,
+    nothing shuffles, NULL text propagates NULL everywhere."""
+    cur = F.col("text")
+    cols = [F.col("doc_id")]
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(
+            F.regexp_count(cur, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    cols.append(F.md5(cur).alias("clean_md5"))
+    return docs.select(*cols).orderBy("doc_id")
+
+
+def pii_scrub_sql() -> str:
+    """DuckDB mirror: len(regexp_extract_all) counts (regexp_count has
+    the same non-overlapping left-to-right semantics), regexp_replace
+    needs the 'g' flag (DuckDB replaces only the first match by
+    default; Spark always replaces all)."""
+    sels, cur = [], "text"
+    for name, pat, repl in PII_PATTERNS:
+        sels.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    sel = ",\n  ".join(sels)
+    return f"""
+SELECT doc_id,
+  {sel},
+  md5({cur}) AS clean_md5
+FROM documents
+ORDER BY doc_id
+"""

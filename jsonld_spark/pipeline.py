@@ -283,22 +283,29 @@ class KGPipeline:
     def _lineage_path(self, out_dir: str) -> str:
         return os.path.join(out_dir, "_lineage")
 
-    def completed_buckets(self, out_dir: str) -> set[int]:
+    def completed_buckets(self, out_dir: str, run_id: str | None = None) -> set[int]:
+        """Buckets recorded complete — optionally scoped to ``run_id``.
+
+        Unscoped (the default used by ``run(resume_scope="out_dir")``)
+        implements crash-retry resume: a re-submitted job gets a fresh
+        run_id but must still skip buckets a previous attempt finished.
+        The caller contract that makes this safe is ``new input ⇒ new
+        out_dir`` — every input covers all url-hash buckets, so pointing
+        a NEW crawl at an old out_dir would skip everything; pass
+        ``resume_scope="run_id"`` (or a run_id here) when out_dirs are
+        reused across inputs and retries keep their run_id."""
         path = self._lineage_path(out_dir)
         try:
             # mergeSchema: lineage schema may evolve across engine versions
             lin = self.spark.read.option("mergeSchema", "true").parquet(path)
         except Exception:  # noqa: BLE001 — first run, no lineage yet
             return set()
-        rows = (
-            lin.filter(
-                (F.col("status") == "complete")
-                & (F.col("context_cache_version") == self.cache_version)
-            )
-            .select("part_id")
-            .distinct()
-            .collect()
+        cond = (F.col("status") == "complete") & (
+            F.col("context_cache_version") == self.cache_version
         )
+        if run_id is not None:
+            cond = cond & (F.col("run_id") == run_id)
+        rows = lin.filter(cond).select("part_id").distinct().collect()
         return {r.part_id for r in rows}
 
     def run(
@@ -310,8 +317,16 @@ class KGPipeline:
         link_entities: bool = False,
         dedup: bool = False,
         table_format: str = "parquet",
+        resume_scope: str = "out_dir",
     ) -> dict:
         """Execute the pipeline; returns run stats.
+
+        ``resume_scope`` controls which lineage rows count as already
+        done: ``"out_dir"`` (default) skips buckets completed by ANY
+        prior run on this out_dir — the crash-retry pattern, where each
+        re-submission carries a fresh run_id; ``"run_id"`` only skips
+        buckets this exact run_id completed, for deployments that reuse
+        an out_dir across different inputs (see ``completed_buckets``).
 
         ``table_format`` selects the sink data source.  The sandbox ships
         no Iceberg runtime jar, so the default (and all tests) use
@@ -332,8 +347,12 @@ class KGPipeline:
             pages = self.dedup_pages(pages)
         pages_b = self.with_bucket(pages)
         skipped = 0
+        if resume_scope not in ("out_dir", "run_id"):
+            raise ValueError(f"resume_scope must be out_dir|run_id: {resume_scope}")
         if resume:
-            done = self.completed_buckets(out_dir)
+            done = self.completed_buckets(
+                out_dir, run_id=run_id if resume_scope == "run_id" else None
+            )
             if done:
                 skipped = len(done)
                 pages_b = pages_b.filter(~F.col("part_id").isin(*done))
@@ -442,7 +461,7 @@ class KGPipeline:
         n_errors = int(agg.e or 0)
         n_warnings = int(agg.w or 0)
         raw.unpersist()
-        return {
+        stats = {
             "run_id": run_id,
             "seconds": time.time() - t0,
             "triples": n_triples,
@@ -451,3 +470,11 @@ class KGPipeline:
             "skipped_buckets": skipped,
             "out": triples_path,
         }
+        if link_entities:
+            # lineage counts EXTRACTED rows (provenance); linking dedups
+            # and drops degenerate sameAs rows, so report what is
+            # actually on disk too (parquet count() is metadata-only)
+            stats["written_triples"] = (
+                self.spark.read.format(table_format).load(triples_path).count()
+            )
+        return stats

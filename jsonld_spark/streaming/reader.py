@@ -552,8 +552,7 @@ def make_streaming_pages_to_triples(
     import pandas as pd
 
     from ..sources.html_jsonld import extract_jsonld
-    from ..udfs import TRIPLE_COLS, _get_cache, _salt_quoted_term, salt_bnode
-    from ..rdf_model import XSD_STRING
+    from ..udfs import TRIPLE_COLS, _get_cache, salt_bnode, salt_quad_to_row
 
     def fn(batches):
         entries = cache_bc.value if cache_bc is not None else None
@@ -611,43 +610,9 @@ def make_streaming_pages_to_triples(
                             rdfstar=rdfstar,
                             warnings_out=warnings,
                         ):
-                            dt = (
-                                None
-                                if q.obj_datatype == XSD_STRING
-                                else q.obj_datatype
-                            )
-                            s = (
-                                _salt(q.subj)
-                                if q.subj.startswith("_:")
-                                else q.subj
-                            )
-                            if s.startswith("<<"):
-                                # RDF-star quoted terms carry bnode labels
-                                # INSIDE the term text: salt them too, or
-                                # the annotation stops referencing the
-                                # asserted triple (batch parity,
-                                # udfs.py _salt_quoted_term)
-                                s = _salt_quoted_term(url, si, s)
-                            p = (
-                                _salt(q.pred)
-                                if q.pred.startswith("_:")
-                                else q.pred
-                            )
-                            o = (
-                                _salt(q.obj)
-                                if (not q.obj_is_literal and q.obj.startswith("_:"))
-                                else q.obj
-                            )
-                            if not q.obj_is_literal and o.startswith("<<"):
-                                o = _salt_quoted_term(url, si, o)
-                            g = (
-                                _salt(q.graph)
-                                if (q.graph is not None and q.graph.startswith("_:"))
-                                else q.graph
-                            )
-                            out.append(
-                                (url, s, p, o, q.obj_is_literal, dt, q.obj_lang, g, None)
-                            )
+                            # shared row builder = the batch path's
+                            # exact salting rules (udfs.salt_quad_to_row)
+                            out.append(salt_quad_to_row(url, si, q, _salt))
                             if len(out) >= chunk_rows:
                                 yield flush()
                         # warning rows AFTER a successful stream, deduped

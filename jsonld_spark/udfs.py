@@ -76,21 +76,43 @@ def salt_bnode(url: str, script_index: int, label: str) -> str:
     return "_:h" + h[:24]
 
 
-_BNODE_TOKEN_RE = _re.compile(r"_:[A-Za-z0-9]+")
-
-
 def _salt_quoted_term(url: str, script_index: int, term: str) -> str:
     """Salt bnode labels INSIDE an N-Triples-star quoted term so the
     labels referenced by an annotation triple match the salted global
-    ids of the asserted triple.  Quote-aware: segments inside string
-    literals are left untouched (a literal may legitimately contain
-    the text ``_:``)."""
-    parts = _re.split(r'(?<!\\)"', term)
-    for i in range(0, len(parts), 2):  # even segments are outside quotes
-        parts[i] = _BNODE_TOKEN_RE.sub(
-            lambda m: salt_bnode(url, script_index, m.group(0)), parts[i]
-        )
-    return '"'.join(parts)
+    ids of the asserted triple.  Uses canon's escape-aware segment scan
+    and full label charset — a regex lookbehind misreads a closing
+    quote preceded by an ESCAPED backslash, and a narrower token regex
+    would tokenize '_:x-1' as phantom '_:x' (see canon.py:47-78)."""
+    from .canon import _map_quoted
+
+    return _map_quoted(term, lambda b: salt_bnode(url, script_index, b))
+
+
+def salt_quad_to_row(url: str, si: int, q: "Quad", salt) -> tuple:
+    """One output row with doc-scoped bnode salting — the SINGLE
+    definition of the salting rules; the batch UDF (page_to_rows) and
+    the streaming reader both call this so batch/streaming parity
+    cannot drift.  Schema convention: NULL obj_datatype + obj_is_literal
+    ⇒ xsd:string (a validity bit instead of a 40-byte string per row
+    through Arrow, shuffle and parquet)."""
+    dt = None if q.obj_datatype == XSD_STRING else q.obj_datatype
+    s = salt(q.subj) if q.subj.startswith("_:") else q.subj
+    if s.startswith("<<"):
+        s = _salt_quoted_term(url, si, s)
+    p = salt(q.pred) if q.pred.startswith("_:") else q.pred
+    o = (
+        salt(q.obj)
+        if (not q.obj_is_literal and q.obj.startswith("_:"))
+        else q.obj
+    )
+    if not q.obj_is_literal and o.startswith("<<"):
+        o = _salt_quoted_term(url, si, o)
+    g = (
+        salt(q.graph)
+        if (q.graph is not None and q.graph.startswith("_:"))
+        else q.graph
+    )
+    return (url, s, p, o, q.obj_is_literal, dt, q.obj_lang, g, None)
 
 
 def page_to_rows(
@@ -112,13 +134,19 @@ def page_to_rows(
     rows: list[tuple] = []
     if html is None:
         return rows
-    if len(html) > max_html_bytes:
+    n_bytes = len(html)
+    if isinstance(html, str) and n_bytes > max_html_bytes // 4:
+        # str input measures CHARS; a mostly-multibyte page could be up
+        # to 4x the char count in bytes.  chars <= budget/4 provably
+        # fits; only the gray zone pays an encode to measure exactly.
+        n_bytes = len(html.encode("utf-8", "replace"))
+    if n_bytes > max_html_bytes:
         # cheap pre-parse gate: a pathological multi-hundred-MB page would
         # otherwise be JSON-parsed wholesale inside the worker (the
         # max_quads_per_doc guard fires only AFTER the memory is spent)
         return [
             (url, None, None, None, None, None, None, None,
-             f"document too large: {len(html)} bytes > {max_html_bytes}")
+             f"document too large: {n_bytes} bytes > {max_html_bytes}")
         ]
     try:
         docs = extract_jsonld(html, url)
@@ -179,30 +207,7 @@ def page_to_rows(
             return s
 
         for q in quads:
-            # schema convention: NULL obj_datatype + obj_is_literal ⇒
-            # xsd:string — the dominant datatype; NULL costs a validity
-            # bit instead of a 40-byte string per row through Arrow,
-            # shuffle and parquet
-            dt = None if q.obj_datatype == XSD_STRING else q.obj_datatype
-            s = _salt(q.subj) if q.subj.startswith("_:") else q.subj
-            if s.startswith("<<"):
-                s = _salt_quoted_term(url, si, s)
-            p = _salt(q.pred) if q.pred.startswith("_:") else q.pred
-            o = (
-                _salt(q.obj)
-                if (not q.obj_is_literal and q.obj.startswith("_:"))
-                else q.obj
-            )
-            if not q.obj_is_literal and o.startswith("<<"):
-                o = _salt_quoted_term(url, si, o)
-            g = (
-                _salt(q.graph)
-                if (q.graph is not None and q.graph.startswith("_:"))
-                else q.graph
-            )
-            rows.append(
-                (url, s, p, o, q.obj_is_literal, dt, q.obj_lang, g, None)
-            )
+            rows.append(salt_quad_to_row(url, si, q, _salt))
     return rows
 
 

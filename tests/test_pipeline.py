@@ -85,11 +85,27 @@ def test_run_lineage_and_resume(spark, pipe, pages):
     total_from_lineage = lineage.agg(F.sum("triple_count")).collect()[0][0]
     assert total_from_lineage == stats1["triples"]
 
-    # resume: all buckets complete → everything skipped, output unchanged
+    # resume (default out_dir scope): a retried job gets a NEW run_id
+    # but must still skip buckets a previous attempt completed
     stats2 = pipe.run(pages, out, run_id="r2", resume=True)
     assert stats2["skipped_buckets"] > 0
     written = spark.read.parquet(os.path.join(out, "triples"))
     assert written.count() == stats1["triples"]
+
+    # run_id scope: "r3" never completed anything, so nothing skips —
+    # the mode for deployments that reuse an out_dir across inputs
+    stats3 = pipe.run(pages, out, run_id="r3", resume=True, resume_scope="run_id")
+    assert stats3["skipped_buckets"] == 0
+    assert stats3["triples"] == stats1["triples"]
+    # ...and a second pass under the SAME run_id skips everything
+    stats4 = pipe.run(pages, out, run_id="r3", resume=True, resume_scope="run_id")
+    assert stats4["skipped_buckets"] > 0
+    assert (
+        spark.read.parquet(os.path.join(out, "triples")).count()
+        == stats1["triples"]
+    )
+    with pytest.raises(ValueError, match="resume_scope"):
+        pipe.run(pages, out, run_id="r4", resume_scope="bogus")
 
 
 def test_resume_after_partial_failure(spark, pipe, pages):

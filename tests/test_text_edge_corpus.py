@@ -42,6 +42,9 @@ ROWS = [
     (20, "eval split doc with the quick brown fox jumps over the lazy dog phrase", "en", "c", 71),
     # repeated lines, bullets, ellipsis, '#' symbols → repetition_stats
     (9, "same line\nsame line\n- bullet one\n* bullet two\ntrailing dots...\n# head ##\nsame line", "en", "c", 80),
+    # PII shapes: digit-local-part email (counts once, as email), ip,
+    # 9-digit run, sub-threshold 8-digit run, malformed almost-ip
+    (10, "mail 12345678901@ex.org ip 8.8.8.8 ssn 123456789 ok 12345678 alm 1234.5.6.7", "en", "c", 75),
 ]
 
 
@@ -136,6 +139,7 @@ PAIRS = [
     ("top_ngram_stats", textops.top_ngram_stats, textops.top_ngram_stats_sql),
     ("top_tokens", lambda d: textops.top_tokens(d, k=10), lambda: textops.top_tokens_sql(k=10)),
     ("sample_by_hash", textops.sample_by_hash, None),  # SQL resolved below
+    ("pii_scrub", textops.pii_scrub, textops.pii_scrub_sql),
     ("payload_meta", mm.payload_meta, lambda: mm.PAYLOAD_META_SQL),
 ]
 
@@ -210,6 +214,18 @@ def test_repetition_stats_semantics(docs):
     assert r.symbol_ratio_x1000 == 363        # (3 '#' + 1 '...') / 11 tokens
 
 
+def test_pii_scrub_semantics(docs):
+    """Scrub order prevents double counting: the digit-only email local
+    part is counted as email, never as idnum; 8-digit runs stay below
+    the id threshold; '1234.5.6.7' is not an IP (no digit-run
+    boundary)."""
+    r = {x.doc_id: x for x in textops.pii_scrub(docs).collect()}[10]
+    assert (r.n_email, r.n_ipv4, r.n_idnum) == (1, 1, 1)
+    # NULL text propagates NULL counts and hash
+    null_r = {x.doc_id: x for x in textops.pii_scrub(docs).collect()}[3]
+    assert null_r.n_email is None and null_r.clean_md5 is None
+
+
 def test_top_ngram_semantics(docs):
     """Mode 2-gram found by the struct-accumulator scan: doc 6 repeats
     'the quick'... verify against a plain Python count."""
@@ -218,7 +234,8 @@ def test_top_ngram_semantics(docs):
     r = {x.doc_id: x for x in textops.top_ngram_stats(docs).collect()}
     import re as _re
 
-    for doc_id, text in [(6, NORMAL), (9, ROWS[-1][1])]:
+    texts = {r[0]: r[1] for r in ROWS}
+    for doc_id, text in [(6, NORMAL), (9, texts[9])]:
         toks = _re.split(" +", text.strip())  # the engine's tokenizer:
         # spaces only — newlines stay inside tokens
         grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
