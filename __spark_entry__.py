@@ -455,6 +455,10 @@ def _q_pii_scrub(spark, sf_dir):
     return textops.pii_scrub(_docs(spark, sf_dir))
 
 
+def _q_dedup_groups(spark, sf_dir):
+    return textops.dedup_groups(_docs(spark, sf_dir))
+
+
 def _q_minhash(spark, sf_dir):
     # string projection of the signature: array columns crash the
     # driver's canonical sort (pandas factorize on lists)
@@ -567,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_candidate_pairs": _q_minhash_candidates,
+        "dedup_groups": _q_dedup_groups,
         # similarity search
         "cosine_topk": _q_cosine_topk,
         "near_dup_embeddings": _q_near_dup_embeddings,
@@ -752,6 +757,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": textops.SIMHASH_SQL,
         "jaccard_pairs": textops.jaccard_pairs_sql(),
         "minhash_candidate_pairs": textops.minhash_candidate_pairs_sql(),
+        "dedup_groups": textops.dedup_groups_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
         "near_dup_embeddings": similarity.near_dup_embeddings_sql(),
         "ann_topk_lsh": similarity.ann_topk_lsh_sql(),

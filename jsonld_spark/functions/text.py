@@ -1027,3 +1027,101 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# --- Near-dup clustering (groups, not just pairs) -----------------------------
+
+
+def dedup_groups(docs: DataFrame) -> DataFrame:
+    """Cluster near-duplicate documents: connected components over the
+    MinHash-LSH candidate-pair graph, electing min(doc_id) as each
+    group's canonical document.  A dedup pipeline acts on GROUPS (keep
+    one per cluster), not raw pairs — pairs (a,b),(b,c) must collapse
+    to one keeper, which pairwise filtering alone cannot decide.
+
+    → (doc_id, group_id, group_size, is_canonical) for EVERY input doc;
+    docs with no near-dup (or no shingles) are their own singleton
+    group.
+
+    100-TB shape: edges come from the bucketed band self-join (never
+    all-pairs), components run O(log diameter) pointer-jumping rounds
+    on those edges only — singletons never enter the iteration — and
+    the final labeling is one join on doc_id plus a per-group count
+    window (group keys are fine-grained; no skew)."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    b = minhash_bands(docs)
+    a, c = b.alias("a"), b.alias("b")
+    edges = (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    labels = connected_components(edges, src="src", dst="dst").select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("group_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .withColumn(
+            "group_id", F.coalesce("group_id", F.col("doc_id")).cast("bigint")
+        )
+        .withColumn(
+            "group_size",
+            F.count("*").over(Window.partitionBy("group_id")).cast("bigint"),
+        )
+        .withColumn("is_canonical", F.col("group_id") == F.col("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
+def dedup_groups_sql() -> str:
+    """DuckDB mirror: identical band edges (the construction is shared
+    with ``minhash_candidate_pairs_sql``), components via a recursive
+    CTE that propagates every reachable label along symmetrized edges —
+    UNION (distinct) recursion terminates at the label-set fixpoint,
+    and min(label) per node is then the component minimum."""
+    n_bands = MINHASH_K // LSH_BAND_ROWS
+    band_selects = []
+    for b in range(n_bands):
+        cols = ", ".join(
+            f"CAST(sig[{b * LSH_BAND_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(LSH_BAND_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5(concat_ws(',', {cols})) AS band_hash FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    ctes = _DUCK_MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{ctes},
+     sig AS (SELECT * FROM (SELECT doc_id, [{_duck_sig_items()}] AS sig FROM h)
+             WHERE sig[1] IS NOT NULL),
+     bands AS ({bands}),
+     edges AS (
+       SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       FROM bands a JOIN bands b
+         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id),
+     sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+     reach(id, label) AS (
+       SELECT DISTINCT a, a FROM sym
+       UNION
+       SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.id),
+     comp AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id),
+     lab AS (
+       SELECT d.doc_id,
+              CAST(coalesce(c.group_id, d.doc_id) AS BIGINT) AS group_id
+       FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+SELECT doc_id, group_id,
+  CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size,
+  group_id = doc_id AS is_canonical
+FROM lab
+ORDER BY doc_id
+"""

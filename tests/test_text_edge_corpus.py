@@ -140,6 +140,7 @@ PAIRS = [
     ("top_tokens", lambda d: textops.top_tokens(d, k=10), lambda: textops.top_tokens_sql(k=10)),
     ("sample_by_hash", textops.sample_by_hash, None),  # SQL resolved below
     ("pii_scrub", textops.pii_scrub, textops.pii_scrub_sql),
+    ("dedup_groups", textops.dedup_groups, textops.dedup_groups_sql),
     ("payload_meta", mm.payload_meta, lambda: mm.PAYLOAD_META_SQL),
 ]
 
@@ -212,6 +213,22 @@ def test_repetition_stats_semantics(docs):
     assert r.bullet_line_frac_x1000 == 285    # 2 bullet lines
     assert r.ellipsis_line_frac_x1000 == 142  # 1 '...'-terminated line
     assert r.symbol_ratio_x1000 == 363        # (3 '#' + 1 '...') / 11 tokens
+
+
+def test_dedup_groups_semantics(docs):
+    """Identical-text docs 6 and 2^50+7 land in one group with
+    min(doc_id)=6 canonical; every other doc — including NULL-text and
+    sub-shingle docs that never enter a band bucket — is a singleton
+    whose group_id is its own doc_id."""
+    out = {r.doc_id: r for r in textops.dedup_groups(docs).collect()}
+    assert len(out) == len(ROWS)
+    big = (1 << 50) + 7
+    assert out[big].group_id == 6 and not out[big].is_canonical
+    assert out[6].group_id == 6 and out[6].is_canonical
+    assert out[big].group_size == out[6].group_size == 2
+    for doc_id in (1, 2, 3, 4, 5, 9, 10, 20):
+        r = out[doc_id]
+        assert (r.group_id, r.group_size, r.is_canonical) == (doc_id, 1, True)
 
 
 def test_pii_scrub_semantics(docs):
