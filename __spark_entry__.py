@@ -331,8 +331,12 @@ def _q_events_sessions(spark, sf_dir):
             F.when(
                 F.col("prev_ts").isNull()
                 | (
-                    F.col("ts").cast("timestamp").cast("long")
-                    - F.col("prev_ts").cast("timestamp").cast("long")
+                    # FRACTIONAL epoch seconds (cast to double), matching
+                    # the oracle's epoch(): per-timestamp long truncation
+                    # would disagree on gaps whose truncated diff is
+                    # exactly 1800 but true diff is not
+                    F.col("ts").cast("timestamp").cast("double")
+                    - F.col("prev_ts").cast("timestamp").cast("double")
                     > 1800
                 ),
                 1,

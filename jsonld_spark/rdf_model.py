@@ -228,8 +228,11 @@ import re as _re
 _NQ_IRI = r"<([^>]*)>"
 _NQ_BNODE = r"(_:[A-Za-z0-9_.\-]+)"
 _NQ_LIT = r'"((?:[^"\\]|\\.)*)"(?:\^\^<([^>]*)>|@([A-Za-z0-9\-]+))?'
+# predicate admits a bnode: generalized N-Quads, which this module's own
+# quad_to_nquads EMITS under produce_generalized_rdf (to_rdf keeps
+# bnode predicates in that mode) — the parser must read its own output
 _NQ_RE = _re.compile(
-    rf"\A\s*(?:{_NQ_IRI}|{_NQ_BNODE})\s+{_NQ_IRI}\s+"
+    rf"\A\s*(?:{_NQ_IRI}|{_NQ_BNODE})\s+(?:{_NQ_IRI}|{_NQ_BNODE})\s+"
     rf"(?:{_NQ_IRI}|{_NQ_BNODE}|{_NQ_LIT})\s*"
     rf"(?:(?:{_NQ_IRI}|{_NQ_BNODE})\s*)?\.\s*\Z"
 )
@@ -363,8 +366,11 @@ def parse_nquads(text: str) -> list[Quad]:
         m = _NQ_RE.match(line)
         if m is None:
             raise ValueError(f"bad N-Quads line: {line!r}")
-        (s_iri, s_bn, pred, o_iri, o_bn, o_lit, o_dt, o_lang, g_iri, g_bn) = m.groups()
+        (s_iri, s_bn, p_iri, p_bn, o_iri, o_bn, o_lit, o_dt, o_lang, g_iri, g_bn) = (
+            m.groups()
+        )
         subj = s_iri if s_iri is not None else s_bn
+        pred = p_iri if p_iri is not None else p_bn
         graph = g_iri if g_iri is not None else g_bn
         if o_lit is not None:
             lex = _unescape(o_lit)

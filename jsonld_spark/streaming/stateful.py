@@ -43,7 +43,10 @@ def _first_seen_fn(key, pdfs, state: GroupState):
             # splits): the true first-seen ts is the min over ALL of
             # them, not the first non-empty chunk's min
             m = pdf["warc_ts"].min()
-            if first_ts is None or m < first_ts:
+            # Series.min skips NaN, so an all-null chunk yields NaT —
+            # never let it become (or stay) the running min: 'm < NaT'
+            # is always False and would poison first_ts for the key
+            if not pd.isna(m) and (first_ts is None or m < first_ts):
                 first_ts = m
     state.update((True,))
     return iter(

@@ -286,6 +286,21 @@ def test_nquads_unicode_passthrough():
     assert parse_nquads(quad_to_nquads(q)) == [q]
 
 
+def test_nquads_generalized_bnode_predicate_roundtrip():
+    # to_rdf under produce_generalized_rdf emits bnode predicates
+    # (reference api.rb toRdf with generalized option); the parser must
+    # read the module's own output back
+    for q in [
+        Quad("_:s", "_:p", "http://e/o", False, None, None, None),
+        Quad("http://e/s", "_:p", "v", True,
+             "http://www.w3.org/2001/XMLSchema#string", None, "http://e/g"),
+        Quad("_:s", "_:p", "x", True,
+             "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+             "en", "_:g"),
+    ]:
+        assert parse_nquads(quad_to_nquads(q)) == [q]
+
+
 # --- additional negative / conformance cases ---------------------------------
 
 
