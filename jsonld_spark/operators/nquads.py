@@ -13,14 +13,38 @@ XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 
 
+# C0 controls + DEL that have no named ECHAR — escaped as \uXXXX, matching
+# rdf_model._escape_literal so the JVM expression and the Python writer
+# (the one byte-parity-tested against the reference) serialize any crawl
+# literal identically
+_OTHER_CTRL = [
+    chr(i) for i in [*range(0x20), 0x7F] if chr(i) not in "\b\t\n\f\r"
+]
+_CTRL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
 def _escape(col: Column) -> Column:
-    # order matters: backslash first
+    # order matters: backslash first (named ECHARs mirror rdf_model._ESCAPES)
     c = F.regexp_replace(col, r"\\", r"\\\\")
     c = F.regexp_replace(c, '"', '\\\\"')
     c = F.regexp_replace(c, "\n", r"\\n")
     c = F.regexp_replace(c, "\r", r"\\r")
     c = F.regexp_replace(c, "\t", r"\\t")
-    return c
+    c = F.regexp_replace(c, "\b", r"\\b")
+    c = F.regexp_replace(c, "\f", r"\\f")
+    # \uXXXX the remaining controls only when one is present.  Codegen
+    # discipline: the guard probes the RAW column (a plain input ref, so
+    # the when/otherwise branches share `c` as a common subexpression —
+    # rlike'ing `c` itself tripled the regexp chain in generated code
+    # past the JVM's 64KB method limit and knocked the whole projection
+    # out of codegen), and the rare dirty branch uses literal
+    # single-char `replace` nodes, not 28 more regexp_replace.  Sound
+    # because no earlier replacement introduces or consumes a raw
+    # control char.
+    esc = c
+    for ch in _OTHER_CTRL:
+        esc = F.replace(esc, F.lit(ch), F.lit(f"\\u{ord(ch):04X}"))
+    return F.when(col.rlike(_CTRL_CLASS), esc).otherwise(c)
 
 
 def _resource(col: Column) -> Column:
@@ -53,7 +77,11 @@ def nquad_col(
     literal = F.concat(F.lit('"'), _escape(obj), F.lit('"'))
     literal = (
         F.when(
-            lang.isNotNull() & (dt == RDF_LANGSTRING),
+            # lang wins whenever present (rdf_model.term_to_nquads parity:
+            # `if quad.obj_lang:`) — requiring dt==langString here would
+            # silently drop the tag on rows whose datatype column was
+            # nulled by an external producer
+            lang.isNotNull() & (lang != ""),
             F.concat(literal, F.lit("@"), lang),
         )
         .when(

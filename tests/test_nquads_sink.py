@@ -49,3 +49,53 @@ def test_nquad_col_accepts_column_args(spark):
         nquad_col(subj=F.col("subj"), pred="pred").alias("line")
     ).collect()
     assert out[0].line == "<http://s> <http://p> <http://o> .\n" or "<http://s>" in out[0].line
+
+def test_nquad_col_matches_python_serializer_byte_for_byte(spark):
+    """Differential parity: the JVM expression and rdf_model.quad_to_nquads
+    (the writer byte-parity-tested against the reference) must serialize
+    IDENTICAL lines over nasty crawl literals — control chars, named
+    ECHARs, backslash/quote runs, lang with a nulled datatype column."""
+    from pyspark.sql import functions as F
+
+    from jsonld_spark.operators.nquads import nquad_col
+    from jsonld_spark.rdf_model import (
+        RDF_LANGSTRING, XSD_STRING, Quad, quad_to_nquads,
+    )
+
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    quads = [
+        Quad("http://e/s", "http://p/x", "plain", True, XSD_STRING, None, None),
+        Quad("http://e/s", "http://p/x", 'q"uo\\te', True, XSD_STRING, None, None),
+        Quad("http://e/s", "http://p/x", "nl\ncr\rtab\t", True, XSD_STRING, None, None),
+        Quad("http://e/s", "http://p/x", "bs\bff\f", True, XSD_STRING, None, None),
+        Quad("http://e/s", "http://p/x", "nul\x00esc\x1bdel\x7fvt\x0b", True,
+             XSD_STRING, None, None),
+        Quad("http://e/s", "http://p/x", "\x01\x02\x03\\\x04\"\x05", True,
+             XSD_STRING, None, None),
+        Quad("http://e/s", "http://p/l", "bonjour\x07", True, RDF_LANGSTRING,
+             "fr", None),
+        Quad("_:b0", "http://p/x", "5", True, XSD_INT, None, "http://g/1"),
+        Quad("http://e/s", "http://p/y", "http://e/o", False, None, None, "_:g"),
+        Quad("_:b0", "_:p", "_:o", False, None, None, None),  # generalized
+    ]
+    # the pipeline's storage convention: xsd:string stored as NULL datatype;
+    # plus one EXTERNAL-producer row — lang set but datatype column NULL —
+    # whose tag must not be dropped
+    rows = [
+        (q.subj, q.pred, q.obj, q.obj_is_literal,
+         None if q.obj_datatype == XSD_STRING else q.obj_datatype,
+         q.obj_lang, q.graph)
+        for q in quads
+    ] + [("http://e/s", "http://p/l", "hola", True, None, "es", None)]
+    expected = [quad_to_nquads(q).rstrip("\n").rstrip() for q in quads] + [
+        quad_to_nquads(
+            Quad("http://e/s", "http://p/l", "hola", True, None, "es", None)
+        ).rstrip("\n").rstrip()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_literal boolean,"
+        " obj_datatype string, obj_lang string, graph string",
+    )
+    got = [r.line for r in df.select(nquad_col().alias("line")).collect()]
+    assert got == expected
