@@ -117,6 +117,26 @@ def _q_jsonld_nquads(spark, sf_dir):
     )
 
 
+def _q_nquads_roundtrip(spark, sf_dir):
+    """Writer→reader round-trip of the N-Quads interop surface: serialize
+    the source triples with the JVM nquad_col expression, parse the lines
+    back with the distributed reader (operators/nquads.py
+    parse_nquads_lines — Arrow-batched, no shuffle), and project the
+    recovered terms.  The oracle reads the same values straight off the
+    documents table, so any asymmetry between the two serializer/parser
+    halves (escaping, datatype convention, term markup) breaks the
+    hash."""
+    from jsonld_spark.operators.nquads import nquad_col, parse_nquads_lines
+
+    t = _doc_triples(spark, sf_dir)
+    lines = (
+        t.filter(F.col("pred") == VOCAB + "source")
+        .select(nquad_col().alias("value"))
+    )
+    back = parse_nquads_lines(lines)
+    return back.select("subj", "obj", "obj_datatype").orderBy("subj")
+
+
 def _q_jsonld_stream_triples(spark, sf_dir):
     """Same lang-triple projection as jsonld_lang_triples but through the
     bounded-memory streaming reader (streaming/reader.py) — gives the
@@ -536,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_pred_counts": _q_jsonld_pred_counts,
         "jsonld_sameas_canonical": _q_jsonld_sameas_canonical,
         "jsonld_nquads": _q_jsonld_nquads,
+        "nquads_roundtrip": _q_nquads_roundtrip,
         "jsonld_stream_triples": _q_jsonld_stream_triples,
         "jsonld_node_stats": _q_jsonld_node_stats,
         "jsonld_expand_nodes": _q_jsonld_expand_nodes,
@@ -615,6 +636,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<{DOC_NS}' || CAST(doc_id AS VARCHAR) || '> <{VOCAB}source> "'
                    || source || '" .' AS nquad
             FROM documents ORDER BY nquad""",
+        "nquads_roundtrip": f"""
+            SELECT {doc_subj} AS subj, source AS obj,
+                   CAST(NULL AS VARCHAR) AS obj_datatype
+            FROM documents ORDER BY subj""",
         "jsonld_stream_triples": f"""
             SELECT {doc_subj} AS subj, lang AS obj,
                    CAST(NULL AS VARCHAR) AS obj_datatype

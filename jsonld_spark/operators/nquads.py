@@ -101,6 +101,72 @@ def with_nquads(triples: DataFrame, col_name: str = "nquad") -> DataFrame:
     return triples.withColumn(col_name, nquad_col())
 
 
+NQ_TRIPLES_SCHEMA = (
+    "subj string, pred string, obj string, obj_is_literal boolean,"
+    " obj_datatype string, obj_lang string, graph string"
+)
+_NQ_COLS = [
+    "subj", "pred", "obj", "obj_is_literal", "obj_datatype", "obj_lang", "graph"
+]
+
+
+def parse_nquads_lines(
+    lines: DataFrame, col: str = "value", mode: str = "strict"
+) -> DataFrame:
+    """Distributed N-Quads parse: a string column of N-Quads lines → the
+    engine's triples schema (NULL datatype ⇒ xsd:string, the pipeline
+    storage convention).  Embarrassingly parallel — one Arrow-batched
+    ``mapInPandas`` pass, no shuffle; lines are independent so the text
+    source's arbitrary file splits are safe.  Blank and ``#`` comment
+    lines are skipped; N-Quads-star quoted-term lines parse like the
+    writer emits them.  ``mode="strict"`` fails the job on a malformed
+    line (ValueError carries the line); ``mode="drop"`` skips malformed
+    lines — crawl-scale dumps with stray corruption.  Inverse of
+    ``nquad_col``/``write_nquads`` (reference reads N-Quads via its
+    RDF::NQuads interop, spec/suite_helper.rb:270)."""
+    if mode not in ("strict", "drop"):
+        raise ValueError(f"mode must be strict|drop: {mode}")
+    from ..rdf_model import parse_nquads
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for line in pdf[col].to_numpy():
+                if line is None:
+                    continue
+                try:
+                    quads = parse_nquads(line)
+                except ValueError:
+                    if mode == "strict":
+                        raise
+                    continue
+                for q in quads:
+                    rows.append(
+                        (
+                            q.subj,
+                            q.pred,
+                            q.obj,
+                            q.obj_is_literal,
+                            None if q.obj_datatype == XSD_STRING else q.obj_datatype,
+                            q.obj_lang,
+                            q.graph,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=_NQ_COLS)
+
+    return lines.select(F.col(col)).mapInPandas(fn, NQ_TRIPLES_SCHEMA)
+
+
+def read_nquads(spark, path: str, mode: str = "strict") -> DataFrame:
+    """Read N-Quads text file(s) into a triples DataFrame.  The JVM text
+    source handles file listing/splits (one line per row, partitions
+    sized by ``spark.sql.files.maxPartitionBytes``); parsing distributes
+    via ``parse_nquads_lines``."""
+    return parse_nquads_lines(spark.read.text(path), mode=mode)
+
+
 def write_nquads(triples: DataFrame, path: str, partitions: int | None = None) -> None:
     """N-Quads text sink — the cluster analog of the reference's
     StreamingWriter (streaming_writer.rb:41-73): its grouped-by-graph-

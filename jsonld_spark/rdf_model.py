@@ -262,6 +262,21 @@ def _unescape(s: str) -> str:
     return _re.sub(r"\\U[0-9A-Fa-f]{8}|\\u[0-9A-Fa-f]{4}|\\.", sub, s)
 
 
+def _uniri(s):
+    """Resolve UCHAR (\\uXXXX / \\UXXXXXXXX) escapes inside an IRIREF —
+    the only escapes the N-Quads grammar allows there (no ECHARs).  The
+    writer never emits them, so round-trips are untouched; external .nq
+    dumps may carry them.  Guarded: the common escape-free IRI pays one
+    substring probe."""
+    if s is None or "\\" not in s:
+        return s
+    return _re.sub(
+        r"\\U[0-9A-Fa-f]{8}|\\u[0-9A-Fa-f]{4}",
+        lambda m: chr(int(m.group(0)[2:], 16)),
+        s,
+    )
+
+
 def _split_quoted(line: str):
     """If ``line`` starts with an N-Quads-star quoted term, return
     (quoted_term, rest); else None.  Nesting-aware and quote-aware
@@ -369,18 +384,18 @@ def parse_nquads(text: str) -> list[Quad]:
         (s_iri, s_bn, p_iri, p_bn, o_iri, o_bn, o_lit, o_dt, o_lang, g_iri, g_bn) = (
             m.groups()
         )
-        subj = s_iri if s_iri is not None else s_bn
-        pred = p_iri if p_iri is not None else p_bn
-        graph = g_iri if g_iri is not None else g_bn
+        subj = _uniri(s_iri) if s_iri is not None else s_bn
+        pred = _uniri(p_iri) if p_iri is not None else p_bn
+        graph = _uniri(g_iri) if g_iri is not None else g_bn
         if o_lit is not None:
             lex = _unescape(o_lit)
             if o_lang:
                 quads.append(Quad(subj, pred, lex, True, RDF_LANGSTRING, o_lang, graph))
             else:
                 quads.append(
-                    Quad(subj, pred, lex, True, o_dt or XSD_STRING, None, graph)
+                    Quad(subj, pred, lex, True, _uniri(o_dt) or XSD_STRING, None, graph)
                 )
         else:
-            obj = o_iri if o_iri is not None else o_bn
+            obj = _uniri(o_iri) if o_iri is not None else o_bn
             quads.append(Quad(subj, pred, obj, False, None, None, graph))
     return quads

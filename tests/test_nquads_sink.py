@@ -99,3 +99,69 @@ def test_nquad_col_matches_python_serializer_byte_for_byte(spark):
     )
     got = [r.line for r in df.select(nquad_col().alias("line")).collect()]
     assert got == expected
+
+def test_read_nquads_distributed_roundtrip(spark):
+    """write_nquads → read_nquads recovers the triples (including star
+    and generalized lines), distributed via the text source."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from jsonld_spark.operators.nquads import read_nquads, write_nquads
+
+    rows = [
+        ("http://e/a", "http://p/x", "v\nw\x07", True, None, None, None),
+        ("http://e/a", "http://p/y", "http://e/b", False, None, None, None),
+        ("_:h1", "http://p/x", "5",
+         True, "http://www.w3.org/2001/XMLSchema#integer", None, "http://g/1"),
+        ("http://e/c", "http://p/l", "bonjour", True,
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "fr", None),
+        ("<< <http://e/a> <http://p/x> <http://e/b> >>",
+         "http://p/conf", "0.9", True,
+         "http://www.w3.org/2001/XMLSchema#decimal", None, None),
+        ("_:s", "_:p", "_:o", False, None, None, "_:g"),  # generalized
+    ]
+    schema = (
+        "subj string, pred string, obj string, obj_is_literal boolean,"
+        " obj_datatype string, obj_lang string, graph string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = os.path.join(DATA_DIR, "nq_rt")
+    shutil.rmtree(out, ignore_errors=True)
+    write_nquads(df, out, partitions=2)
+    back = read_nquads(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    # no shuffle in the parse plan: text scan feeds mapInPandas directly
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_parse_nquads_lines_drop_mode(spark):
+    from jsonld_spark.operators.nquads import parse_nquads_lines
+
+    lines = spark.createDataFrame(
+        [("<http://e/a> <http://p/x> \"ok\" .",),
+         ("this is not nquads",),
+         ("# comment",),
+         ("",)],
+        "value string",
+    )
+    got = parse_nquads_lines(lines, mode="drop").collect()
+    assert len(got) == 1 and got[0].obj == "ok"
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception):
+        parse_nquads_lines(lines, mode="strict").collect()
+
+
+def test_parse_nquads_uchar_iri_unescape():
+    from jsonld_spark.rdf_model import parse_nquads
+
+    [q] = parse_nquads(
+        '<http://e/\\u00E9> <http://p/\\U0001F600x> "v"^^<http://t/\\u00FC> .'
+    )
+    assert q.subj == "http://e/é"
+    assert q.pred == "http://p/\U0001F600x"
+    assert q.obj_datatype == "http://t/ü"
