@@ -537,6 +537,10 @@ def _q_ann_ivf(spark, sf_dir):
     return similarity.ann_topk_ivf(_emb(spark, sf_dir))
 
 
+def _q_semdedup(spark, sf_dir):
+    return similarity.semdedup(_emb(spark, sf_dir))
+
+
 def _q_payload_meta(spark, sf_dir):
     return multimodal.payload_meta(_docs(spark, sf_dir))
 
@@ -602,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": _q_near_dup_embeddings,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
+        "semdedup": _q_semdedup,
         # multimodal plumbing
         "payload_meta": _q_payload_meta,
         "multimodal_features": _q_multimodal_features,
@@ -793,6 +798,8 @@ def oracle_sql() -> dict[str, str]:
         # the deterministic k-means quantizer is replayed in SQL (4
         # unrolled assign/update rounds, 1e-6-quantized centroids)
         "ann_topk_ivf": similarity.ann_topk_ivf_sql(),
+        # same quantizer replay + within-cell lower-id pair threshold
+        "semdedup": similarity.semdedup_sql(),
         "payload_meta": multimodal.PAYLOAD_META_SQL,
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
     }

@@ -209,17 +209,17 @@ ORDER BY query_id, rank
 """
 
 
-def ann_topk_ivf_sql(
-    n_queries: int = 10, k: int = 5, n_cells: int = 16, n_probe: int = 4, iters: int = 4
-) -> str:
-    """DuckDB mirror of ``ann_topk_ivf``: replays the deterministic
-    k-means training IN SQL (same sample = first max(2048, 64·K) rows by
-    vec_id, same first-K init, ``iters`` unrolled assign/update rounds),
-    then the same full-corpus assignment, probe selection, and exact
-    cosine re-rank.  Parity holds because both sides quantize centroid
-    coords to 1e-6 and compare floor(1e9·(‖c‖²−2x·c)) integer scores
-    with lowest-cell tie-breaks — float summation-order differences
-    between numpy and DuckDB vanish below the quantization grid."""
+def _ivf_kmeans_ctes(n_cells: int, iters: int):
+    """CTE steps replaying the deterministic k-means quantizer in DuckDB
+    (same sample = first max(2048, 64·K) rows by vec_id, same first-K
+    init, ``iters`` unrolled assign/update rounds) ending in a full-
+    corpus ``assigned(vec_id, v, cell)`` CTE.  Shared by the IVF ANN and
+    SemDedup oracles.  Returns (steps, assign_template, final_cte_name).
+    Parity with ``_kmeans_centroids``/``ivf_assign`` holds because both
+    sides quantize centroid coords to 1e-6 and compare
+    floor(1e9·(‖c‖²−2x·c)) integer scores with lowest-cell tie-breaks —
+    float summation-order differences between numpy and DuckDB vanish
+    below the quantization grid."""
     sample_n = max(2048, n_cells * 64)
     assign = (
         "SELECT vec_id, v, cell FROM ("
@@ -252,9 +252,19 @@ def ann_topk_ivf_sql(
     FROM m{t} GROUP BY cell) nm USING (cell))"""
         )
     final = f"c{iters}"
-    cos = _DUCK_COS.format(a="q.qv", b="cand.e")
     steps.append("allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)")
     steps.append(f"assigned AS ({assign.format(src='allv', cents=final)})")
+    return steps, assign, final
+
+
+def ann_topk_ivf_sql(
+    n_queries: int = 10, k: int = 5, n_cells: int = 16, n_probe: int = 4, iters: int = 4
+) -> str:
+    """DuckDB mirror of ``ann_topk_ivf``: replays the deterministic
+    k-means training IN SQL (see ``_ivf_kmeans_ctes``), then the same
+    full-corpus assignment, probe selection, and exact cosine re-rank."""
+    steps, assign, final = _ivf_kmeans_ctes(n_cells, iters)
+    cos = _DUCK_COS.format(a="q.qv", b="cand.e")
     steps.append(
         f"""probes AS (
   SELECT query_id, cell FROM (
@@ -489,4 +499,87 @@ def ann_topk_lsh(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_x1e6")
         .orderBy("query_id", "rank")
+    )
+
+def semdedup(
+    emb: DataFrame, n_cells: int = 16, tau_x1e6: int = 400_000
+) -> DataFrame:
+    """SemDedup-style semantic dedup (Abbas et al. 2023): coarse-cluster
+    the corpus with the deterministic k-means quantizer, then drop a
+    vector when a LOWER-id vector in the SAME cell has cosine ≥ tau.
+
+    Returns (vec_id, cell, dup_of, keep): ``dup_of`` = the smallest such
+    lower-id neighbor (-1 when kept — a sentinel, not NULL, so the
+    column stays single-typed through pandas/Arrow oracle comparison),
+    ``keep`` = no qualifying neighbor exists.  The min-id keeper
+    election is deterministic and cluster-size independent.
+
+    Scale shape: the pair join is EQUI on ``cell`` — the quantizer bounds
+    every candidate group to one cluster, so at 10^12 rows this is a
+    bucketed self-join (no cross join; plan-asserted in tests), the same
+    regime SemDedup runs at.  Norms are precomputed per vector, not per
+    pair.  Cell sizes are ~n/k on k-means-balanced data; raise
+    ``n_cells`` with corpus size to hold the per-cell pair bound."""
+    centroids = _kmeans_centroids(emb, n_cells)
+    assigned = emb.join(ivf_assign(emb, centroids), "vec_id").select(
+        "vec_id",
+        "cell",
+        F.col("embedding").alias("e"),
+        F.expr(_norm_expr("embedding")).alias("nrm"),
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        "cell",
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        "cell",
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") > F.col("b_id"))
+        .withColumn("cos_x1e6", _cos_x1e6("ea", "eb", "na", "nb"))
+        .filter(F.col("cos_x1e6") >= tau_x1e6)
+        .groupBy("a_id")
+        .agg(F.min("b_id").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup, assigned.vec_id == dup.a_id, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias("dup_of"),
+            F.col("dup_of").isNull().alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semdedup_sql(n_cells: int = 16, tau_x1e6: int = 400_000, iters: int = 4) -> str:
+    """DuckDB mirror of ``semdedup``: replays the deterministic k-means
+    (shared ``_ivf_kmeans_ctes``), then the same within-cell lower-id
+    pair threshold and min-id election."""
+    steps, _assign, _final = _ivf_kmeans_ctes(n_cells, iters)
+    cos = _DUCK_COS.format(a="x.v", b="y.v")
+    steps.append(
+        f"""dup AS (
+  SELECT x.vec_id AS a_id, min(y.vec_id) AS dup_of
+  FROM assigned x JOIN assigned y
+    ON x.cell = y.cell AND x.vec_id > y.vec_id
+  WHERE {cos} >= {tau_x1e6}
+  GROUP BY x.vec_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n ".join(steps)
+        + """
+SELECT a.vec_id, a.cell::INTEGER AS cell,
+       coalesce(d.dup_of, -1)::BIGINT AS dup_of, d.dup_of IS NULL AS keep
+FROM assigned a LEFT JOIN dup d ON a.vec_id = d.a_id
+ORDER BY a.vec_id
+"""
     )

@@ -99,3 +99,31 @@ def test_near_dup_lsh_subset_of_exact(spark, emb):
     assert set(approx) <= set(exact)
     assert all(exact[k] == v for k, v in approx.items())
     assert len(approx) > 0
+
+def test_semdedup_semantics(spark, emb):
+    """Drops are exactly the vectors with a lower-id same-cell neighbor at
+    cos >= tau; dup_of is the smallest such neighbor; keepers pass through."""
+    out = similarity.semdedup(emb).collect()
+    assert len(out) == emb.count()
+    cells = {r.vec_id: r.cell for r in out}
+    dropped = {r.vec_id: r.dup_of for r in out if not r.keep}
+    assert all(r.dup_of == -1 for r in out if r.keep)  # sentinel, not NULL
+    assert len(dropped) > 0  # sf0.01 corpus has within-cell near-dups at 0.4
+    # recompute ground truth from the exact all-pairs result
+    exact = similarity.near_dup_embeddings(emb, exact=True).collect()
+    expect = {}
+    for r in exact:  # vec_a < vec_b, cos >= 400_000
+        if cells[r.vec_a] == cells[r.vec_b]:
+            expect[r.vec_b] = min(expect.get(r.vec_b, r.vec_a), r.vec_a)
+    assert dropped == expect
+    for r in out:
+        assert r.keep == (r.dup_of == -1)
+
+
+def test_semdedup_no_cross_join(spark, emb):
+    """Scale guard: the pair stage is an equi-join on cell (cluster-bounded
+    candidate groups), never a cartesian product."""
+    plan = similarity.semdedup(emb)._jdf.queryExecution().executedPlan().toString()
+    assert not any(
+        op in plan for op in ("CartesianProduct", "BroadcastNestedLoopJoin")
+    ), plan
