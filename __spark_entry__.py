@@ -479,6 +479,14 @@ def _q_pii_scrub(spark, sf_dir):
     return textops.pii_scrub(_docs(spark, sf_dir))
 
 
+def _q_c4_clean(spark, sf_dir):
+    return textops.c4_clean(_docs(spark, sf_dir))
+
+
+def _q_pack_chunks(spark, sf_dir):
+    return textops.pack_chunks(_docs(spark, sf_dir))
+
+
 def _q_dedup_groups(spark, sf_dir):
     return textops.dedup_groups(_docs(spark, sf_dir))
 
@@ -596,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": _q_top_tokens,
         "sample_by_hash": _q_sample_by_hash,
         "pii_scrub": _q_pii_scrub,
+        "c4_clean": _q_c4_clean,
+        "pack_chunks": _q_pack_chunks,
         "minhash_signature": _q_minhash,
         "simhash": _q_simhash,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -787,6 +797,8 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": textops.top_tokens_sql(),
         "sample_by_hash": textops.sample_by_hash_sql(),
         "pii_scrub": textops.pii_scrub_sql(),
+        "c4_clean": textops.C4_CLEAN_SQL,
+        "pack_chunks": textops.pack_chunks_sql(),
         "minhash_signature": textops.MINHASH_STR_SQL,
         "simhash": textops.SIMHASH_SQL,
         "jaccard_pairs": textops.jaccard_pairs_sql(),

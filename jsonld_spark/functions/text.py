@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # --- deterministic minhash parameters (shared Spark/DuckDB) -----------------
 
@@ -1124,4 +1124,179 @@ SELECT doc_id, group_id,
   group_id = doc_id AS is_canonical
 FROM lab
 ORDER BY doc_id
+"""
+
+# --- C4 cleaning ---------------------------------------------------------------
+
+# terminal punctuation a retained line must end with (C4 §2.2: period,
+# exclamation mark, question mark, end quotation mark)
+C4_TERMINALS = (".", "!", "?", '"', "”")
+
+
+def c4_clean(docs: DataFrame) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2 — public paper):
+    retain lines that end in terminal punctuation, have >= 3 words, and
+    don't mention 'javascript'; flag pages containing 'lorem ipsum' or a
+    curly brace; a page is kept when the cleaned text still has >= 5
+    sentences (terminal-punct count) and neither flag fires.
+
+    → (doc_id, n_lines, n_kept_lines, n_sentences, clean_len, clean_md5,
+       has_lorem, has_brace, keep_doc).  The md5, not the cleaned text,
+    crosses the oracle compare.
+
+    100-TB shape: pure map stage — line filter and sentence count are
+    higher-order functions over the split array, nothing shuffles, NULL
+    text propagates NULL (the concat is CASE-guarded: Spark's concat_ws
+    would turn a NULL array into '' where DuckDB keeps NULL)."""
+    terms = ", ".join(f"'{t}'" for t in C4_TERMINALS)
+    keep_line = (
+        f"l -> right(rtrim(l), 1) in ({terms})"
+        f" and size(split(trim(l), ' +')) >= 3"
+        f" and not lower(l) like '%javascript%'"
+    )
+    step = docs.select(
+        "doc_id",
+        "text",
+        F.expr(f"filter(split(text, '\\n'), {keep_line})").alias("_kept"),
+    ).select(
+        "doc_id",
+        "text",
+        "_kept",
+        F.expr(
+            "case when _kept is null then null else concat_ws('\\n', _kept) end"
+        ).alias("_clean"),
+    )
+    occ = lambda ch: f"(length(_clean) - length(replace(_clean, '{ch}', '')))"
+    step = step.select(
+        "doc_id",
+        F.expr("cast(size(split(text, '\\n')) as bigint)").alias("n_lines"),
+        F.expr("cast(size(_kept) as bigint)").alias("n_kept_lines"),
+        F.expr(
+            f"cast({occ('.')} + {occ('!')} + {occ('?')} as bigint)"
+        ).alias("n_sentences"),
+        F.expr("cast(length(_clean) as bigint)").alias("clean_len"),
+        F.md5("_clean").alias("clean_md5"),
+        F.expr("lower(text) like '%lorem ipsum%'").alias("has_lorem"),
+        F.expr("instr(text, '{') > 0").alias("has_brace"),
+    )
+    return step.withColumn(
+        "keep_doc",
+        F.expr("n_sentences >= 5 and not has_lorem and not has_brace"),
+    ).orderBy("doc_id")
+
+
+def _c4_clean_sql() -> str:
+    terms = ", ".join(
+        f"'{t}'" if t != "”" else "chr(8221)" for t in C4_TERMINALS
+    )
+    occ = lambda ch: f"(length(clean) - length(replace(clean, '{ch}', '')))"
+    return f"""
+WITH t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents),
+ k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, l -> right(rtrim(l), 1) IN ({terms})
+           AND len(string_split_regex(trim(l), ' +')) >= 3
+           AND NOT lower(l) LIKE '%javascript%') AS kept
+  FROM t),
+ -- array_to_string of an empty (or all-NULL) list is NULL in DuckDB
+ -- where Spark's concat_ws gives ''; only a NULL kept array (NULL text)
+ -- may yield NULL clean
+ c AS (SELECT *, CASE WHEN kept IS NULL THEN NULL
+                 ELSE coalesce(array_to_string(kept, chr(10)), '') END AS clean FROM k),
+ s AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+    CAST({occ('.')} + {occ('!')} + {occ('?')} AS BIGINT) AS n_sentences,
+    CAST(length(clean) AS BIGINT) AS clean_len,
+    md5(clean) AS clean_md5,
+    lower(text) LIKE '%lorem ipsum%' AS has_lorem,
+    strpos(text, '{{') > 0 AS has_brace
+  FROM c)
+SELECT *, n_sentences >= 5 AND NOT has_lorem AND NOT has_brace AS keep_doc
+FROM s ORDER BY doc_id
+"""
+
+
+C4_CLEAN_SQL = _c4_clean_sql()
+
+# --- Sequence packing ----------------------------------------------------------
+
+
+def pack_chunks(docs: DataFrame, capacity: int = 256) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay every document's tokens
+    out on one global tape in a deterministic md5(doc_id) order and cut
+    the tape into fixed-``capacity`` training chunks (the standard
+    GPT-style pretraining packing — documents may straddle chunk
+    boundaries).  → (doc_id, n_tok, cum_before, chunk_first, chunk_last,
+    n_chunks); NULL-text docs are excluded (nothing to pack).
+
+    100-TB shape: the global running sum is computed with NO
+    single-partition window — the dense_ids two-phase pattern:
+    range-repartition on the order key (checkpoint pins the sampled
+    boundaries), per-partition prefix sums, then a tiny per-partition
+    total collect broadcast back as offsets.  Byte-identical to
+    ``sum().over(Window.orderBy(...))`` while every stage parallelizes."""
+    from jsonld_spark.operators.graph import _ensure_checkpoint_dir
+
+    spark = docs.sparkSession
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.expr(f"cast(size({TOKENS_EXPR}) as bigint)").alias("n_tok"),
+        F.expr("md5(cast(doc_id as string))").alias("_ord"),
+    )
+    _ensure_checkpoint_dir(base)
+    ranged = (
+        base.repartitionByRange(F.col("_ord"), F.col("doc_id"))
+        .withColumn("_pid", F.spark_partition_id())
+        .checkpoint()  # pin the sampled range boundaries: the totals job
+        # and the prefix-sum job must see one consistent _pid assignment
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum("n_tok").alias("_tot")).collect()
+    offsets, acc = [], 0
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_tot"]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        ranged.withColumn("_local", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("cum_before", (F.col("_off") + F.col("_local")).cast("long"))
+    )
+    return packed.select(
+        "doc_id",
+        "n_tok",
+        "cum_before",
+        F.expr(f"cum_before div {capacity}").alias("chunk_first"),
+        F.expr(f"(cum_before + n_tok - 1) div {capacity}").alias("chunk_last"),
+        F.expr(
+            f"(cum_before + n_tok - 1) div {capacity} - cum_before div {capacity} + 1"
+        ).alias("n_chunks"),
+    ).orderBy("doc_id")
+
+
+def pack_chunks_sql(capacity: int = 256) -> str:
+    """DuckDB mirror: the same tape layout as ONE global window (the
+    oracle states the semantics the two-phase job implements)."""
+    return f"""
+WITH b AS (
+  SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents WHERE text IS NOT NULL),
+ c AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+           ORDER BY ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM b)
+SELECT doc_id, n_tok, cum_before,
+  cum_before // {capacity} AS chunk_first,
+  (cum_before + n_tok - 1) // {capacity} AS chunk_last,
+  (cum_before + n_tok - 1) // {capacity} - cum_before // {capacity} + 1 AS n_chunks
+FROM c ORDER BY doc_id
 """

@@ -20,6 +20,7 @@ import os
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from jsonld_spark.functions import multimodal as mm
 from jsonld_spark.functions import text as textops
@@ -45,6 +46,18 @@ ROWS = [
     # PII shapes: digit-local-part email (counts once, as email), ip,
     # 9-digit run, sub-threshold 8-digit run, malformed almost-ip
     (10, "mail 12345678901@ex.org ip 8.8.8.8 ssn 123456789 ok 12345678 alm 1234.5.6.7", "en", "c", 75),
+    # C4 line-rule shapes: terminal-punct keepers (period / quote /
+    # curly quote), a <3-word line, a no-punct line, a javascript line,
+    # lorem ipsum + curly brace page flags
+    (
+        11,
+        "A proper keeper sentence stands here.\nshort.\nno terminal punctuation on this line\n"
+        "This javascript line is dropped today.\nQuoted keeper line ends rightly.”\n"
+        'Other quoted keeper ends now."\nlorem ipsum { appears here. Twice here. Thrice now. More still. Last one.',
+        "en",
+        "c",
+        120,
+    ),
 ]
 
 
@@ -89,7 +102,9 @@ def _norm(v):
     if isinstance(v, np.ndarray):
         return tuple(_norm(x) for x in v.tolist())
     if v is None:
-        return None
+        # pandas renders a NULL boolean column as object None (Spark)
+        # but float NaN (DuckDB fetchdf) — same SQL NULL, one token
+        return "nan"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -141,6 +156,9 @@ PAIRS = [
     ("sample_by_hash", textops.sample_by_hash, None),  # SQL resolved below
     ("pii_scrub", textops.pii_scrub, textops.pii_scrub_sql),
     ("dedup_groups", textops.dedup_groups, textops.dedup_groups_sql),
+    ("c4_clean", textops.c4_clean, lambda: textops.C4_CLEAN_SQL),
+    # capacity 16 forces docs to straddle chunk boundaries
+    ("pack_chunks", lambda d: textops.pack_chunks(d, capacity=16), lambda: textops.pack_chunks_sql(capacity=16)),
     ("payload_meta", mm.payload_meta, lambda: mm.PAYLOAD_META_SQL),
 ]
 
@@ -265,3 +283,52 @@ def test_top_ngram_semantics(docs):
     assert r[1].top_count == 0 and r[1].top_ngram == ""
     # NULL text propagates
     assert r[3].top_ngram is None
+
+
+def test_c4_clean_semantics(docs):
+    """Pin the C4 §2.2 rules on the crafted doc: which lines survive,
+    which page flags fire, and the >=5-sentence page gate."""
+    out = {r.doc_id: r for r in textops.c4_clean(docs).collect()}
+    r = out[11]
+    assert r.n_lines == 7
+    # keepers: 'A proper keeper sentence stands here.', both quoted
+    # keepers, and the lorem-ipsum line (line rules don't see page flags)
+    assert r.n_kept_lines == 4
+    assert r.has_lorem and r.has_brace
+    assert not r.keep_doc  # page flags fire regardless of sentence count
+    nul = out[3]
+    assert nul.n_kept_lines is None and nul.keep_doc is None  # NULL text
+    empty = out[4]
+    assert empty.n_kept_lines == 0 and not empty.keep_doc
+    assert empty.clean_len == 0
+
+
+def test_pack_chunks_semantics_and_plan(spark, docs):
+    """The two-phase tape layout must (a) equal the single-window
+    formulation byte-for-byte, (b) never plan a SinglePartition
+    exchange, and (c) keep the tape gapless: consecutive docs in md5
+    order have cum_before advancing by exactly n_tok."""
+    from pyspark.sql import Window as W
+
+    out = textops.pack_chunks(docs, capacity=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+    rows = out.collect()
+    got = {(r.doc_id): (r.n_tok, r.cum_before, r.chunk_first, r.chunk_last, r.n_chunks) for r in rows}
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.expr("cast(size(split(trim(text), ' +')) as bigint)").alias("n_tok"),
+        F.expr("md5(cast(doc_id as string))").alias("_ord"),
+    )
+    w = W.orderBy("_ord", "doc_id").rowsBetween(W.unboundedPreceding, -1)
+    exp = {}
+    for r in base.withColumn("cb", F.coalesce(F.sum("n_tok").over(w), F.lit(0))).collect():
+        first, last = r.cb // 16, (r.cb + r.n_tok - 1) // 16
+        exp[r.doc_id] = (r.n_tok, r.cb, first, last, last - first + 1)
+    assert got == exp
+    # gapless tape + at least one straddling doc at capacity 16
+    ordered = sorted(rows, key=lambda r: (r.cum_before, r.doc_id))
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.cum_before + a.n_tok == b.cum_before
+    assert any(r.n_chunks > 1 for r in rows)
