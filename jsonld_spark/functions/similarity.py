@@ -535,22 +535,25 @@ def semdedup(
     )
     b = assigned.select(
         F.col("vec_id").alias("b_id"),
-        "cell",
+        F.col("cell").alias("cell_b"),
         F.col("e").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    dup = (
-        a.join(b, "cell")
-        .filter(F.col("a_id") > F.col("b_id"))
-        .withColumn("cos_x1e6", _cos_x1e6("ea", "eb", "na", "nb"))
-        .filter(F.col("cos_x1e6") >= tau_x1e6)
-        .groupBy("a_id")
-        .agg(F.min("b_id").alias("dup_of"))
+    # LEFT join keeps every vector (kept rows surface with a NULL b
+    # side), so `assigned` — an uncached full-corpus quantizer map pass —
+    # is evaluated exactly twice (a/b), both shuffled on cell, instead of
+    # a third time for a final re-join of kept vectors
+    cond = (
+        (F.col("cell") == F.col("cell_b"))
+        & (F.col("a_id") > F.col("b_id"))
+        & (_cos_x1e6("ea", "eb", "na", "nb") >= tau_x1e6)
     )
     return (
-        assigned.join(dup, assigned.vec_id == dup.a_id, "left")
+        a.join(b, cond, "left")
+        .groupBy("a_id", "cell")
+        .agg(F.min("b_id").alias("dup_of"))
         .select(
-            "vec_id",
+            F.col("a_id").alias("vec_id"),
             "cell",
             F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias("dup_of"),
             F.col("dup_of").isNull().alias("keep"),

@@ -1177,7 +1177,8 @@ def c4_clean(docs: DataFrame) -> DataFrame:
         F.expr("cast(length(_clean) as bigint)").alias("clean_len"),
         F.md5("_clean").alias("clean_md5"),
         F.expr("lower(text) like '%lorem ipsum%'").alias("has_lorem"),
-        F.expr("instr(text, '{') > 0").alias("has_brace"),
+        # C4 removes any page containing a curly bracket — either one
+        F.expr("instr(text, '{') > 0 or instr(text, '}') > 0").alias("has_brace"),
     )
     return step.withColumn(
         "keep_doc",
@@ -1211,7 +1212,7 @@ WITH t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM docume
     CAST(length(clean) AS BIGINT) AS clean_len,
     md5(clean) AS clean_md5,
     lower(text) LIKE '%lorem ipsum%' AS has_lorem,
-    strpos(text, '{{') > 0 AS has_brace
+    strpos(text, '{{') > 0 OR strpos(text, '}}') > 0 AS has_brace
   FROM c)
 SELECT *, n_sentences >= 5 AND NOT has_lorem AND NOT has_brace AS keep_doc
 FROM s ORDER BY doc_id
@@ -1232,32 +1233,20 @@ def pack_chunks(docs: DataFrame, capacity: int = 256) -> DataFrame:
     n_chunks); NULL-text docs are excluded (nothing to pack).
 
     100-TB shape: the global running sum is computed with NO
-    single-partition window — the dense_ids two-phase pattern:
+    single-partition window — the shared two-phase scaffolding
+    (``graph.ranged_partition_offsets``, weighted by n_tok):
     range-repartition on the order key (checkpoint pins the sampled
     boundaries), per-partition prefix sums, then a tiny per-partition
     total collect broadcast back as offsets.  Byte-identical to
     ``sum().over(Window.orderBy(...))`` while every stage parallelizes."""
-    from jsonld_spark.operators.graph import _ensure_checkpoint_dir
+    from jsonld_spark.operators.graph import ranged_partition_offsets
 
-    spark = docs.sparkSession
     base = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.expr(f"cast(size({TOKENS_EXPR}) as bigint)").alias("n_tok"),
         F.expr("md5(cast(doc_id as string))").alias("_ord"),
     )
-    _ensure_checkpoint_dir(base)
-    ranged = (
-        base.repartitionByRange(F.col("_ord"), F.col("doc_id"))
-        .withColumn("_pid", F.spark_partition_id())
-        .checkpoint()  # pin the sampled range boundaries: the totals job
-        # and the prefix-sum job must see one consistent _pid assignment
-    )
-    totals = ranged.groupBy("_pid").agg(F.sum("n_tok").alias("_tot")).collect()
-    offsets, acc = [], 0
-    for row in sorted(totals, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], acc))
-        acc += row["_tot"]
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    ranged, off_df = ranged_partition_offsets(base, ["_ord", "doc_id"], weight="n_tok")
     w = (
         Window.partitionBy("_pid")
         .orderBy("_ord", "doc_id")

@@ -149,33 +149,44 @@ def connected_components(
     return labels
 
 
-def dense_ids_by_sorted_order(df: DataFrame, col: str = "iri") -> DataFrame:
-    """→ DataFrame(col, vid): dense longs 1..n in ascending ``col`` order,
-    with NO single-partition stage — the two-phase zipWithIndex pattern in
-    DataFrame ops.  Range-repartition on the key (partition ids ascend
-    with key ranges), pin that assignment with a checkpoint, count rows
-    per partition (tiny collect: one row per partition), broadcast the
-    cumulative offsets back, and add them to a per-partition rank.
-    Byte-identical to ``row_number().over(Window.orderBy(col))`` — which
-    would funnel ALL rows through one task at scale — while every stage
-    here parallelizes across the cluster."""
+def ranged_partition_offsets(df: DataFrame, order_cols, weight: str | None = None):
+    """Two-phase zipWithIndex scaffolding shared by ``dense_ids_by_sorted_
+    order`` (per-row ranks) and ``text.pack_chunks`` (running token sums):
+    range-repartition on ``order_cols`` (partition ids ascend with key
+    ranges), pin that SAMPLED assignment with a checkpoint (the offsets
+    job and the caller's window job must see one consistent ``_pid``),
+    aggregate each partition's ``weight`` (row count when None), and
+    return ``(ranged, off_df)`` where ``off_df(_pid, _off)`` carries the
+    cumulative total over all preceding partitions — a tiny collect (one
+    row per partition) broadcast back.  No single-partition stage
+    anywhere."""
     spark = df.sparkSession
-    from pyspark.sql import Window
-
     _ensure_checkpoint_dir(df)  # public helper: callable standalone
     ranged = (
-        df.repartitionByRange(F.col(col))
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
         .checkpoint()
-        # the checkpoint pins the SAMPLED range boundaries: the count job
-        # and the rank job must see one consistent _pid assignment
     )
-    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    agg = (F.count("*") if weight is None else F.sum(weight)).alias("_w")
+    counts = ranged.groupBy("_pid").agg(agg).collect()
     offsets, acc = [], 0
     for row in sorted(counts, key=lambda r: r["_pid"]):
         offsets.append((row["_pid"], acc))
-        acc += row["_cnt"]
+        acc += row["_w"]
     off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    return ranged, off_df
+
+
+def dense_ids_by_sorted_order(df: DataFrame, col: str = "iri") -> DataFrame:
+    """→ DataFrame(col, vid): dense longs 1..n in ascending ``col`` order,
+    with NO single-partition stage — the two-phase zipWithIndex pattern in
+    DataFrame ops (``ranged_partition_offsets``) plus a per-partition rank.
+    Byte-identical to ``row_number().over(Window.orderBy(col))`` — which
+    would funnel ALL rows through one task at scale — while every stage
+    here parallelizes across the cluster."""
+    from pyspark.sql import Window
+
+    ranged, off_df = ranged_partition_offsets(df, [col])
     rank = F.row_number().over(Window.partitionBy("_pid").orderBy(col))
     return (
         ranged.withColumn("_rn", rank)

@@ -58,6 +58,15 @@ ROWS = [
         "c",
         120,
     ),
+    # closing-brace-only page: C4's curly-bracket gate must fire on '}' too
+    (
+        12,
+        "Stray template artifact } remains. Plus four more words. Real sentences here. "
+        "Another one lands. Final sentence now.",
+        "en",
+        "c",
+        118,
+    ),
 ]
 
 
@@ -101,10 +110,6 @@ def _norm(v):
 
     if isinstance(v, np.ndarray):
         return tuple(_norm(x) for x in v.tolist())
-    if v is None:
-        # pandas renders a NULL boolean column as object None (Spark)
-        # but float NaN (DuckDB fetchdf) — same SQL NULL, one token
-        return "nan"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -116,21 +121,20 @@ def _norm(v):
     return v
 
 
-def _assert_parity(sdf_pandas, odf_pandas, name):
-    cols = sorted(sdf_pandas.columns)
-    assert cols == sorted(odf_pandas.columns), name
+def _assert_parity(s_cols, s_rows, o_cols, o_rows, name):
+    """Compare raw row lists (Spark ``collect`` vs DuckDB ``fetchall``),
+    NOT pandas frames — pandas renders a NULL boolean/int column as
+    float NaN, which would make SQL NULL indistinguishable from a
+    genuine NaN and could mask a NULL-vs-NaN engine divergence."""
+    assert sorted(s_cols) == sorted(o_cols), f"{name}: {s_cols} vs {o_cols}"
+    s_order = [list(s_cols).index(c) for c in sorted(s_cols)]
+    o_order = [list(o_cols).index(c) for c in sorted(o_cols)]
     s = sorted(
-        (
-            tuple(_norm(v) for v in row)
-            for row in sdf_pandas[cols].itertuples(index=False, name=None)
-        ),
+        (tuple(_norm(r[i]) for i in s_order) for r in s_rows),
         key=repr,  # None sorts fine under repr; rows stay comparable
     )
     o = sorted(
-        (
-            tuple(_norm(v) for v in row)
-            for row in odf_pandas[cols].itertuples(index=False, name=None)
-        ),
+        (tuple(_norm(r[i]) for i in o_order) for r in o_rows),
         key=repr,
     )
     assert s == o, f"{name}: {[(a, b) for a, b in zip(s, o) if a != b][:5]}"
@@ -172,20 +176,26 @@ def _sql_for(name, sql_thunk):
 
 @pytest.mark.parametrize("name,builder,sql_thunk", PAIRS, ids=[p[0] for p in PAIRS])
 def test_edge_corpus_parity(docs, duck, name, builder, sql_thunk):
-    sdf = builder(docs).toPandas()
-    odf = duck.execute(_sql_for(name, sql_thunk)).fetchdf()
-    assert len(sdf) == len(odf), f"{name}: rowcount {len(sdf)} vs {len(odf)}"
-    _assert_parity(sdf, odf, name)
+    sdf = builder(docs)
+    s_rows = sdf.collect()
+    cur = duck.execute(_sql_for(name, sql_thunk))
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+    assert len(s_rows) == len(o_rows), f"{name}: rowcount {len(s_rows)} vs {len(o_rows)}"
+    _assert_parity(sdf.columns, s_rows, o_cols, o_rows, name)
 
 
 def test_multimodal_features_null_payload(docs, duck):
     """NULL text → b'' payload on the Spark side; the oracle must not
     crash and must predict the same (0, md5(''), fake dims) row."""
-    sdf = mm.extract_features(mm.attach_payload(docs)).toPandas()
-    odf = duck.execute(mm.MULTIMODAL_FEATURES_SQL).fetchdf()
-    assert len(sdf) == len(odf)
-    _assert_parity(sdf, odf, "multimodal_features")
-    null_row = sdf[sdf.doc_id == 3].iloc[0]
+    sdf = mm.extract_features(mm.attach_payload(docs))
+    s_rows = sdf.collect()
+    cur = duck.execute(mm.MULTIMODAL_FEATURES_SQL)
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+    assert len(s_rows) == len(o_rows)
+    _assert_parity(sdf.columns, s_rows, o_cols, o_rows, "multimodal_features")
+    null_row = next(r for r in s_rows if r.doc_id == 3)
     assert null_row.n_bytes == 0
     assert null_row.digest == "d41d8cd98f00b204e9800998ecf8427e"
 
@@ -301,6 +311,9 @@ def test_c4_clean_semantics(docs):
     empty = out[4]
     assert empty.n_kept_lines == 0 and not empty.keep_doc
     assert empty.clean_len == 0
+    closing = out[12]  # '}'-only page: the brace gate fires on either bracket
+    assert closing.has_brace and not closing.keep_doc
+    assert closing.n_sentences >= 5  # only the flag, not the gate, blocks it
 
 
 def test_pack_chunks_semantics_and_plan(spark, docs):
