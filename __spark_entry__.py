@@ -549,6 +549,74 @@ def _q_semdedup(spark, sf_dir):
     return similarity.semdedup(_emb(spark, sf_dir))
 
 
+# --- KG graph-query operators ------------------------------------------------
+
+
+def _q_bgp_bindings(spark, sf_dir):
+    """SPARQL-style BGP over the full extract→toRdf triple output: four
+    patterns (one ground-constant-heavy, three variable) compile to a
+    Catalyst join tree; the source constant acts as a semi-join filter.
+
+    Each pattern is a separate scan of its input: over a MATERIALIZED
+    triples table (parquet/Iceberg — the production shape) every
+    pattern's constants push down to the scan (plan-asserted in
+    tests/test_graph_queries.py); over this derived DataFrame Catalyst
+    recomputes the extract UDF per pattern, so real BGP workloads run
+    against the pipeline's written triples, not the live extraction."""
+    from jsonld_spark.operators.bgp import bgp_match
+
+    t = _doc_triples(spark, sf_dir)
+    return bgp_match(
+        t,
+        [
+            ("?d", RDF_TYPE, VOCAB + "Document"),
+            ("?d", VOCAB + "lang", "?lang"),
+            ("?d", SAME_AS, "?canon"),
+            ("?d", VOCAB + "source", "src3"),
+        ],
+    ).orderBy("d", "lang", "canon")
+
+
+def _q_pagerank_links(spark, sf_dir):
+    """PageRank (integer-scaled, bit-deterministic) over a synthetic
+    ring+skip graph derived from doc_ids: i → (i+1) % n and
+    i → (2i+1) % n."""
+    from jsonld_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    n = F.broadcast(docs.agg(F.count("*").alias("_n")))
+    ring = docs.crossJoin(n).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") + 1, F.col("_n")).alias("dst"),
+    )
+    skip = docs.crossJoin(n).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 2 + 1, F.col("_n")).alias("dst"),
+    )
+    return pagerank(ring.union(skip), iters=5).orderBy("id")
+
+
+def _q_subclass_closure(spark, sf_dir):
+    """Transitive closure (iterative doubling) of the canon-entity
+    'broader' hierarchy c → c div 2 — the rdfs:subClassOf/skos:broader
+    shape that feeds type inference."""
+    from jsonld_spark.operators.graph import transitive_closure
+
+    canon = (
+        _docs(spark, sf_dir)
+        .select(F.pmod(F.col("doc_id"), F.lit(100)).alias("c"))
+        .distinct()
+        .filter(F.col("c") > 0)
+    )
+    edges = canon.select(
+        F.concat(F.lit(CANON_NS), F.col("c").cast("string")).alias("src"),
+        F.concat(
+            F.lit(CANON_NS), F.expr("c div 2").cast("string")
+        ).alias("dst"),
+    )
+    return transitive_closure(edges).orderBy("src", "dst")
+
+
 def _q_payload_meta(spark, sf_dir):
     return multimodal.payload_meta(_docs(spark, sf_dir))
 
@@ -611,6 +679,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_candidate_pairs": _q_minhash_candidates,
         "dedup_groups": _q_dedup_groups,
+        # KG graph queries
+        "bgp_bindings": _q_bgp_bindings,
+        "pagerank_links": _q_pagerank_links,
+        "subclass_closure": _q_subclass_closure,
         # similarity search
         "cosine_topk": _q_cosine_topk,
         "near_dup_embeddings": _q_near_dup_embeddings,
@@ -621,6 +693,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_meta": _q_payload_meta,
         "multimodal_features": _q_multimodal_features,
     }
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """Unrolled-CTE DuckDB replay of ``graph.pagerank`` on the ring+skip
+    doc_id graph: every step is bigint (``//`` == Spark ``div``; sums
+    cast back from HUGEINT), so ranks are bit-identical by construction."""
+    base = "((1000000000000 // (SELECT n FROM nn)) * 15) // 100"
+    ctes = [
+        """nc AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nc) AS dst FROM documents
+  UNION
+  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT n FROM nc) AS dst FROM documents
+),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT id, 1000000000000 // (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT nodes.id, {base} + (COALESCE(s.inc, 0) * 85) // 100 AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst, CAST(SUM(r.rank // deg.d) AS BIGINT) AS inc
+    FROM r{i - 1} r JOIN e ON r.id = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst) s ON nodes.id = s.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(rank AS BIGINT) AS rank_x1e12 FROM r{iters} ORDER BY id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -804,6 +909,24 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": textops.jaccard_pairs_sql(),
         "minhash_candidate_pairs": textops.minhash_candidate_pairs_sql(),
         "dedup_groups": textops.dedup_groups_sql(),
+        "bgp_bindings": f"""
+            SELECT {doc_subj} AS d, lang,
+                   '{CANON_NS}' || CAST(doc_id % 100 AS VARCHAR) AS canon
+            FROM documents WHERE source = 'src3'
+            ORDER BY d, lang, canon""",
+        "pagerank_links": _pagerank_oracle_sql(iters=5),
+        "subclass_closure": f"""
+            WITH RECURSIVE cs AS (
+              SELECT DISTINCT doc_id % 100 AS c FROM documents
+              WHERE doc_id % 100 > 0),
+            e AS (SELECT c AS s, c // 2 AS d FROM cs),
+            cl AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT cl.s, e.d FROM cl JOIN e ON cl.d = e.s)
+            SELECT '{CANON_NS}' || CAST(s AS VARCHAR) AS src,
+                   '{CANON_NS}' || CAST(d AS VARCHAR) AS dst
+            FROM cl ORDER BY src, dst""",
         "cosine_topk": similarity.cosine_topk_sql(),
         "near_dup_embeddings": similarity.near_dup_embeddings_sql(),
         "ann_topk_lsh": similarity.ann_topk_lsh_sql(),

@@ -369,6 +369,7 @@ def main() -> None:
         "jaccard_pairs",
         "cosine_topk",
         "ann_topk_lsh",
+        "pagerank_links",
         "payload_meta",
     ]
     qs = E.queries()

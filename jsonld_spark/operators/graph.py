@@ -286,3 +286,134 @@ def link_entities(
         .drop("s_iri", "s_canon", "o_iri", "o_canon")
     )
     return out
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """→ DataFrame(src, dst): all (x, y) with a directed path x →⁺ y.
+
+    Iterative DOUBLING, not one-hop growth: after round k the path set
+    holds every path of length ≤ 2^k, so a graph of diameter d converges
+    in ⌈log2 d⌉ joins — the property that keeps the round count (each a
+    full shuffle) tractable at crawl scale, exactly like
+    ``connected_components``' pointer jumping.  Each round checkpoints
+    (reliable, not ``localCheckpoint`` — see module docstring) to
+    truncate lineage, and stops when a round adds no new pair.
+
+    Intended for ontology-sized relations (rdfs:subClassOf, skos:broader
+    — the closure feeds type inference); a social-graph-dense closure is
+    quadratic in OUTPUT and no algorithm fixes that.
+    """
+    _ensure_checkpoint_dir(edges)
+    paths = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .checkpoint()
+    )
+    n = paths.count()
+    for _ in range(max_iter):
+        hop = paths.select(F.col("src").alias("_m"), F.col("dst").alias("_d"))
+        grown = (
+            paths.join(hop, paths.dst == hop._m)
+            .select("src", F.col("_d").alias("dst"))
+            .union(paths)
+            .distinct()
+            .checkpoint()
+        )
+        grown_n = grown.count()
+        paths = grown
+        if grown_n == n:
+            break
+        n = grown_n
+    else:
+        warnings.warn(
+            f"transitive_closure: not converged after {max_iter} doubling "
+            "rounds (diameter > 2^max_iter or growing output)"
+        )
+    return paths
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping_x100: int = 85,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """→ DataFrame(id, rank_x1e12): PageRank over directed edges with
+    ALL arithmetic in scaled bigints — ``rank ≈ rank_x1e12 / 1e12``.
+
+    Why integers: bigint sums are associative/commutative EXACTLY, so
+    the result is bit-identical regardless of partitioning, shuffle
+    order, or cluster size — the property that makes an iterative
+    numeric algorithm value-hash-checkable against a SQL oracle (and
+    reproducible across reruns, which float accumulation order is not).
+
+    Per iteration: every node sends ``rank div out_degree`` along each
+    out-edge; ``new_rank = base + (sum(in_contribs) * damping) div 100``
+    with ``base = ((scale div N) * (100 - damping)) div 100``.  Dangling
+    nodes absorb (simplified PageRank: their mass leaks, identically in
+    any engine running this recurrence).
+
+    100-TB shape: the edge table and out-degrees are computed once and
+    cached; every round is one shuffle-on-src join + one groupBy(dst)
+    partial-agg sum + one broadcast-sized left join against the node
+    list — no driver-side state beyond the node count. Ranks checkpoint
+    every 4 rounds to truncate lineage.
+    """
+    _ensure_checkpoint_dir(edges)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .checkpoint()  # also materializes e's lineage for the loop
+    )
+    nodes.cache()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank_x1e12", F.lit(0).cast("long"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    sends = e.join(outdeg, "src").select(
+        "src", "dst", "_deg"
+    )
+    sends.cache()
+
+    init = scale // n_nodes
+    base = ((scale // n_nodes) * (100 - damping_x100)) // 100
+    ranks = nodes.select("id", F.lit(init).cast("long").alias("rank_x1e12"))
+    for i in range(iters):
+        contrib = (
+            ranks.join(sends, ranks.id == sends.src)
+            .select(
+                "dst",
+                F.expr("rank_x1e12 div _deg").alias("_c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"coalesce(_in, 0L) * {damping_x100} div 100"
+                    ).cast("long")
+                ).alias("rank_x1e12"),
+            )
+        )
+        if (i + 1) % 4 == 0 and i + 1 < iters:
+            ranks = ranks.checkpoint()
+    return ranks

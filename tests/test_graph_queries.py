@@ -1,0 +1,210 @@
+"""KG graph-query operators: BGP matching, PageRank, transitive closure.
+
+Semantics on tiny hand graphs + plan assertions (constant components of
+a BGP pattern must reach the parquet scan as PushedFilters; no
+single-partition exchange in the PageRank loop)."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonld_spark.operators.bgp import bgp_match
+from jsonld_spark.operators.graph import pagerank, transitive_closure
+
+EX = "http://ex.org/"
+TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+TRIPLE_COLS = "subj string, pred string, obj string"
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, TRIPLE_COLS)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return _triples(
+        spark,
+        [
+            (EX + "a", TYPE, EX + "Person"),
+            (EX + "b", TYPE, EX + "Person"),
+            (EX + "c", TYPE, EX + "Place"),
+            (EX + "a", EX + "knows", EX + "b"),
+            (EX + "b", EX + "knows", EX + "c"),
+            (EX + "a", EX + "name", "Alice"),
+            (EX + "b", EX + "name", "Bob"),
+            (EX + "c", EX + "name", "Carol"),
+            (EX + "n", EX + "self", EX + "n"),
+        ],
+    )
+
+
+class TestBgpMatch:
+    def test_join_two_patterns(self, tiny):
+        out = bgp_match(
+            tiny,
+            [
+                ("?x", TYPE, EX + "Person"),
+                ("?x", EX + "name", "?n"),
+            ],
+        )
+        assert sorted(out.columns) == ["n", "x"]
+        assert sorted(tuple(r) for r in out.collect()) == [
+            (EX + "a", "Alice"),
+            (EX + "b", "Bob"),
+        ]
+
+    def test_three_hop_chain(self, tiny):
+        out = bgp_match(
+            tiny,
+            [
+                ("?x", EX + "knows", "?y"),
+                ("?y", EX + "knows", "?z"),
+                ("?z", EX + "name", "?n"),
+            ],
+        )
+        assert sorted(out.columns) == ["n", "x", "y", "z"]
+        rows = out.collect()
+        assert len(rows) == 1
+        row = rows[0].asDict()
+        assert row == {"x": EX + "a", "y": EX + "b", "z": EX + "c", "n": "Carol"}
+
+    def test_repeated_var_in_one_pattern(self, tiny):
+        out = bgp_match(tiny, [("?x", EX + "self", "?x")])
+        assert [r.x for r in out.collect()] == [EX + "n"]
+
+    def test_ground_pattern_gates_existence(self, spark, tiny):
+        hit = bgp_match(
+            tiny,
+            [("?x", EX + "name", "?n"), (EX + "a", TYPE, EX + "Person")],
+            allow_cartesian=True,
+        )
+        assert hit.count() == 3
+        miss = bgp_match(
+            tiny,
+            [("?x", EX + "name", "?n"), (EX + "a", TYPE, EX + "Robot")],
+            allow_cartesian=True,
+        )
+        assert miss.count() == 0
+        assert sorted(hit.columns) == ["n", "x"]  # ground col dropped
+
+    def test_disconnected_refused(self, tiny):
+        with pytest.raises(ValueError, match="disconnected"):
+            bgp_match(tiny, [("?x", TYPE, "?t"), ("?y", EX + "name", "?n")])
+
+    def test_empty_patterns_refused(self, tiny):
+        with pytest.raises(ValueError, match="empty"):
+            bgp_match(tiny, [])
+
+    def test_constants_push_to_parquet_scan(self, spark, tiny, tmp_path):
+        path = str(tmp_path / "triples.parquet")
+        tiny.write.parquet(path)
+        out = bgp_match(
+            spark.read.parquet(path),
+            [("?x", TYPE, EX + "Person"), ("?x", EX + "name", "?n")],
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and TYPE in plan, plan[:2000]
+
+    def test_duplicate_witnesses_project_once(self, spark):
+        # set semantics: two triples witnessing the same binding → 1 row
+        t = _triples(
+            spark,
+            [
+                (EX + "a", EX + "p", "v1"),
+                (EX + "a", EX + "q", "v2"),
+            ],
+        )
+        out = bgp_match(t, [("?x", "?p", "?v"), ("?x", EX + "p", "v1")])
+        assert out.count() == 2  # (a,p,v1) and (a,q,v2) bindings survive
+        only_x = bgp_match(t, [("?x", EX + "p", "?v")])
+        assert only_x.count() == 1
+
+
+def _py_pagerank(edges, iters=10, scale=10**12):
+    """Pure-Python mirror of the integer recurrence (the oracle of the
+    oracle): same div/mod arithmetic, dict-based."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    init = scale // n
+    base = ((scale // n) * 15) // 100
+    ranks = {v: init for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for s, d in edges:
+            inc[d] += ranks[s] // deg[s]
+        ranks = {v: base + (inc[v] * 85) // 100 for v in nodes}
+    return ranks
+
+
+class TestPagerank:
+    def test_matches_python_mirror(self, spark):
+        edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: r.rank_x1e12 for r in pagerank(df, iters=6).collect()}
+        assert got == _py_pagerank(edges, iters=6)
+
+    def test_symmetric_cycle_uniform(self, spark):
+        edges = [(0, 1), (1, 2), (2, 0)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        ranks = [r.rank_x1e12 for r in pagerank(df, iters=8).collect()]
+        assert len(set(ranks)) == 1  # symmetry → identical ranks
+        assert sum(ranks) == sum(_py_pagerank(edges, iters=8).values())
+
+    def test_duplicate_edges_collapse(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1), (0, 1), (1, 0)], "src long, dst long"
+        )
+        got = {r.id: r.rank_x1e12 for r in pagerank(df, iters=3).collect()}
+        assert got == _py_pagerank([(0, 1), (1, 0)], iters=3)
+
+    def test_no_single_partition_exchange(self, spark):
+        df = spark.createDataFrame([(i, (i + 1) % 50) for i in range(50)],
+                                   "src long, dst long")
+        out = pagerank(df, iters=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan[:2000]
+
+
+class TestTransitiveClosure:
+    def test_chain(self, spark):
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+        )
+        got = sorted(tuple(r) for r in transitive_closure(df).collect())
+        assert got == [
+            ("a", "b"), ("a", "c"), ("a", "d"),
+            ("b", "c"), ("b", "d"), ("c", "d"),
+        ]
+
+    def test_cycle_closes_onto_self(self, spark):
+        df = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+        got = sorted(tuple(r) for r in transitive_closure(df).collect())
+        assert got == [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]
+
+    def test_doubling_round_count(self, spark):
+        # 8-edge chain has diameter 8 → ≤ 3 doubling rounds + 1 to detect
+        # the fixpoint; max_iter=1 must warn (not converged)
+        df = spark.createDataFrame(
+            [(str(i), str(i + 1)) for i in range(8)], "src string, dst string"
+        )
+        with pytest.warns(UserWarning, match="not converged"):
+            transitive_closure(df, max_iter=1)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            full = transitive_closure(df, max_iter=4)
+        assert full.count() == 8 * 9 // 2
+
+    def test_null_edges_dropped(self, spark):
+        df = spark.createDataFrame(
+            [("a", "b"), (None, "c"), ("b", None)], "src string, dst string"
+        )
+        got = sorted(tuple(r) for r in transitive_closure(df).collect())
+        assert got == [("a", "b")]
