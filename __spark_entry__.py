@@ -577,6 +577,52 @@ def _q_bgp_bindings(spark, sf_dir):
     ).orderBy("d", "lang", "canon")
 
 
+def _q_bgp_optional_lang(spark, sf_dir):
+    """SPARQL OPTIONAL over the extracted triples: every Document with
+    its canon, plus the lang binding ONLY where the optional
+    source='src3' group matches — NULL (SPARQL unbound) elsewhere.
+    The optional group is one extra left equi-join in the plan."""
+    from jsonld_spark.operators.bgp import bgp_optional
+
+    t = _doc_triples(spark, sf_dir)
+    return bgp_optional(
+        t,
+        [
+            ("?d", RDF_TYPE, VOCAB + "Document"),
+            ("?d", SAME_AS, "?canon"),
+        ],
+        [
+            [
+                ("?d", VOCAB + "source", "src3"),
+                ("?d", VOCAB + "lang", "?l3"),
+            ]
+        ],
+    ).orderBy("d")  # d unique -> total order, no NULL-order divergence
+
+
+def _q_bgp_union_sources(spark, sf_dir):
+    """SPARQL UNION over the extracted triples: src1 docs bind ?lang,
+    src2 docs bind ?nch (the n_chars lexical form) — each branch an
+    independent join tree, unioned with NULL for the other branch's
+    variable."""
+    from jsonld_spark.operators.bgp import bgp_union
+
+    t = _doc_triples(spark, sf_dir)
+    return bgp_union(
+        t,
+        [
+            [
+                ("?d", VOCAB + "source", "src1"),
+                ("?d", VOCAB + "lang", "?lang"),
+            ],
+            [
+                ("?d", VOCAB + "source", "src2"),
+                ("?d", VOCAB + "n_chars", "?nch"),
+            ],
+        ],
+    ).orderBy("d")  # each doc in exactly one branch -> d unique
+
+
 def _q_pagerank_links(spark, sf_dir):
     """PageRank (integer-scaled, bit-deterministic) over a synthetic
     ring+skip graph derived from doc_ids: i → (i+1) % n and
@@ -681,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         # KG graph queries
         "bgp_bindings": _q_bgp_bindings,
+        "bgp_optional_lang": _q_bgp_optional_lang,
+        "bgp_union_sources": _q_bgp_union_sources,
         "pagerank_links": _q_pagerank_links,
         "subclass_closure": _q_subclass_closure,
         # similarity search
@@ -914,6 +962,20 @@ def oracle_sql() -> dict[str, str]:
                    '{CANON_NS}' || CAST(doc_id % 100 AS VARCHAR) AS canon
             FROM documents WHERE source = 'src3'
             ORDER BY d, lang, canon""",
+        "bgp_optional_lang": f"""
+            SELECT {doc_subj} AS d,
+                   '{CANON_NS}' || CAST(doc_id % 100 AS VARCHAR) AS canon,
+                   CASE WHEN source = 'src3' THEN lang END AS l3
+            FROM documents
+            ORDER BY d""",
+        "bgp_union_sources": f"""
+            SELECT {doc_subj} AS d, lang, CAST(NULL AS VARCHAR) AS nch
+            FROM documents WHERE source = 'src1'
+            UNION
+            SELECT {doc_subj} AS d, CAST(NULL AS VARCHAR) AS lang,
+                   CAST(n_chars AS VARCHAR) AS nch
+            FROM documents WHERE source = 'src2'
+            ORDER BY d""",
         "pagerank_links": _pagerank_oracle_sql(iters=5),
         "subclass_closure": f"""
             WITH RECURSIVE cs AS (

@@ -69,31 +69,119 @@ def bgp_match(
     if not pats:
         raise ValueError("bgp_match: empty pattern list")
     parts = [_pattern_df(triples, p, i) for i, p in enumerate(pats)]
+    # Ground (all-constant) patterns bind no variables: they are ≤1-row
+    # existence gates, joined by (trivial broadcast) cross product at the
+    # end — they never participate in the connectivity walk and never
+    # trigger the disconnected-group refusal.
+    gates = [i for i in range(len(pats)) if not parts[i][1]]
+    var_pats = [i for i in range(len(pats)) if parts[i][1]]
 
     def n_consts(i):
         return sum(
             not (isinstance(t, str) and t.startswith("?")) for t in pats[i]
         )
 
-    remaining = sorted(range(len(pats)), key=lambda i: (-n_consts(i), i))
-    first = remaining.pop(0)
-    out, bound = parts[first]
-    while remaining:
-        nxt = next(
-            (i for i in remaining if parts[i][1] & bound),
-            None,
-        )
-        if nxt is None:
-            if not allow_cartesian:
-                raise ValueError(
-                    "bgp_match: disconnected pattern group (cross product); "
-                    "pass allow_cartesian=True to run it anyway"
-                )
-            nxt = remaining[0]
-        remaining.remove(nxt)
-        df, vs = parts[nxt]
-        shared = sorted(vs & bound)
-        out = out.join(df, on=shared) if shared else out.crossJoin(df)
-        bound |= vs
+    if not var_pats:  # all-ground BGP: a pure ask — 1 row iff all hold
+        out, bound = parts[gates[0]]
+        gates = gates[1:]
+    else:
+        remaining = sorted(var_pats, key=lambda i: (-n_consts(i), i))
+        first = remaining.pop(0)
+        out, bound = parts[first]
+        while remaining:
+            nxt = next(
+                (i for i in remaining if parts[i][1] & bound),
+                None,
+            )
+            if nxt is None:
+                if not allow_cartesian:
+                    raise ValueError(
+                        "bgp_match: disconnected pattern group (cross product); "
+                        "pass allow_cartesian=True to run it anyway"
+                    )
+                nxt = remaining[0]
+            remaining.remove(nxt)
+            df, vs = parts[nxt]
+            shared = sorted(vs & bound)
+            out = out.join(df, on=shared) if shared else out.crossJoin(df)
+            bound |= vs
+    for i in gates:
+        out = out.crossJoin(parts[i][0])
     ground = [c for c in out.columns if c.startswith("_ground_")]
     return out.drop(*ground) if ground else out
+
+
+def bgp_optional(
+    triples: DataFrame,
+    required,
+    optional_groups,
+    *,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """SPARQL ``OPTIONAL`` over BGPs: solutions of ``required`` extended
+    with each optional group's bindings where the group matches, NULL in
+    the group's new variables where it does not (the reference's query
+    layer — ruby-rdf ``RDF::Query`` patterns with ``optional: true``
+    — has the same keep-the-solution semantics).
+
+    Each optional group left-joins on the variables it shares with the
+    REQUIRED group — those are certainly bound, which is exactly the
+    "well-designed pattern" condition (Pérez et al. 2009) under which
+    OPTIONAL is a plain left outer equi-join; a group sharing nothing
+    with the required vars is refused (its left join would be a
+    cartesian extension), as is a variable bound by two different
+    optional groups (not well-designed: the second join's NULL
+    compatibility is engine-dependent).
+
+    100-TB shape: required + each group compile to Catalyst join trees
+    (see :func:`bgp_match`); the OPTIONAL layer adds one left equi-join
+    per group, broadcast by AQE when a group's solution set is small."""
+    out = bgp_match(triples, required, allow_cartesian=allow_cartesian)
+    req_vars = set(out.columns)
+    new_vars: set = set()
+    for gi, grp in enumerate(optional_groups):
+        opt = bgp_match(triples, grp, allow_cartesian=allow_cartesian)
+        vs = set(opt.columns)
+        shared = sorted(vs & req_vars)
+        if not shared:
+            raise ValueError(
+                f"bgp_optional: optional group #{gi} shares no variable "
+                "with the required group (left join would be cartesian)"
+            )
+        overlap = (vs - req_vars) & new_vars
+        if overlap:
+            raise ValueError(
+                f"bgp_optional: variable(s) {sorted(overlap)} bound by "
+                "two optional groups (not a well-designed pattern)"
+            )
+        out = out.join(opt, on=shared, how="left")
+        new_vars |= vs - req_vars
+    return out
+
+
+def bgp_union(
+    triples: DataFrame,
+    branches,
+    *,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """SPARQL ``UNION`` over BGPs: the set union of each branch's
+    solutions, projected to the union of all branch variables — a
+    variable a branch does not bind is NULL in that branch's rows
+    (SPARQL's unbound).  Set semantics, matching :func:`bgp_match`'s
+    per-branch projection (SPARQL proper is bag; documented divergence
+    shared with the rest of the module).
+
+    100-TB shape: each branch is an independent Catalyst join tree; the
+    union is a zero-shuffle concatenation plus one distinct on the
+    final (small) binding schema."""
+    brs = list(branches)
+    if not brs:
+        raise ValueError("bgp_union: empty branch list")
+    sols = [
+        bgp_match(triples, b, allow_cartesian=allow_cartesian) for b in brs
+    ]
+    out = sols[0]
+    for s in sols[1:]:
+        out = out.unionByName(s, allowMissingColumns=True)
+    return out.distinct()

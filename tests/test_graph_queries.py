@@ -11,7 +11,7 @@ import warnings
 import pytest
 from pyspark.sql import functions as F
 
-from jsonld_spark.operators.bgp import bgp_match
+from jsonld_spark.operators.bgp import bgp_match, bgp_optional, bgp_union
 from jsonld_spark.operators.graph import pagerank, transitive_closure
 
 EX = "http://ex.org/"
@@ -77,23 +77,91 @@ class TestBgpMatch:
         assert [r.x for r in out.collect()] == [EX + "n"]
 
     def test_ground_pattern_gates_existence(self, spark, tiny):
+        # ground patterns are existence gates, NOT cartesian products —
+        # no allow_cartesian opt-in required
         hit = bgp_match(
             tiny,
             [("?x", EX + "name", "?n"), (EX + "a", TYPE, EX + "Person")],
-            allow_cartesian=True,
         )
         assert hit.count() == 3
         miss = bgp_match(
             tiny,
             [("?x", EX + "name", "?n"), (EX + "a", TYPE, EX + "Robot")],
-            allow_cartesian=True,
         )
         assert miss.count() == 0
         assert sorted(hit.columns) == ["n", "x"]  # ground col dropped
 
+    def test_all_ground_ask(self, spark, tiny):
+        # a BGP of only ground patterns is a boolean ask: 1 row iff all hold
+        yes = bgp_match(
+            tiny,
+            [(EX + "a", TYPE, EX + "Person"), (EX + "b", TYPE, EX + "Person")],
+        )
+        assert yes.count() == 1
+        no = bgp_match(
+            tiny,
+            [(EX + "a", TYPE, EX + "Person"), (EX + "a", TYPE, EX + "Robot")],
+        )
+        assert no.count() == 0
+
     def test_disconnected_refused(self, tiny):
         with pytest.raises(ValueError, match="disconnected"):
             bgp_match(tiny, [("?x", TYPE, "?t"), ("?y", EX + "name", "?n")])
+
+    def test_optional_extends_or_nulls(self, tiny):
+        # c (a Place with a name) knows nobody → y is NULL, row kept
+        out = bgp_optional(
+            tiny,
+            [("?x", EX + "name", "?n")],
+            [[("?x", EX + "knows", "?y")]],
+        )
+        rows = {r.x: (r.n, r.y) for r in out.collect()}
+        assert rows[EX + "a"] == ("Alice", EX + "b")
+        assert rows[EX + "b"] == ("Bob", EX + "c")
+        assert rows[EX + "c"] == ("Carol", None)
+
+    def test_optional_two_groups(self, tiny):
+        out = bgp_optional(
+            tiny,
+            [("?x", EX + "name", "?n")],
+            [[("?x", EX + "knows", "?y")], [("?x", TYPE, "?t")]],
+        )
+        rows = {r.x: (r.y, r.t) for r in out.collect()}
+        assert rows[EX + "c"] == (None, EX + "Place")
+
+    def test_optional_refusals(self, tiny):
+        with pytest.raises(ValueError, match="shares no variable"):
+            bgp_optional(
+                tiny,
+                [("?x", EX + "name", "?n")],
+                [[("?y", EX + "knows", "?z")]],
+            )
+        with pytest.raises(ValueError, match="two optional groups"):
+            bgp_optional(
+                tiny,
+                [("?x", EX + "name", "?n")],
+                [[("?x", EX + "knows", "?y")], [("?x", EX + "self", "?y")]],
+            )
+
+    def test_union_branches_null_unshared(self, tiny):
+        out = bgp_union(
+            tiny,
+            [
+                [("?x", TYPE, EX + "Person")],
+                [("?x", EX + "knows", "?y")],
+            ],
+        )
+        rows = {(r.x, r.y) for r in out.collect()}
+        assert rows == {
+            (EX + "a", None),
+            (EX + "b", None),
+            (EX + "a", EX + "b"),
+            (EX + "b", EX + "c"),
+        }
+
+    def test_union_empty_refused(self, tiny):
+        with pytest.raises(ValueError, match="empty"):
+            bgp_union(tiny, [])
 
     def test_empty_patterns_refused(self, tiny):
         with pytest.raises(ValueError, match="empty"):
