@@ -623,6 +623,28 @@ def _q_bgp_union_sources(spark, sf_dir):
     ).orderBy("d")  # each doc in exactly one branch -> d unique
 
 
+def _q_path_canon_langs(spark, sf_dir):
+    """SPARQL property path ^sameAs/lang over the extracted triples:
+    canon entity → the languages of the documents linked to it —
+    inverse step (column swap) then sequence step (one equi-join),
+    distinct pairs (path solutions are set-valued)."""
+    from jsonld_spark.operators.paths import property_path
+
+    t = _doc_triples(spark, sf_dir)
+    return property_path(
+        t, ("seq", ("inv", SAME_AS), VOCAB + "lang")
+    ).orderBy("src", "dst")
+
+
+def _q_void_stats(spark, sf_dir):
+    """VoID property-partition statistics of the extracted KG: per
+    predicate, triple count + exact distinct subject/object counts —
+    one multi-distinct groupBy (expand + two-phase partial agg)."""
+    from jsonld_spark.operators.graph import void_stats
+
+    return void_stats(_doc_triples(spark, sf_dir))
+
+
 def _q_pagerank_links(spark, sf_dir):
     """PageRank (integer-scaled, bit-deterministic) over a synthetic
     ring+skip graph derived from doc_ids: i → (i+1) % n and
@@ -729,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_bindings": _q_bgp_bindings,
         "bgp_optional_lang": _q_bgp_optional_lang,
         "bgp_union_sources": _q_bgp_union_sources,
+        "path_canon_langs": _q_path_canon_langs,
+        "void_stats": _q_void_stats,
         "pagerank_links": _q_pagerank_links,
         "subclass_closure": _q_subclass_closure,
         # similarity search
@@ -976,6 +1000,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_chars AS VARCHAR) AS nch
             FROM documents WHERE source = 'src2'
             ORDER BY d""",
+        "path_canon_langs": f"""
+            SELECT DISTINCT
+                   '{CANON_NS}' || CAST(doc_id % 100 AS VARCHAR) AS src,
+                   lang AS dst
+            FROM documents
+            ORDER BY src, dst""",
+        "void_stats": f"""
+            SELECT '{RDF_TYPE}' AS pred, count(*) AS n_triples,
+                   count(DISTINCT doc_id) AS n_subjects,
+                   CAST(1 AS BIGINT) AS n_objects
+            FROM documents
+            UNION ALL
+            SELECT '{SAME_AS}', count(*), count(DISTINCT doc_id),
+                   count(DISTINCT doc_id % 100)
+            FROM documents
+            UNION ALL
+            SELECT '{VOCAB}lang', count(*), count(DISTINCT doc_id),
+                   count(DISTINCT lang)
+            FROM documents
+            UNION ALL
+            SELECT '{VOCAB}n_chars', count(*), count(DISTINCT doc_id),
+                   count(DISTINCT n_chars)
+            FROM documents
+            UNION ALL
+            SELECT '{VOCAB}source', count(*), count(DISTINCT doc_id),
+                   count(DISTINCT source)
+            FROM documents
+            ORDER BY pred""",
         "pagerank_links": _pagerank_oracle_sql(iters=5),
         "subclass_closure": f"""
             WITH RECURSIVE cs AS (

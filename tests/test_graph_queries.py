@@ -276,3 +276,72 @@ class TestTransitiveClosure:
         )
         got = sorted(tuple(r) for r in transitive_closure(df).collect())
         assert got == [("a", "b")]
+
+
+class TestPropertyPath:
+    def test_atomic_and_inverse(self, tiny):
+        from jsonld_spark.operators.paths import property_path
+
+        knows = property_path(tiny, EX + "knows")
+        assert {(r.src, r.dst) for r in knows.collect()} == {
+            (EX + "a", EX + "b"),
+            (EX + "b", EX + "c"),
+        }
+        inv = property_path(tiny, ("inv", EX + "knows"))
+        assert {(r.src, r.dst) for r in inv.collect()} == {
+            (EX + "b", EX + "a"),
+            (EX + "c", EX + "b"),
+        }
+
+    def test_seq_alt(self, tiny):
+        from jsonld_spark.operators.paths import property_path
+
+        seq = property_path(tiny, ("seq", EX + "knows", EX + "name"))
+        assert {(r.src, r.dst) for r in seq.collect()} == {
+            (EX + "a", "Bob"),
+            (EX + "b", "Carol"),
+        }
+        alt = property_path(tiny, ("alt", EX + "knows", EX + "self"))
+        assert alt.count() == 3  # a->b, b->c, n->n
+
+    def test_plus_star_opt(self, tiny):
+        from jsonld_spark.operators.paths import property_path
+
+        plus = property_path(tiny, ("plus", EX + "knows"))
+        assert {(r.src, r.dst) for r in plus.collect()} == {
+            (EX + "a", EX + "b"),
+            (EX + "a", EX + "c"),
+            (EX + "b", EX + "c"),
+        }
+        # graph node set: subjects {a,b,c,n} ∪ objects
+        # {Person,Place,b,c,Alice,Bob,Carol,n} = 9 terms
+        star = property_path(tiny, ("star", EX + "knows"))
+        assert star.count() == 3 + 9
+        opt = property_path(tiny, ("opt", EX + "name"))
+        assert opt.count() == 3 + 9
+        # identity pairs present for literal terms too (SPARQL node set)
+        assert opt.filter("src = 'Alice' and dst = 'Alice'").count() == 1
+
+    def test_bad_paths_refused(self, tiny):
+        from jsonld_spark.operators.paths import property_path
+
+        with pytest.raises(ValueError, match="unknown operator"):
+            property_path(tiny, ("negation", EX + "p"))
+        with pytest.raises(ValueError, match="seq needs"):
+            property_path(tiny, ("seq", EX + "p"))
+        with pytest.raises(ValueError, match="bad path"):
+            property_path(tiny, 42)
+
+
+class TestVoidStats:
+    def test_property_partitions(self, tiny):
+        from jsonld_spark.operators.graph import void_stats
+
+        rows = {r.pred: r for r in void_stats(tiny).collect()}
+        assert rows[TYPE].n_triples == 3
+        assert rows[TYPE].n_subjects == 3
+        assert rows[TYPE].n_objects == 2  # Person, Place
+        assert rows[EX + "knows"].n_triples == 2
+        assert rows[EX + "name"].n_objects == 3
+        assert rows[EX + "self"].n_triples == 1
+        assert list(rows) == sorted(rows)  # ordered by pred
