@@ -623,6 +623,46 @@ def _q_bgp_union_sources(spark, sf_dir):
     ).orderBy("d")  # each doc in exactly one branch -> d unique
 
 
+CLASS_NS = "http://class.example/"
+
+
+def _q_type_inference(spark, sf_dir):
+    """RDFS subClassOf entailment (rdfs9): docs typed Class{doc_id%100}
+    under the ontology Class{c} ⊑ Class{c div 2} — the closure runs on
+    the tiny ontology, ONE join materializes inherited types, and the
+    per-class instance counts come out of a partial-agg groupBy."""
+    from jsonld_spark.operators.graph import infer_types
+
+    docs = _docs(spark, sf_dir)
+    typed = docs.select(
+        F.concat(F.lit(DOC_NS), F.col("doc_id").cast("string")).alias("subj"),
+        F.concat(
+            F.lit(CLASS_NS), F.pmod(F.col("doc_id"), F.lit(100)).cast("string")
+        ).alias("cls"),
+    )
+    cs = (
+        docs.select(F.pmod(F.col("doc_id"), F.lit(100)).alias("c"))
+        .distinct()
+        .filter(F.col("c") > 0)
+    )
+    subclass = cs.select(
+        F.concat(F.lit(CLASS_NS), F.col("c").cast("string")).alias("src"),
+        F.concat(F.lit(CLASS_NS), F.expr("c div 2").cast("string")).alias("dst"),
+    )
+    return (
+        infer_types(typed, subclass)
+        .groupBy("cls")
+        .agg(F.count("*").alias("n_instances"))
+        .orderBy("cls")
+    )
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Integer-exact tf·idf keyword extraction: top-3 terms per doc,
+    ranked by the decimal(38,0) product tf * ((N*1000) div df)."""
+    return textops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def _q_path_canon_langs(spark, sf_dir):
     """SPARQL property path ^sameAs/lang over the extracted triples:
     canon entity → the languages of the documents linked to it —
@@ -752,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_optional_lang": _q_bgp_optional_lang,
         "bgp_union_sources": _q_bgp_union_sources,
         "path_canon_langs": _q_path_canon_langs,
+        "type_inference": _q_type_inference,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "void_stats": _q_void_stats,
         "pagerank_links": _q_pagerank_links,
         "subclass_closure": _q_subclass_closure,
@@ -1000,6 +1042,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_chars AS VARCHAR) AS nch
             FROM documents WHERE source = 'src2'
             ORDER BY d""",
+        "type_inference": f"""
+            WITH RECURSIVE inst AS (
+              SELECT doc_id, doc_id % 100 AS c FROM documents),
+            e AS (SELECT DISTINCT c AS s, c // 2 AS d FROM inst WHERE c > 0),
+            cl AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT cl.s, e.d FROM cl JOIN e ON cl.d = e.s),
+            types AS (
+              SELECT doc_id, c AS cls FROM inst
+              UNION
+              SELECT i.doc_id, cl.d AS cls FROM inst i JOIN cl ON cl.s = i.c)
+            SELECT '{CLASS_NS}' || CAST(cls AS VARCHAR) AS cls,
+                   count(*)::BIGINT AS n_instances
+            FROM types GROUP BY 1 ORDER BY cls""",
+        "tfidf_top_terms": textops.tfidf_top_terms_sql(),
         "path_canon_langs": f"""
             SELECT DISTINCT
                    '{CANON_NS}' || CAST(doc_id % 100 AS VARCHAR) AS src,

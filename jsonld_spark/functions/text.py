@@ -1289,3 +1289,78 @@ SELECT doc_id, n_tok, cum_before,
   (cum_before + n_tok - 1) // {capacity} - cum_before // {capacity} + 1 AS n_chunks
 FROM c ORDER BY doc_id
 """
+
+
+# --- TF-IDF top terms ----------------------------------------------------------
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` terms per document by tf·idf — the classic
+    keyword-extraction / relevance signal, computed ENTIRELY in exact
+    integer arithmetic so the ranking is bit-identical across engines
+    and cluster sizes: ``idf_x1000 = (N * 1000) div df`` (no float log —
+    a monotone idf surrogate; log damping changes absolute scores, not
+    the need for a per-corpus rarity weight), and the ordering key is
+    the exact decimal(38,0) product ``tf * idf_x1000`` (never overflows:
+    tf ≤ 2^40, N ≤ 2^50 both fit a 128-bit product), ties broken by
+    term.
+
+    → (doc_id, rnk, term, tf, df, idf_x1000), ``rnk`` 1-based.
+
+    100-TB shape: tf = one explode + groupBy(doc_id, term) with
+    map-side partial counts; df = a second partial-agg groupBy over the
+    (already aggregated) tf table — never the raw token stream; N joins
+    as a 1-row broadcast; the per-doc top-k is a row_number window that
+    Spark rewrites to WindowGroupLimit (partial top-k before the
+    shuffle).  Hot terms ('the') have large df but the df groupBy input
+    is one row per (doc, term) — bounded by the corpus vocabulary ×
+    docs, with partial aggregation absorbing the skew."""
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("term")
+    )
+    tf = base.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.filter(F.col("text").isNotNull()).agg(
+        F.count("*").alias("_n")
+    )
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("idf_x1000", F.expr("(_n * 1000) div df"))
+        .withColumn(
+            "_score", F.expr("cast(tf as decimal(38,0)) * idf_x1000")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "rnk", "term", "tf", "df", "idf_x1000")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    """DuckDB mirror: same integer idf and exact HUGEINT ordering key."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS term
+  FROM documents WHERE text IS NOT NULL),
+ tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM base GROUP BY 1, 2),
+ dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+ n AS (SELECT count(*)::BIGINT AS _n FROM documents WHERE text IS NOT NULL),
+ scored AS (
+  SELECT doc_id, tf.term, tf, df,
+         (_n * 1000) // df AS idf_x1000,
+         tf::HUGEINT * ((_n * 1000) // df) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+ ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+  FROM scored)
+SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tf, df, idf_x1000
+FROM ranked WHERE rnk <= {k}
+ORDER BY doc_id, rnk
+"""

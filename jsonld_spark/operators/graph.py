@@ -444,3 +444,34 @@ def void_stats(triples: DataFrame) -> DataFrame:
         )
         .orderBy("pred")
     )
+
+
+def infer_types(
+    typed: DataFrame,
+    subclass: DataFrame,
+    *,
+    subj: str = "subj",
+    cls: str = "cls",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """RDFS subClassOf type inference (rdfs9 entailment: ``type(x, C) ∧
+    subClassOf⁺(C, D) → type(x, D)``): materialize every inherited type
+    alongside the asserted ones.  → (subj, cls) DISTINCT.
+
+    The closure of the ontology runs FIRST (iterative doubling — the
+    ontology is tiny next to the instance data), then ONE join of the
+    instance type table against the closure (broadcast when the closure
+    fits, which at web scale it essentially always does: ontologies are
+    thousands of classes, instances are trillions) — never an iterative
+    walk over instances."""
+    t = typed.select(F.col(subj).alias("subj"), F.col(cls).alias("cls"))
+    clo = transitive_closure(
+        subclass.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        max_iter=max_iter,
+    )
+    inherited = t.join(clo, t.cls == clo.src).select(
+        "subj", F.col("dst").alias("cls")
+    )
+    return t.union(inherited).distinct()

@@ -345,3 +345,54 @@ class TestVoidStats:
         assert rows[EX + "name"].n_objects == 3
         assert rows[EX + "self"].n_triples == 1
         assert list(rows) == sorted(rows)  # ordered by pred
+
+
+class TestInferTypes:
+    def test_rdfs9_inheritance(self, spark):
+        from jsonld_spark.operators.graph import infer_types
+
+        typed = spark.createDataFrame(
+            [("x", "C4"), ("y", "C2"), ("z", "Q")], "subj string, cls string"
+        )
+        subclass = spark.createDataFrame(
+            [("C4", "C2"), ("C2", "C1")], "src string, dst string"
+        )
+        out = {(r.subj, r.cls) for r in infer_types(typed, subclass).collect()}
+        assert out == {
+            ("x", "C4"), ("x", "C2"), ("x", "C1"),  # full chain
+            ("y", "C2"), ("y", "C1"),
+            ("z", "Q"),  # class outside the ontology: asserted only
+        }
+
+    def test_diamond_dedups(self, spark):
+        from jsonld_spark.operators.graph import infer_types
+
+        typed = spark.createDataFrame([("x", "A")], "subj string, cls string")
+        subclass = spark.createDataFrame(
+            [("A", "B"), ("A", "C"), ("B", "D"), ("C", "D")],
+            "src string, dst string",
+        )
+        out = infer_types(typed, subclass)
+        assert out.count() == 4  # {A,B,C,D} — D once despite two routes
+
+
+class TestTfidf:
+    def test_ranking_and_ties(self, spark):
+        from jsonld_spark.functions.text import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a a b", "en", "s", 5),
+                (2, "a c", "en", "s", 3),
+                (3, "a d d d", "en", "s", 7),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = tfidf_top_terms(docs, k=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append((r.rnk, r.term, r.tf, r.df, r.idf_x1000))
+        # df: a=3 (idf 1000), b/c/d=1 (idf 3000)
+        assert by_doc[1] == [(1, "b", 1, 1, 3000), (2, "a", 2, 3, 1000)]
+        assert by_doc[2] == [(1, "c", 1, 1, 3000), (2, "a", 1, 3, 1000)]
+        assert by_doc[3] == [(1, "d", 3, 1, 3000), (2, "a", 1, 3, 1000)]
