@@ -657,6 +657,13 @@ def _q_type_inference(spark, sf_dir):
     )
 
 
+def _q_boilerplate_lines(spark, sf_dir):
+    """Cross-document boilerplate: lines repeating in >=2 distinct docs,
+    flagged per doc with an integer ratio — exchanges carry digests,
+    never line text."""
+    return textops.boilerplate_lines(_docs(spark, sf_dir), min_df=2)
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     """Integer-exact tf·idf keyword extraction: top-3 terms per doc,
     ranked by the decimal(38,0) product tf * ((N*1000) div df)."""
@@ -794,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_canon_langs": _q_path_canon_langs,
         "type_inference": _q_type_inference,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "boilerplate_lines": _q_boilerplate_lines,
         "void_stats": _q_void_stats,
         "pagerank_links": _q_pagerank_links,
         "subclass_closure": _q_subclass_closure,
@@ -1058,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_instances
             FROM types GROUP BY 1 ORDER BY cls""",
         "tfidf_top_terms": textops.tfidf_top_terms_sql(),
+        "boilerplate_lines": textops.boilerplate_lines_sql(),
         "path_canon_langs": f"""
             SELECT DISTINCT
                    '{CANON_NS}' || CAST(doc_id % 100 AS VARCHAR) AS src,

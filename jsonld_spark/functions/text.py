@@ -1364,3 +1364,71 @@ SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tf, df, idf_x1000
 FROM ranked WHERE rnk <= {k}
 ORDER BY doc_id, rnk
 """
+
+
+# --- Cross-document boilerplate detection --------------------------------------
+
+
+def boilerplate_lines(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """Corpus-level boilerplate detection: a (trimmed, non-empty) line
+    is boilerplate when it appears in ≥ ``min_df`` DISTINCT documents —
+    nav bars, cookie banners, footers repeat VERBATIM across a site,
+    which no single-document signal (c4_clean, repetition_stats) can
+    see.  → (doc_id, n_lines, n_boiler_lines, boiler_ratio_x1000) for
+    every doc with at least one non-empty line.
+
+    100-TB shape: the line table immediately collapses to md5 hashes,
+    so the exchanges carry (doc_id, 32-char digest) — never line text;
+    line document-frequency is a partial-agg count-distinct groupBy on
+    the digest; the flag rejoin is digest-equi (AQE-sized) and the
+    per-doc rollup a second partial-agg groupBy.  Mega-hot lines
+    ('Home') make large join groups but the output stays one row per
+    input line occurrence — bounded by the corpus, no pair blowup."""
+    lines = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", "\n")).alias("_raw"))
+        .select("doc_id", F.md5(F.trim("_raw")).alias("lh"), F.trim("_raw").alias("_t"))
+        .filter(F.col("_t") != "")
+        .drop("_t")
+    )
+    dfq = lines.groupBy("lh").agg(
+        F.countDistinct("doc_id").alias("line_df")
+    )
+    per_doc = (
+        lines.join(dfq, "lh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((F.col("line_df") >= min_df).cast("int")).alias(
+                "n_boiler_lines"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_lines",
+        "n_boiler_lines",
+        F.expr("(1000 * n_boiler_lines) div n_lines").alias(
+            "boiler_ratio_x1000"
+        ),
+    ).orderBy("doc_id")
+
+
+def boilerplate_lines_sql(min_df: int = 2) -> str:
+    """DuckDB mirror: same digest-keyed df count and integer ratio."""
+    return f"""
+WITH raw AS (
+  SELECT doc_id, trim(x) AS line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS x
+    FROM documents WHERE text IS NOT NULL)),
+ l AS (SELECT doc_id, md5(line) AS lh FROM raw WHERE line <> ''),
+ dfq AS (SELECT lh, count(DISTINCT doc_id) AS line_df FROM l GROUP BY 1),
+ p AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines,
+         sum(CASE WHEN line_df >= {min_df} THEN 1 ELSE 0 END)::BIGINT
+           AS n_boiler_lines
+  FROM l JOIN dfq USING (lh) GROUP BY 1)
+SELECT doc_id, n_lines, n_boiler_lines,
+       (1000 * n_boiler_lines) // n_lines AS boiler_ratio_x1000
+FROM p ORDER BY doc_id
+"""

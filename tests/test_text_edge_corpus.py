@@ -165,6 +165,7 @@ PAIRS = [
     ("pack_chunks", lambda d: textops.pack_chunks(d, capacity=16), lambda: textops.pack_chunks_sql(capacity=16)),
     ("payload_meta", mm.payload_meta, lambda: mm.PAYLOAD_META_SQL),
     ("tfidf_top_terms", lambda d: textops.tfidf_top_terms(d, k=3), lambda: textops.tfidf_top_terms_sql(k=3)),
+    ("boilerplate_lines", textops.boilerplate_lines, textops.boilerplate_lines_sql),
 ]
 
 
