@@ -20,6 +20,8 @@ Path AST (plain tuples, no parser — the programmatic surface):
 - ``("plus", p)``                ``p+``
 - ``("star", p)``                ``p*``
 - ``("opt", p)``                 ``p?``
+- ``("neg", iri, ...)``          ``!(iri | ...)`` — negated property set
+- ``("neg_inv", iri, ...)``      ``!(^iri | ...)`` — its inverse half
 
 Zero-length paths (``*``/``?``) match every term occurring as a
 subject or object in the graph, each paired with itself — SPARQL 1.1
@@ -104,4 +106,19 @@ def property_path(triples: DataFrame, path, *, max_iter: int = 20) -> DataFrame:
         (p,) = args
         inner = property_path(triples, p, max_iter=max_iter)
         return inner.union(_nodes(triples)).distinct()
+    if op in ("neg", "neg_inv"):
+        # SPARQL 1.1 negated property set: one edge whose predicate is
+        # NONE of the listed IRIs (forward for "neg"; "neg_inv" is the
+        # reversed-edge half of a mixed NPS — SPARQL splits
+        # !(p1|^p2) into !(p1) ∪ ^(!(^p2)), composable here via "alt").
+        if not args or not all(isinstance(a, str) for a in args):
+            raise ValueError(f"{op} needs one or more predicate IRIs")
+        df = triples.filter(~F.col("pred").isin(*args)).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        if op == "neg_inv":
+            df = df.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        return df.distinct()
     raise ValueError(f"property_path: unknown operator {op!r}")

@@ -396,3 +396,30 @@ class TestTfidf:
         assert by_doc[1] == [(1, "b", 1, 1, 3000), (2, "a", 2, 3, 1000)]
         assert by_doc[2] == [(1, "c", 1, 1, 3000), (2, "a", 1, 3, 1000)]
         assert by_doc[3] == [(1, "d", 3, 1, 3000), (2, "a", 1, 3, 1000)]
+
+
+class TestNegatedPropertySet:
+    def test_neg_and_neg_inv(self, spark, tiny):
+        from jsonld_spark.operators.paths import property_path
+
+        # everything except type/name/self edges → just the knows edges
+        neg = property_path(
+            tiny, ("neg", TYPE, EX + "name", EX + "self")
+        )
+        assert {(r.src, r.dst) for r in neg.collect()} == {
+            (EX + "a", EX + "b"),
+            (EX + "b", EX + "c"),
+        }
+        inv = property_path(tiny, ("neg_inv", TYPE, EX + "name", EX + "self"))
+        assert {(r.src, r.dst) for r in inv.collect()} == {
+            (EX + "b", EX + "a"),
+            (EX + "c", EX + "b"),
+        }
+
+    def test_neg_arity_and_types(self, tiny):
+        from jsonld_spark.operators.paths import property_path
+
+        with pytest.raises(ValueError, match="predicate IRIs"):
+            property_path(tiny, ("neg",))
+        with pytest.raises(ValueError, match="predicate IRIs"):
+            property_path(tiny, ("neg", ("inv", EX + "p")))
