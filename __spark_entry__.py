@@ -670,6 +670,45 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return textops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _q_rule_materialization(spark, sf_dir):
+    """Forward-chaining saturation (semi-naive datalog): broader-
+    transitivity + rdfs9 type inheritance as two rules over the
+    Class{c} ⊑ Class{c div 2} ontology; output = per-predicate triple
+    counts of the saturated graph."""
+    from jsonld_spark.operators.bgp import forward_chain
+
+    docs = _docs(spark, sf_dir)
+    typed = docs.select(
+        F.concat(F.lit(DOC_NS), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.concat(
+            F.lit(CLASS_NS), F.pmod(F.col("doc_id"), F.lit(100)).cast("string")
+        ).alias("obj"),
+    )
+    cs = (
+        docs.select(F.pmod(F.col("doc_id"), F.lit(100)).alias("c"))
+        .distinct()
+        .filter(F.col("c") > 0)
+    )
+    broader = cs.select(
+        F.concat(F.lit(CLASS_NS), F.col("c").cast("string")).alias("subj"),
+        F.lit(VOCAB + "broader").alias("pred"),
+        F.concat(F.lit(CLASS_NS), F.expr("c div 2").cast("string")).alias("obj"),
+    )
+    rules = [
+        (
+            [("?a", VOCAB + "broader", "?b"), ("?b", VOCAB + "broader", "?c")],
+            [("?a", VOCAB + "broader", "?c")],
+        ),
+        (
+            [("?i", RDF_TYPE, "?c"), ("?c", VOCAB + "broader", "?d")],
+            [("?i", RDF_TYPE, "?d")],
+        ),
+    ]
+    sat = forward_chain(typed.union(broader), rules)
+    return sat.groupBy("pred").agg(F.count("*").alias("n")).orderBy("pred")
+
+
 def _q_path_canon_langs(spark, sf_dir):
     """SPARQL property path ^sameAs/lang over the extracted triples:
     canon entity → the languages of the documents linked to it —
@@ -799,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_optional_lang": _q_bgp_optional_lang,
         "bgp_union_sources": _q_bgp_union_sources,
         "path_canon_langs": _q_path_canon_langs,
+        "rule_materialization": _q_rule_materialization,
         "type_inference": _q_type_inference,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "boilerplate_lines": _q_boilerplate_lines,
@@ -1067,6 +1107,23 @@ def oracle_sql() -> dict[str, str]:
             FROM types GROUP BY 1 ORDER BY cls""",
         "tfidf_top_terms": textops.tfidf_top_terms_sql(),
         "boilerplate_lines": textops.boilerplate_lines_sql(),
+        "rule_materialization": f"""
+            WITH RECURSIVE inst AS (
+              SELECT doc_id, doc_id % 100 AS c FROM documents),
+            e AS (SELECT DISTINCT c AS s, c // 2 AS d FROM inst WHERE c > 0),
+            cl AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT cl.s, e.d FROM cl JOIN e ON cl.d = e.s),
+            types AS (
+              SELECT doc_id, c AS cls FROM inst
+              UNION
+              SELECT i.doc_id, cl.d AS cls FROM inst i JOIN cl ON cl.s = i.c)
+            SELECT pred, n FROM (
+              SELECT '{RDF_TYPE}' AS pred, count(*)::BIGINT AS n FROM types
+              UNION ALL
+              SELECT '{VOCAB}broader' AS pred, count(*)::BIGINT AS n FROM cl)
+            ORDER BY pred""",
         "path_canon_langs": f"""
             SELECT DISTINCT
                    '{CANON_NS}' || CAST(doc_id % 100 AS VARCHAR) AS src,

@@ -19,6 +19,8 @@ filter on ``obj_datatype``).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 _POSITIONS = ("subj", "pred", "obj")
@@ -53,6 +55,7 @@ def bgp_match(
     patterns,
     *,
     allow_cartesian: bool = False,
+    _sources=None,
 ) -> DataFrame:
     """→ DataFrame with one column per distinct variable: every binding
     of the variables such that ALL patterns hold (SPARQL BGP semantics,
@@ -68,7 +71,17 @@ def bgp_match(
     pats = list(patterns)
     if not pats:
         raise ValueError("bgp_match: empty pattern list")
-    parts = [_pattern_df(triples, p, i) for i, p in enumerate(pats)]
+    # _sources: internal hook (forward_chain semi-naive evaluation) —
+    # one DataFrame per pattern, so a single pattern can scan the DELTA
+    # while the rest scan the full set; None entries fall back to
+    # ``triples``.
+    srcs = list(_sources) if _sources is not None else [None] * len(pats)
+    if len(srcs) != len(pats):
+        raise ValueError("bgp_match: _sources length must match patterns")
+    parts = [
+        _pattern_df(s if s is not None else triples, p, i)
+        for i, (s, p) in enumerate(zip(srcs, pats))
+    ]
     # Ground (all-constant) patterns bind no variables: they are ≤1-row
     # existence gates, joined by (trivial broadcast) cross product at the
     # end — they never participate in the connectivity walk and never
@@ -185,3 +198,114 @@ def bgp_union(
     for s in sols[1:]:
         out = out.unionByName(s, allowMissingColumns=True)
     return out.distinct()
+
+
+def construct(bindings: DataFrame, templates) -> DataFrame:
+    """SPARQL ``CONSTRUCT``: project a binding set into new triples.
+    Each template is an (s, p, o) triple of variables (``"?x"`` — must
+    be a column of ``bindings``) and constants; the result is the
+    DISTINCT union of one instantiation per binding row per template.
+
+    100-TB shape: pure projection per template (no shuffle) + one
+    distinct on the emitted (subj, pred, obj) — the same exchange any
+    triple materialization pays."""
+    tpls = list(templates)
+    if not tpls:
+        raise ValueError("construct: empty template list")
+    outs = []
+    for i, t in enumerate(tpls):
+        if len(t) != 3:
+            raise ValueError(f"template #{i} must be (s, p, o): {t!r}")
+        cols = []
+        for name, term in zip(("subj", "pred", "obj"), t):
+            if isinstance(term, str) and term.startswith("?"):
+                var = term[1:]
+                if var not in bindings.columns:
+                    raise ValueError(
+                        f"template #{i}: variable ?{var} not bound "
+                        f"(columns: {bindings.columns})"
+                    )
+                cols.append(F.col(var).alias(name))
+            else:
+                cols.append(F.lit(term).alias(name))
+        outs.append(bindings.select(*cols))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out.distinct()
+
+
+def forward_chain(
+    triples: DataFrame,
+    rules,
+    *,
+    max_iter: int = 20,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Forward-chaining rule materialization (datalog-style saturation):
+    each rule is ``(body_patterns, head_templates)`` — body a BGP, head
+    CONSTRUCT templates — applied to fixpoint.  rdfs9 type inheritance,
+    transitivity, symmetric/inverse properties etc. are each one rule;
+    :func:`~jsonld_spark.operators.graph.infer_types` and
+    ``transitive_closure`` are special cases this generalizes.
+
+    SEMI-NAIVE evaluation: after round 1, a rule body only re-runs with
+    each body atom in turn restricted to the PREVIOUS round's delta
+    (new facts), so work per round is proportional to what changed —
+    the standard datalog optimization, without which every round would
+    re-derive everything.  New facts are isolated with a left-anti join
+    against the known set; rounds checkpoint (reliable) to truncate the
+    growing lineage; stops when a round derives nothing new.
+
+    Returns the saturated (subj, pred, obj) set (DISTINCT).  Output
+    size is the materialized entailment — for ontology-shaped rules
+    (class/property hierarchies) that is modest; a transitivity rule
+    over a dense relation is quadratic in OUTPUT, same caveat as
+    ``transitive_closure``."""
+    from .graph import _ensure_checkpoint_dir
+
+    rules = list(rules)
+    if not rules:
+        raise ValueError("forward_chain: empty rule list")
+    _ensure_checkpoint_dir(triples)
+    known = (
+        triples.select("subj", "pred", "obj").distinct().checkpoint()
+    )
+    delta = known
+    for rnd in range(max_iter):
+        derived = None
+        for body, head in rules:
+            body = list(body)
+            if rnd == 0:
+                sols = [bgp_match(known, body, allow_cartesian=True)]
+            else:
+                # semi-naive: one evaluation per body atom, that atom
+                # scanning the delta, the others the full known set
+                sols = [
+                    bgp_match(
+                        known,
+                        body,
+                        allow_cartesian=True,
+                        _sources=[
+                            delta if j == i else None
+                            for j in range(len(body))
+                        ],
+                    )
+                    for i in range(len(body))
+                ]
+            for s in sols:
+                d = construct(s, head)
+                derived = d if derived is None else derived.union(d)
+        new = derived.distinct().join(
+            known, on=["subj", "pred", "obj"], how="left_anti"
+        )
+        new = new.checkpoint() if (rnd + 1) % checkpoint_every == 0 else new
+        if new.isEmpty():
+            break
+        known = known.union(new).checkpoint()
+        delta = new
+    else:
+        warnings.warn(
+            f"forward_chain: not saturated after {max_iter} rounds"
+        )
+    return known

@@ -423,3 +423,80 @@ class TestNegatedPropertySet:
             property_path(tiny, ("neg",))
         with pytest.raises(ValueError, match="predicate IRIs"):
             property_path(tiny, ("neg", ("inv", EX + "p")))
+
+
+class TestConstruct:
+    def test_projects_templates(self, spark, tiny):
+        from jsonld_spark.operators.bgp import bgp_match, construct
+
+        sols = bgp_match(tiny, [("?x", EX + "knows", "?y")])
+        out = construct(
+            sols,
+            [("?y", EX + "knownBy", "?x"), ("?x", TYPE, EX + "Knower")],
+        )
+        rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+        assert rows == {
+            (EX + "b", EX + "knownBy", EX + "a"),
+            (EX + "c", EX + "knownBy", EX + "b"),
+            (EX + "a", TYPE, EX + "Knower"),
+            (EX + "b", TYPE, EX + "Knower"),
+        }
+
+    def test_unbound_variable_refused(self, spark, tiny):
+        from jsonld_spark.operators.bgp import bgp_match, construct
+
+        sols = bgp_match(tiny, [("?x", EX + "knows", "?y")])
+        with pytest.raises(ValueError, match="not bound"):
+            construct(sols, [("?x", EX + "p", "?missing")])
+
+
+class TestForwardChain:
+    def test_transitivity_rule(self, spark):
+        from jsonld_spark.operators.bgp import forward_chain
+
+        # chain 1→2→3→4 saturates to all 6 descending pairs
+        t = _triples(
+            spark,
+            [(f"n{i}", EX + "lt", f"n{i+1}") for i in range(1, 4)],
+        )
+        rules = [
+            (
+                [("?x", EX + "lt", "?y"), ("?y", EX + "lt", "?z")],
+                [("?x", EX + "lt", "?z")],
+            )
+        ]
+        out = forward_chain(t, rules)
+        assert out.count() == 6
+
+    def test_rdfs9_two_rules(self, spark):
+        from jsonld_spark.operators.bgp import forward_chain
+
+        t = _triples(
+            spark,
+            [
+                ("i", TYPE, "C4"),
+                ("C4", EX + "sub", "C2"),
+                ("C2", EX + "sub", "C1"),
+            ],
+        )
+        rules = [
+            (  # subClassOf transitivity
+                [("?a", EX + "sub", "?b"), ("?b", EX + "sub", "?c")],
+                [("?a", EX + "sub", "?c")],
+            ),
+            (  # rdfs9
+                [("?i", TYPE, "?c"), ("?c", EX + "sub", "?d")],
+                [("?i", TYPE, "?d")],
+            ),
+        ]
+        out = forward_chain(t, rules)
+        rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+        assert ("i", TYPE, "C2") in rows and ("i", TYPE, "C1") in rows
+        assert ("C4", EX + "sub", "C1") in rows
+        assert out.count() == 3 + 1 + 2  # asserted + C4subC1 + 2 types
+
+    def test_empty_rules_refused(self, spark, tiny):
+        from jsonld_spark.operators.bgp import forward_chain
+
+        with pytest.raises(ValueError, match="empty rule"):
+            forward_chain(tiny, [])
