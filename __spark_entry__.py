@@ -670,6 +670,31 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return textops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _q_shacl_validate(spark, sf_dir):
+    """SHACL-lite validation of the extracted KG: DocumentShape
+    (lang minCount/maxCount/pattern, n_chars xsd:integer datatype,
+    sameAs nodeKind iri) — the only firing constraint on the synthetic
+    corpus is the lang pattern, so violations = docs whose lang is not
+    en/es, with every other constraint proven green by the zero rows
+    it contributes."""
+    from jsonld_spark.operators.shacl import validate_shapes
+
+    t = _doc_triples(spark, sf_dir)
+    shapes = [
+        {
+            "name": "DocumentShape",
+            "target_class": VOCAB + "Document",
+            "properties": [
+                {"path": VOCAB + "lang", "min_count": 1, "max_count": 1,
+                 "pattern": "^(en|es)"},
+                {"path": VOCAB + "n_chars", "datatype": XSD_INTEGER},
+                {"path": SAME_AS, "node_kind": "iri"},
+            ],
+        }
+    ]
+    return validate_shapes(t, shapes)
+
+
 def _q_rule_materialization(spark, sf_dir):
     """Forward-chaining saturation (semi-naive datalog): broader-
     transitivity + rdfs9 type inheritance as two rules over the
@@ -839,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_union_sources": _q_bgp_union_sources,
         "path_canon_langs": _q_path_canon_langs,
         "rule_materialization": _q_rule_materialization,
+        "shacl_validate": _q_shacl_validate,
         "type_inference": _q_type_inference,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "boilerplate_lines": _q_boilerplate_lines,
@@ -1107,6 +1133,15 @@ def oracle_sql() -> dict[str, str]:
             FROM types GROUP BY 1 ORDER BY cls""",
         "tfidf_top_terms": textops.tfidf_top_terms_sql(),
         "boilerplate_lines": textops.boilerplate_lines_sql(),
+        "shacl_validate": f"""
+            SELECT {doc_subj} AS focus,
+                   'DocumentShape' AS shape,
+                   '{VOCAB}lang' AS path,
+                   'pattern ^(en|es)' AS "constraint",
+                   lang AS value
+            FROM documents
+            WHERE NOT regexp_matches(lang, '^(en|es)')
+            ORDER BY focus, shape, path, "constraint", value""",
         "rule_materialization": f"""
             WITH RECURSIVE inst AS (
               SELECT doc_id, doc_id % 100 AS c FROM documents),

@@ -500,3 +500,67 @@ class TestForwardChain:
 
         with pytest.raises(ValueError, match="empty rule"):
             forward_chain(tiny, [])
+
+
+class TestShacl:
+    @pytest.fixture(scope="class")
+    def kg(self, spark):
+        # (subj, pred, obj, obj_is_literal, obj_datatype)
+        XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+        rows = [
+            ("d1", TYPE, EX + "Doc", False, None),
+            ("d1", EX + "lang", "en", True, None),
+            ("d1", EX + "size", "5", True, XSD_INT),
+            ("d1", EX + "ref", EX + "x", False, None),
+            ("d2", TYPE, EX + "Doc", False, None),        # missing lang
+            ("d2", EX + "size", "big", True, None),       # wrong datatype
+            ("d2", EX + "ref", "literal!", True, None),   # literal ref
+            ("d3", TYPE, EX + "Doc", False, None),
+            ("d3", EX + "lang", "en", True, None),
+            ("d3", EX + "lang", "fr", True, None),        # two langs + pattern
+            ("u1", EX + "lang", "zz", True, None),        # NOT a Doc: ignored
+        ]
+        return spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj string, obj_is_literal boolean, obj_datatype string",
+        )
+
+    def test_all_constraint_kinds(self, spark, kg):
+        from jsonld_spark.operators.shacl import validate_shapes
+
+        shapes = [
+            {
+                "name": "DocShape",
+                "target_class": EX + "Doc",
+                "properties": [
+                    {"path": EX + "lang", "min_count": 1, "max_count": 1,
+                     "pattern": "^e"},
+                    {"path": EX + "size",
+                     "datatype": "http://www.w3.org/2001/XMLSchema#integer"},
+                    {"path": EX + "ref", "node_kind": "iri"},
+                ],
+            }
+        ]
+        out = validate_shapes(kg, shapes)
+        rows = {(r.focus, r.constraint, r.value) for r in out.collect()}
+        assert rows == {
+            ("d2", "minCount 1", "0"),
+            ("d3", "maxCount 1", "2"),
+            ("d3", "pattern ^e", "fr"),
+            ("d2", "datatype http://www.w3.org/2001/XMLSchema#integer", "big"),
+            ("d2", "nodeKind iri", "literal!"),
+        }
+
+    def test_refusals(self, spark, kg):
+        from jsonld_spark.operators.shacl import validate_shapes
+
+        with pytest.raises(ValueError, match="empty shape"):
+            validate_shapes(kg, [])
+        with pytest.raises(ValueError, match="no constraints"):
+            validate_shapes(kg, [{"target_class": EX + "Doc"}])
+        with pytest.raises(ValueError, match="node_kind"):
+            validate_shapes(
+                kg,
+                [{"target_class": EX + "Doc",
+                  "properties": [{"path": EX + "p", "node_kind": "bnode"}]}],
+            )
