@@ -670,6 +670,23 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return textops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _q_describe_src1(spark, sf_dir):
+    """SPARQL DESCRIBE (concise bounded description) of every src1
+    document entity: seed set = a DataFrame of subjects (semi-join into
+    the triples scan, broadcast); the synthetic KG has no bnode
+    objects, so the CBD is exactly the seeds' own triples — which the
+    oracle can enumerate predicate by predicate."""
+    from jsonld_spark.operators.bgp import describe
+
+    t = _doc_triples(spark, sf_dir)
+    seeds = t.filter(
+        (F.col("pred") == VOCAB + "source") & (F.col("obj") == "src1")
+    ).select("subj")
+    return describe(t, seeds).select("subj", "pred", "obj").orderBy(
+        "subj", "pred", "obj"
+    )
+
+
 def _q_shacl_validate(spark, sf_dir):
     """SHACL-lite validation of the extracted KG: DocumentShape
     (lang minCount/maxCount/pattern, n_chars xsd:integer datatype,
@@ -865,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_canon_langs": _q_path_canon_langs,
         "rule_materialization": _q_rule_materialization,
         "shacl_validate": _q_shacl_validate,
+        "describe_src1": _q_describe_src1,
         "type_inference": _q_type_inference,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "boilerplate_lines": _q_boilerplate_lines,
@@ -1133,6 +1151,22 @@ def oracle_sql() -> dict[str, str]:
             FROM types GROUP BY 1 ORDER BY cls""",
         "tfidf_top_terms": textops.tfidf_top_terms_sql(),
         "boilerplate_lines": textops.boilerplate_lines_sql(),
+        "describe_src1": f"""
+            WITH s1 AS (SELECT * FROM documents WHERE source = 'src1')
+            SELECT subj, pred, obj FROM (
+              SELECT {doc_subj} AS subj, '{RDF_TYPE}' AS pred,
+                     '{VOCAB}Document' AS obj FROM s1
+              UNION ALL
+              SELECT {doc_subj}, '{VOCAB}lang', lang FROM s1
+              UNION ALL
+              SELECT {doc_subj}, '{VOCAB}source', source FROM s1
+              UNION ALL
+              SELECT {doc_subj}, '{VOCAB}n_chars',
+                     CAST(n_chars AS VARCHAR) FROM s1
+              UNION ALL
+              SELECT {doc_subj}, '{SAME_AS}',
+                     '{CANON_NS}' || CAST(doc_id % 100 AS VARCHAR) FROM s1)
+            ORDER BY subj, pred, obj""",
         "shacl_validate": f"""
             SELECT {doc_subj} AS focus,
                    'DocumentShape' AS shape,

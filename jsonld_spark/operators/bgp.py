@@ -23,13 +23,19 @@ import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
-_POSITIONS = ("subj", "pred", "obj")
+_POSITIONS = ("subj", "pred", "obj", "graph")
 
 
 def _pattern_df(triples: DataFrame, pattern, idx: int) -> tuple[DataFrame, set]:
-    """One pattern → filtered scan projecting its variables."""
-    if len(pattern) != 3:
-        raise ValueError(f"pattern #{idx} must be a (s, p, o) triple: {pattern!r}")
+    """One pattern → filtered scan projecting its variables.
+
+    3-element patterns match any graph (the ``graph`` column is never
+    touched, so plain (subj, pred, obj) frames work); a 4th element
+    constrains/binds the named graph — SPARQL ``GRAPH g { ... }``."""
+    if len(pattern) not in (3, 4):
+        raise ValueError(
+            f"pattern #{idx} must be (s, p, o) or (s, p, o, g): {pattern!r}"
+        )
     df = triples
     seen: dict[str, str] = {}  # var -> first column bound to it
     cols = []
@@ -309,3 +315,59 @@ def forward_chain(
             f"forward_chain: not saturated after {max_iter} rounds"
         )
     return known
+
+
+def describe(triples: DataFrame, subjects, *, max_iter: int = 10) -> DataFrame:
+    """SPARQL ``DESCRIBE`` as Concise Bounded Description: every triple
+    whose subject is in ``subjects``, plus — recursively — the triples
+    of any blank-node object reached (a bnode has no global name, so
+    its description belongs to the resource that owns it; named IRI
+    objects are NOT followed).  ``subjects`` is a list of IRIs or a
+    one-column DataFrame.
+
+    100-TB shape: each round is one semi-join of the triples table
+    against the (small) frontier — seed sets are query-sized, bnode
+    fan-out is document-sized, so every frontier join broadcasts; CBD
+    depth is bnode-nesting depth (rarely >3), bounded by ``max_iter``
+    with a reliable checkpoint per round."""
+    from .graph import _ensure_checkpoint_dir
+
+    if isinstance(subjects, DataFrame):
+        seeds = subjects.select(
+            F.col(subjects.columns[0]).alias("_s")
+        ).distinct()
+    else:
+        subjects = list(subjects)
+        if not subjects:
+            raise ValueError("describe: empty subject list")
+        spark = triples.sparkSession
+        seeds = spark.createDataFrame(
+            [(s,) for s in subjects], "_s string"
+        ).distinct()
+    _ensure_checkpoint_dir(triples)
+    seen = seeds.checkpoint()
+    frontier = seen
+    out = None
+    for _ in range(max_iter):
+        batch = triples.join(
+            F.broadcast(frontier), triples.subj == F.col("_s")
+        ).drop("_s")
+        out = batch if out is None else out.union(batch)
+        is_bnode_obj = (
+            ~F.col("obj_is_literal") & F.col("obj").startswith("_:")
+            if "obj_is_literal" in triples.columns
+            else F.col("obj").startswith("_:")
+        )
+        frontier = (
+            batch.filter(is_bnode_obj)
+            .select(F.col("obj").alias("_s"))
+            .distinct()
+            .join(seen, "_s", "left_anti")
+            .checkpoint()
+        )
+        if frontier.isEmpty():
+            break
+        seen = seen.union(frontier).checkpoint()
+    else:
+        warnings.warn(f"describe: bnode nesting deeper than {max_iter}")
+    return out.distinct()

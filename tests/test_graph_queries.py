@@ -564,3 +564,62 @@ class TestShacl:
                 [{"target_class": EX + "Doc",
                   "properties": [{"path": EX + "p", "node_kind": "bnode"}]}],
             )
+
+
+class TestQuadPatterns:
+    def test_graph_position(self, spark):
+        from jsonld_spark.operators.bgp import bgp_match
+
+        t = spark.createDataFrame(
+            [
+                ("s1", EX + "p", "v1", "g1"),
+                ("s2", EX + "p", "v2", "g2"),
+                ("s3", EX + "q", "v3", "g1"),
+            ],
+            "subj string, pred string, obj string, graph string",
+        )
+        # constant graph constrains; 3-patterns still work on quad frames
+        out = bgp_match(t, [("?x", EX + "p", "?v", "g1")])
+        assert [(r.x, r.v) for r in out.collect()] == [("s1", "v1")]
+        # graph variable binds and joins across patterns
+        out2 = bgp_match(
+            t, [("?x", EX + "p", "?v", "?g"), ("?y", EX + "q", "?w", "?g")]
+        )
+        rows = out2.collect()
+        assert len(rows) == 1 and rows[0].g == "g1" and rows[0].y == "s3"
+        with pytest.raises(ValueError, match="must be"):
+            bgp_match(t, [("s", "p")])
+
+
+class TestDescribe:
+    def test_cbd_follows_bnodes_only(self, spark):
+        from jsonld_spark.operators.bgp import describe
+
+        t = spark.createDataFrame(
+            [
+                (EX + "a", EX + "p", "_:b1"),
+                ("_:b1", EX + "q", "_:b2"),
+                ("_:b2", EX + "r", "leaf"),
+                (EX + "a", EX + "link", EX + "other"),
+                (EX + "other", EX + "p", "not-followed"),
+                (EX + "z", EX + "p", "unrelated"),
+            ],
+            TRIPLE_COLS,
+        )
+        out = describe(t, [EX + "a"])
+        rows = {(r.subj, r.obj) for r in out.collect()}
+        assert rows == {
+            (EX + "a", "_:b1"),
+            ("_:b1", "_:b2"),
+            ("_:b2", "leaf"),
+            (EX + "a", EX + "other"),
+        }
+
+    def test_dataframe_seeds_and_empty(self, spark):
+        from jsonld_spark.operators.bgp import describe
+
+        t = spark.createDataFrame([(EX + "a", EX + "p", "v")], TRIPLE_COLS)
+        seeds = t.select(F.col("subj"))
+        assert describe(t, seeds).count() == 1
+        with pytest.raises(ValueError, match="empty subject"):
+            describe(t, [])
