@@ -91,8 +91,13 @@ def validate_shapes(triples: DataFrame, shapes) -> DataFrame:
             )
             fvals = focus.join(vals, "focus")  # values at in-target foci
             if "min_count" in prop or "max_count" in prop:
+                # distinct VALUE NODES per focus (SHACL counts values;
+                # a duplicated triple is one value, and this stays
+                # correct over multiset triple tables)
                 counts = focus.join(
-                    vals.groupBy("focus").agg(F.count("*").alias("n")),
+                    vals.groupBy("focus").agg(
+                        F.countDistinct("v").alias("n")
+                    ),
                     "focus",
                     "left",
                 ).withColumn("n", F.coalesce("n", F.lit(0)))
