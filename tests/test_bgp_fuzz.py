@@ -1,0 +1,153 @@
+"""Differential fuzz for the KG query layer: bgp_match and
+property_path vs naive pure-Python evaluators on random tiny graphs.
+
+The Python evaluators are deliberately brute-force (nested loops over
+binding dicts / iterated squaring of a pair set) — independent of any
+join-order, gate, or distinct logic in the Spark implementations, so a
+divergence pins a real planner bug rather than a shared assumption."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from jsonld_spark.operators.bgp import bgp_match
+from jsonld_spark.operators.paths import property_path
+
+SUBJ = ["s0", "s1", "s2"]
+PRED = ["p0", "p1"]
+OBJ = ["s0", "s1", "o0", "o1"]  # overlap with subjects → joinable chains
+VARS = ["?x", "?y", "?z"]
+
+triple_st = st.tuples(
+    st.sampled_from(SUBJ), st.sampled_from(PRED), st.sampled_from(OBJ)
+)
+term_st = st.sampled_from(VARS + SUBJ + PRED + OBJ)
+pattern_st = st.tuples(term_st, term_st, term_st)
+
+
+def _match(pat, triple, binding):
+    b = dict(binding)
+    for term, val in zip(pat, triple):
+        if term.startswith("?"):
+            if b.get(term, val) != val:
+                return None
+            b[term] = val
+        elif term != val:
+            return None
+    return b
+
+
+def _eval_bgp(triples, patterns):
+    sols = [{}]
+    for pat in patterns:
+        sols = [
+            m
+            for b in sols
+            for t in triples
+            if (m := _match(pat, t, b)) is not None
+        ]
+        # dedup binding dicts (set semantics per prefix keeps this small)
+        sols = [dict(t) for t in {tuple(sorted(b.items())) for b in sols}]
+    vars_ = sorted(
+        {t[1:] for pat in patterns for t in pat if t.startswith("?")}
+    )
+    return {tuple(b["?" + v] for v in vars_) for b in sols}, vars_
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    triples=st.lists(triple_st, min_size=0, max_size=8),
+    patterns=st.lists(pattern_st, min_size=1, max_size=3),
+)
+def test_bgp_match_vs_naive(spark, triples, patterns):
+    df = spark.createDataFrame(
+        triples or [("_", "_", "_")], "subj string, pred string, obj string"
+    )
+    if not triples:
+        df = df.filter("subj <> '_'")
+    expected, vars_ = _eval_bgp(triples, patterns)
+    out = bgp_match(df, patterns, allow_cartesian=True)
+    assert sorted(out.columns) == vars_
+    got = {tuple(r[v] for v in vars_) for r in out.collect()}
+    assert got == expected, (triples, patterns)
+
+
+def _pairs(triples, pred):
+    return {(s, o) for s, p, o in triples if p == pred}
+
+
+def _closure(pairs):
+    out = set(pairs)
+    while True:
+        nxt = out | {(a, d) for a, b in out for c, d in out if b == c}
+        if nxt == out:
+            return out
+        out = nxt
+
+
+def _eval_path(triples, path):
+    if isinstance(path, str):
+        return _pairs(triples, path)
+    op, *args = path
+    if op == "inv":
+        return {(b, a) for a, b in _eval_path(triples, args[0])}
+    if op == "seq":
+        cur = _eval_path(triples, args[0])
+        for step in args[1:]:
+            nxt = _eval_path(triples, step)
+            cur = {(a, d) for a, b in cur for c, d in nxt if b == c}
+        return cur
+    if op == "alt":
+        out = set()
+        for b in args:
+            out |= _eval_path(triples, b)
+        return out
+    if op == "plus":
+        return _closure(_eval_path(triples, args[0]))
+    nodes = {t[0] for t in triples} | {t[2] for t in triples}
+    ident = {(n, n) for n in nodes}
+    if op == "star":
+        return _closure(_eval_path(triples, args[0])) | ident
+    if op == "opt":
+        return _eval_path(triples, args[0]) | ident
+    raise AssertionError(op)
+
+
+path_st = st.recursive(
+    st.sampled_from(PRED),
+    lambda inner: st.one_of(
+        st.tuples(st.just("inv"), inner),
+        st.tuples(st.just("seq"), inner, inner),
+        st.tuples(st.just("alt"), inner, inner),
+        st.tuples(st.just("plus"), inner),
+        st.tuples(st.just("star"), inner),
+        st.tuples(st.just("opt"), inner),
+    ),
+    max_leaves=3,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    triples=st.lists(triple_st, min_size=1, max_size=7),
+    path=path_st,
+)
+def test_property_path_vs_naive(spark, triples, path):
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj string"
+    )
+    expected = _eval_path(triples, path)
+    got = {
+        (r.src, r.dst)
+        for r in property_path(df, path, max_iter=10).collect()
+    }
+    assert got == expected, (triples, path)
