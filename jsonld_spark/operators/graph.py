@@ -416,6 +416,12 @@ def pagerank(
         )
         if (i + 1) % 4 == 0 and i + 1 < iters:
             ranks = ranks.checkpoint()
+    # materialize the final ranks so the loop's cached inputs can be
+    # released — in a long-lived session the edge/node caches must not
+    # outlive the call (executor storage memory is a shared resource)
+    ranks = ranks.checkpoint()
+    sends.unpersist()
+    nodes.unpersist()
     return ranks
 
 

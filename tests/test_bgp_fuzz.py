@@ -151,3 +151,59 @@ def test_property_path_vs_naive(spark, triples, path):
         for r in property_path(df, path, max_iter=10).collect()
     }
     assert got == expected, (triples, path)
+
+
+# --- forward_chain vs naive datalog fixpoint ---------------------------------
+
+
+def _naive_saturate(triples, rules, max_rounds=12):
+    known = set(triples)
+    for _ in range(max_rounds):
+        new = set()
+        for body, head in rules:
+            sols, vars_ = _eval_bgp(sorted(known), body)
+            for sol in sols:
+                b = dict(zip(["?" + v for v in vars_], sol))
+                for t in head:
+                    fact = tuple(b.get(term, term) for term in t)
+                    if fact not in known:
+                        new.add(fact)
+        if not new:
+            return known
+        known |= new
+    return known
+
+
+rule_head_terms = st.sampled_from(VARS[:2] + PRED + ["hN"])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    triples=st.lists(triple_st, min_size=1, max_size=6),
+    p1=st.sampled_from(PRED),
+    p2=st.sampled_from(PRED),
+    hp=st.sampled_from(PRED),
+)
+def test_forward_chain_vs_naive(spark, triples, p1, p2, hp):
+    # random chain rule: (?x p1 ?y) ∧ (?y p2 ?z) → (?x hp ?z) — the
+    # shape (join + projection) that exercises the semi-naive deltas
+    rules = [
+        (
+            [("?x", p1, "?y"), ("?y", p2, "?z")],
+            [("?x", hp, "?z")],
+        )
+    ]
+    from jsonld_spark.operators.bgp import forward_chain
+
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj string"
+    )
+    expected = _naive_saturate(triples, rules)
+    got = {
+        (r.subj, r.pred, r.obj) for r in forward_chain(df, rules).collect()
+    }
+    assert got == expected, (triples, rules)
