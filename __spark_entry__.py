@@ -657,6 +657,25 @@ def _q_type_inference(spark, sf_dir):
     )
 
 
+def _q_canonical_urls(spark, sf_dir):
+    """URL canonicalization: messy urls synthesized from the documents
+    table (upper-case scheme/host, explicit :80, unsorted params,
+    fragment) must normalize to the oracle's INDEPENDENTLY constructed
+    canonical form — pure JVM regexp/array map stage."""
+    from jsonld_spark.functions.text import canonical_urls
+
+    messy = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "concat('HTTP://Docs.EXAMPLE:80/', source, '/', cast(doc_id as string), "
+            "'?b=', cast(doc_id % 7 as string), '&a=', cast(doc_id % 3 as string), '#sec')"
+        ).alias("url"),
+    )
+    return canonical_urls(messy).select("doc_id", "canonical_url").orderBy(
+        "doc_id"
+    )
+
+
 def _q_boilerplate_lines(spark, sf_dir):
     """Cross-document boilerplate: lines repeating in >=2 distinct docs,
     flagged per doc with an integer ratio — exchanges carry digests,
@@ -886,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_inference": _q_type_inference,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "boilerplate_lines": _q_boilerplate_lines,
+        "canonical_urls": _q_canonical_urls,
         "void_stats": _q_void_stats,
         "pagerank_links": _q_pagerank_links,
         "subclass_closure": _q_subclass_closure,
@@ -1151,6 +1171,13 @@ def oracle_sql() -> dict[str, str]:
             FROM types GROUP BY 1 ORDER BY cls""",
         "tfidf_top_terms": textops.tfidf_top_terms_sql(),
         "boilerplate_lines": textops.boilerplate_lines_sql(),
+        "canonical_urls": """
+            SELECT doc_id,
+                   'http://docs.example/' || source || '/' ||
+                   CAST(doc_id AS VARCHAR) ||
+                   '?a=' || CAST(doc_id % 3 AS VARCHAR) ||
+                   '&b=' || CAST(doc_id % 7 AS VARCHAR) AS canonical_url
+            FROM documents ORDER BY doc_id""",
         "describe_src1": f"""
             WITH s1 AS (SELECT * FROM documents WHERE source = 'src1')
             SELECT subj, pred, obj FROM (

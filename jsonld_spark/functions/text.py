@@ -1432,3 +1432,42 @@ SELECT doc_id, n_lines, n_boiler_lines,
        (1000 * n_boiler_lines) // n_lines AS boiler_ratio_x1000
 FROM p ORDER BY doc_id
 """
+
+
+# --- URL canonicalization ------------------------------------------------------
+
+
+def canonical_url_expr(col: str = "url") -> str:
+    """SQL expression canonicalizing a URL column — the crawl-side
+    normalization that collapses trivially-distinct recrawl urls BEFORE
+    any content hashing: lowercase scheme+host, strip the scheme's
+    default port (:80 http / :443 https), drop the fragment, empty path
+    → '/', and SORT query parameters (param order is almost always
+    non-semantic; '?b=2&a=1' and '?a=1&b=2' are the same resource).
+
+    Pure JVM regexp/array expressions — a map stage, no Python, no
+    shuffle; compose with groupBy(canonical) for URL-level dedup."""
+    u = f"regexp_replace({col}, '#.*$', '')"  # defragment first
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    host = (
+        f"case when {scheme} = 'http' then regexp_replace({hostport}, ':80$', '') "
+        f"when {scheme} = 'https' then regexp_replace({hostport}, ':443$', '') "
+        f"else {hostport} end"
+    )
+    pathq = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)"
+    path = f"regexp_extract({pathq}, '^([^?]*)', 1)"
+    path_norm = f"case when {path} = '' then '/' else {path} end"
+    query = f"regexp_extract({pathq}, '\\\\?(.*)$', 1)"
+    qsorted = f"concat_ws('&', sort_array(split({query}, '&')))"
+    return (
+        f"case when {scheme} = '' then {col} "  # not an absolute URL: keep
+        f"else concat({scheme}, '://', {host}, {path_norm}, "
+        f"case when {query} = '' then '' else concat('?', {qsorted}) end) end"
+    )
+
+
+def canonical_urls(pages: DataFrame, col: str = "url") -> DataFrame:
+    """→ input plus a ``canonical_url`` column (see
+    :func:`canonical_url_expr`)."""
+    return pages.withColumn("canonical_url", F.expr(canonical_url_expr(col)))

@@ -623,3 +623,21 @@ class TestDescribe:
         assert describe(t, seeds).count() == 1
         with pytest.raises(ValueError, match="empty subject"):
             describe(t, [])
+
+
+class TestCanonicalUrl:
+    def test_normalization_rules(self, spark):
+        from jsonld_spark.functions.text import canonical_urls
+
+        cases = [
+            ("HTTP://Ex.COM:80/a/b?b=2&a=1#frag", "http://ex.com/a/b?a=1&b=2"),
+            ("https://ex.com:443", "https://ex.com/"),
+            ("https://ex.com:8443/x", "https://ex.com:8443/x"),  # non-default port kept
+            ("relative/path", "relative/path"),                  # not absolute: untouched
+            ("http://ex.com/?z=1", "http://ex.com/?z=1"),
+            ("ftp://EX.com:80/f", "ftp://ex.com:80/f"),          # :80 only default for http
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = {r.url: r.canonical_url for r in canonical_urls(df).collect()}
+        for u, want in cases:
+            assert got[u] == want, (u, got[u], want)
