@@ -657,6 +657,18 @@ def _q_type_inference(spark, sf_dir):
     )
 
 
+def _q_domain_quality(spark, sf_dir):
+    """Domain-level curation rollup: per-source doc/pass counts,
+    integer-scaled mean stopword ratio, pass ratio + low_quality flag."""
+    return textops.domain_quality(_docs(spark, sf_dir))
+
+
+def _q_corpus_stats(spark, sf_dir):
+    """One-row dataset-card summary (counts, chars, tokens, metadata
+    cardinalities) in a single partial-agg pass."""
+    return textops.corpus_stats(_docs(spark, sf_dir))
+
+
 def _q_canonical_urls(spark, sf_dir):
     """URL canonicalization: messy urls synthesized from the documents
     table (upper-case scheme/host, explicit :80, unsorted params,
@@ -906,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "boilerplate_lines": _q_boilerplate_lines,
         "canonical_urls": _q_canonical_urls,
+        "domain_quality": _q_domain_quality,
+        "corpus_stats": _q_corpus_stats,
         "void_stats": _q_void_stats,
         "pagerank_links": _q_pagerank_links,
         "subclass_closure": _q_subclass_closure,
@@ -1171,6 +1185,8 @@ def oracle_sql() -> dict[str, str]:
             FROM types GROUP BY 1 ORDER BY cls""",
         "tfidf_top_terms": textops.tfidf_top_terms_sql(),
         "boilerplate_lines": textops.boilerplate_lines_sql(),
+        "domain_quality": textops.domain_quality_sql(),
+        "corpus_stats": textops.CORPUS_STATS_SQL,
         "canonical_urls": """
             SELECT doc_id,
                    'http://docs.example/' || source || '/' ||

@@ -1471,3 +1471,93 @@ def canonical_urls(pages: DataFrame, col: str = "url") -> DataFrame:
     """→ input plus a ``canonical_url`` column (see
     :func:`canonical_url_expr`)."""
     return pages.withColumn("canonical_url", F.expr(canonical_url_expr(col)))
+
+
+# --- Domain-level curation rollups ---------------------------------------------
+
+
+def domain_quality(docs: DataFrame) -> DataFrame:
+    """Domain(source)-level quality rollup — curation acts per DOMAIN
+    (keep/drop/reweight a whole source), so the per-doc quality signals
+    roll up: docs, passing docs, integer-scaled mean stopword ratio,
+    pass ratio, and a ``low_quality`` flag (pass ratio < 50%).
+
+    → (source, n_docs, n_pass, mean_stop_x1000, pass_ratio_x1000,
+    low_quality), one row per source.
+
+    100-TB shape: reuses :func:`quality_score` (pure map) + one
+    doc_id-equi join to recover the source column + one partial-agg
+    groupBy over sources (the domain list, not the corpus).  NULL-text
+    docs contribute to n_docs but not to the means (sum/count skip
+    NULLs identically in both engines)."""
+    q = quality_score(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    agg = q.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("quality_pass"), F.lit(0)).cast("bigint").alias("n_pass"),
+        F.expr(
+            "case when count(stop_ratio_x1000) = 0 then null "
+            "else sum(stop_ratio_x1000) div count(stop_ratio_x1000) end"
+        ).cast("bigint").alias("mean_stop_x1000"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        "mean_stop_x1000",
+        F.expr("(1000 * n_pass) div n_docs").alias("pass_ratio_x1000"),
+        F.expr("(1000 * n_pass) div n_docs < 500").alias("low_quality"),
+    ).orderBy("source")
+
+
+def domain_quality_sql() -> str:
+    stop = "t IN ('the', 'a', 'of', 'and', 'to')"
+    return f"""
+WITH q AS (
+  SELECT source,
+    cast(floor(1000 * len(list_filter({_DUCK_TOKENS}, t -> {stop})) / len({_DUCK_TOKENS})) AS BIGINT) AS stop_ratio_x1000,
+    CASE WHEN len({_DUCK_TOKENS}) >= 10 AND len(list_filter({_DUCK_TOKENS}, t -> {stop})) > 0 THEN 1 ELSE 0 END AS quality_pass
+  FROM documents),
+ a AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         coalesce(sum(quality_pass), 0)::BIGINT AS n_pass,
+         CASE WHEN count(stop_ratio_x1000) = 0 THEN NULL
+              ELSE (sum(stop_ratio_x1000) // count(stop_ratio_x1000))::BIGINT END
+           AS mean_stop_x1000
+  FROM q GROUP BY 1)
+SELECT source, n_docs, n_pass, mean_stop_x1000,
+       (1000 * n_pass) // n_docs AS pass_ratio_x1000,
+       (1000 * n_pass) // n_docs < 500 AS low_quality
+FROM a ORDER BY source
+"""
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """One-row dataset-card summary: doc counts, text coverage, total
+    chars/tokens, vocabulary-of-metadata cardinalities — the numbers a
+    training-data release documents.  Single partial-agg pass; the
+    count-distincts are over tiny-cardinality metadata columns."""
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.count("text").alias("n_with_text"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0)).cast("bigint").alias(
+            "total_chars"
+        ),
+        F.coalesce(
+            F.sum(F.expr(f"size({TOKENS_EXPR})")), F.lit(0)
+        ).cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+CORPUS_STATS_SQL = f"""
+SELECT count(*)::BIGINT AS n_docs,
+       count(text)::BIGINT AS n_with_text,
+       coalesce(sum(length(text)), 0)::BIGINT AS total_chars,
+       coalesce(sum(len({_DUCK_TOKENS})), 0)::BIGINT AS total_tokens,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       count(DISTINCT source)::BIGINT AS n_sources
+FROM documents
+"""

@@ -166,6 +166,8 @@ PAIRS = [
     ("payload_meta", mm.payload_meta, lambda: mm.PAYLOAD_META_SQL),
     ("tfidf_top_terms", lambda d: textops.tfidf_top_terms(d, k=3), lambda: textops.tfidf_top_terms_sql(k=3)),
     ("boilerplate_lines", textops.boilerplate_lines, textops.boilerplate_lines_sql),
+    ("domain_quality", textops.domain_quality, textops.domain_quality_sql),
+    ("corpus_stats", textops.corpus_stats, lambda: textops.CORPUS_STATS_SQL),
 ]
 
 
