@@ -701,6 +701,17 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return textops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _q_ifp_links(spark, sf_dir):
+    """IFP entity-link candidates on the n_chars property: documents
+    sharing a value form one group with a min-subject canonical —
+    groups not pairs (k-1 edges, never k²), junk keys bounded by
+    max_group."""
+    from jsonld_spark.operators.graph import ifp_link_candidates
+
+    t = _doc_triples(spark, sf_dir)
+    return ifp_link_candidates(t, VOCAB + "n_chars")
+
+
 def _q_describe_src1(spark, sf_dir):
     """SPARQL DESCRIBE (concise bounded description) of every src1
     document entity: seed set = a DataFrame of subjects (semi-join into
@@ -914,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_materialization": _q_rule_materialization,
         "shacl_validate": _q_shacl_validate,
         "describe_src1": _q_describe_src1,
+        "ifp_links": _q_ifp_links,
         "type_inference": _q_type_inference,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "boilerplate_lines": _q_boilerplate_lines,
@@ -1194,6 +1206,16 @@ def oracle_sql() -> dict[str, str]:
                    '?a=' || CAST(doc_id % 3 AS VARCHAR) ||
                    '&b=' || CAST(doc_id % 7 AS VARCHAR) AS canonical_url
             FROM documents ORDER BY doc_id""",
+        "ifp_links": f"""
+            WITH v AS (
+              SELECT DISTINCT {doc_subj} AS subj,
+                     CAST(n_chars AS VARCHAR) AS val
+              FROM documents)
+            SELECT val, count(*)::BIGINT AS n_subjects,
+                   min(subj) AS canonical_subj
+            FROM v GROUP BY val
+            HAVING count(*) BETWEEN 2 AND 1024
+            ORDER BY val""",
         "describe_src1": f"""
             WITH s1 AS (SELECT * FROM documents WHERE source = 'src1')
             SELECT subj, pred, obj FROM (

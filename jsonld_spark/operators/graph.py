@@ -481,3 +481,63 @@ def infer_types(
         "subj", F.col("dst").alias("cls")
     )
     return t.union(inherited).distinct()
+
+
+def ifp_link_candidates(
+    triples: DataFrame, pred: str, *, max_group: int = 1024
+) -> DataFrame:
+    """Inverse-functional-property entity linking: two resources that
+    share a value of an IFP (foaf:mbox, schema:isbn, …) denote the
+    same entity (owl:InverseFunctionalProperty semantics) — the
+    literal-key complement to explicit sameAs links.  → one row per
+    shared value: (val, n_subjects, canonical_subj), canonical =
+    min(subj), GROUPS not pairs (a k-subject group is k-1 edges, never
+    k² pairs).
+
+    ``max_group`` drops junk keys — at crawl scale the classic IFP
+    poison is a placeholder value ('', 'unknown', 'n/a') shared by
+    millions of pages; a group that size is never a real entity, and
+    dropping it also bounds the downstream join fan-out.
+
+    100-TB shape: distinct (subj, val) projection → one partial-agg
+    groupBy(val) with count + min; output is the shared-value list,
+    feeding :func:`connected_components` via :func:`ifp_sameas_edges`."""
+    vals = (
+        triples.filter(F.col("pred") == pred)
+        .select("subj", F.col("obj").alias("val"))
+        .distinct()
+    )
+    return (
+        vals.groupBy("val")
+        .agg(
+            F.count("*").alias("n_subjects"),
+            F.min("subj").alias("canonical_subj"),
+        )
+        .filter(
+            (F.col("n_subjects") >= 2) & (F.col("n_subjects") <= max_group)
+        )
+        .orderBy("val")
+    )
+
+
+def ifp_sameas_edges(
+    triples: DataFrame, pred: str, *, max_group: int = 1024
+) -> DataFrame:
+    """IFP groups → (src, dst) star edges to the group's canonical
+    subject, union-able with explicit sameAs edges into the same
+    connected-components pass (k-1 edges per k-subject group)."""
+    groups = ifp_link_candidates(triples, pred, max_group=max_group)
+    vals = (
+        triples.filter(F.col("pred") == pred)
+        .select("subj", F.col("obj").alias("val"))
+        .distinct()
+    )
+    return (
+        vals.join(groups.select("val", "canonical_subj"), "val")
+        .filter(F.col("subj") != F.col("canonical_subj"))
+        .select(
+            F.col("subj").alias("src"),
+            F.col("canonical_subj").alias("dst"),
+        )
+        .distinct()
+    )

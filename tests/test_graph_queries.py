@@ -641,3 +641,44 @@ class TestCanonicalUrl:
         got = {r.url: r.canonical_url for r in canonical_urls(df).collect()}
         for u, want in cases:
             assert got[u] == want, (u, got[u], want)
+
+
+class TestIfpLinking:
+    def test_groups_and_edges(self, spark):
+        from jsonld_spark.operators.graph import (
+            ifp_link_candidates,
+            ifp_sameas_edges,
+        )
+
+        t = spark.createDataFrame(
+            [
+                ("a", EX + "mbox", "x@e"),
+                ("b", EX + "mbox", "x@e"),
+                ("c", EX + "mbox", "y@e"),   # singleton: no group
+                ("d", EX + "mbox", "z@e"),
+                ("e", EX + "mbox", "z@e"),
+                ("f", EX + "mbox", "z@e"),
+                ("g", EX + "other", "x@e"),  # different predicate: ignored
+            ],
+            TRIPLE_COLS,
+        )
+        groups = {
+            r.val: (r.n_subjects, r.canonical_subj)
+            for r in ifp_link_candidates(t, EX + "mbox").collect()
+        }
+        assert groups == {"x@e": (2, "a"), "z@e": (3, "d")}
+        edges = {
+            (r.src, r.dst) for r in ifp_sameas_edges(t, EX + "mbox").collect()
+        }
+        assert edges == {("b", "a"), ("e", "d"), ("f", "d")}
+
+    def test_max_group_drops_junk_keys(self, spark):
+        from jsonld_spark.operators.graph import ifp_link_candidates
+
+        t = spark.createDataFrame(
+            [(f"s{i}", EX + "mbox", "") for i in range(5)]
+            + [("a", EX + "mbox", "v"), ("b", EX + "mbox", "v")],
+            TRIPLE_COLS,
+        )
+        out = ifp_link_candidates(t, EX + "mbox", max_group=4).collect()
+        assert [(r.val, r.n_subjects) for r in out] == [("v", 2)]
