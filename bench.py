@@ -371,6 +371,9 @@ def main() -> None:
         "ann_topk_lsh",
         "pagerank_links",
         "payload_meta",
+        "tfidf_top_terms",
+        "boilerplate_lines",
+        "rule_materialization",
     ]
     qs = E.queries()
     for name in headline:
