@@ -82,6 +82,17 @@ def validate_shapes(triples: DataFrame, shapes) -> DataFrame:
             .distinct()
         )
         for prop in shape.get("properties", []):
+            unknown = set(prop) - {
+                "path", "min_count", "max_count",
+                "datatype", "node_kind", "pattern",
+            }
+            if unknown:
+                # a typo'd key would otherwise be silently ignored —
+                # a validator that skips constraints is worse than none
+                raise ValueError(
+                    f"unknown constraint key(s) {sorted(unknown)} in "
+                    f"shape {name!r}"
+                )
             path = prop["path"]
             vals = triples.filter(F.col("pred") == path).select(
                 F.col("subj").alias("focus"),

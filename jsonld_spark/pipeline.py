@@ -232,15 +232,28 @@ class KGPipeline:
         max_iter: int = 25,
         dedup: bool = True,
         dictionary_encode: bool = False,
+        ifp_preds: tuple = (),
+        ifp_max_group: int = 1024,
     ) -> DataFrame:
+        """``ifp_preds``: inverse-functional predicates (foaf:mbox-like
+        literal keys) whose shared values add link edges alongside the
+        explicit sameAs ones — k-1 star edges per value group, junk
+        keys bounded by ``ifp_max_group`` (operators/graph.py
+        ifp_sameas_edges); one connected-components pass merges both
+        evidence kinds."""
         from .operators.graph import (
             SAME_AS_PREDICATES,
             canonical_mapping,
+            ifp_sameas_edges,
             link_entities,
             sameas_edges,
         )
 
         edges = sameas_edges(triples)
+        for p in ifp_preds:
+            edges = edges.union(
+                ifp_sameas_edges(triples, p, max_group=ifp_max_group)
+            ).distinct()
         mapping = canonical_mapping(
             edges, max_iter=max_iter, dictionary_encode=dictionary_encode
         )

@@ -682,3 +682,42 @@ class TestIfpLinking:
         )
         out = ifp_link_candidates(t, EX + "mbox", max_group=4).collect()
         assert [(r.val, r.n_subjects) for r in out] == [("v", 2)]
+
+
+class TestIfpPipelineIntegration:
+    def test_linked_triples_merges_ifp_evidence(self, spark):
+        from jsonld_spark.pipeline import KGPipeline
+
+        # two docs share an IFP value but have NO sameAs link: with
+        # ifp_preds they collapse to one canonical subject
+        rows = [
+            ("u1", "http://e/a", EX + "mbox", "x@e", True, None, None, None),
+            ("u2", "http://e/b", EX + "mbox", "x@e", True, None, None, None),
+            ("u1", "http://e/a", EX + "p", "v", True, None, None, None),
+            ("u2", "http://e/b", EX + "p", "v", True, None, None, None),
+        ]
+        cols = ("url string, subj string, pred string, obj string, "
+                "obj_is_literal boolean, obj_datatype string, "
+                "obj_lang string, graph string")
+        t = spark.createDataFrame(rows, cols)
+        pipe = KGPipeline(spark)
+        plain = pipe.linked_triples(t)
+        assert plain.select("subj").distinct().count() == 2  # no merge
+        linked = pipe.linked_triples(t, ifp_preds=(EX + "mbox",))
+        subs = {r.subj for r in linked.select("subj").distinct().collect()}
+        assert subs == {"http://e/a"}  # min-IRI canonical
+
+
+class TestShaclUnknownKey:
+    def test_typoed_constraint_refused(self, spark):
+        from jsonld_spark.operators.shacl import validate_shapes
+
+        t = spark.createDataFrame(
+            [("s", TYPE, EX + "Doc")], TRIPLE_COLS
+        )
+        with pytest.raises(ValueError, match="unknown constraint"):
+            validate_shapes(
+                t,
+                [{"target_class": EX + "Doc",
+                  "properties": [{"path": EX + "p", "mincount": 1}]}],
+            )
