@@ -701,6 +701,32 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return textops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _q_extract_links(spark, sf_dir):
+    """Crawl link-graph extraction: pages synthesized with one
+    root-relative, one absolute, one path-relative and one
+    commented-out anchor each; the oracle constructs the three
+    resolved targets directly (the hidden one must NOT appear)."""
+    from jsonld_spark.sources.html_jsonld import extract_links
+
+    pages = _docs(spark, sf_dir).select(
+        F.expr(
+            "concat('http://h', cast(doc_id % 4 as string), "
+            "'.example/dir/page', cast(doc_id as string))"
+        ).alias("url"),
+        F.encode(
+            F.expr(
+                "concat('<html><body><a href=\"/p/', cast(doc_id % 10 as string), "
+                "'\">x</a><a href=', chr(39), 'https://ex.com/', "
+                "cast(doc_id % 5 as string), chr(39), '>y</a>"
+                "<a href=\"r/', cast(doc_id % 3 as string), '\">z</a>"
+                "<!-- <a href=\"/hidden\">n</a> --></body></html>')"
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    return extract_links(pages).orderBy("url", "href")
+
+
 def _q_ifp_links(spark, sf_dir):
     """IFP entity-link candidates on the n_chars property: documents
     sharing a value form one group with a min-subject canonical —
@@ -926,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_validate": _q_shacl_validate,
         "describe_src1": _q_describe_src1,
         "ifp_links": _q_ifp_links,
+        "extract_links": _q_extract_links,
         "type_inference": _q_type_inference,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "boilerplate_lines": _q_boilerplate_lines,
@@ -1206,6 +1233,24 @@ def oracle_sql() -> dict[str, str]:
                    '?a=' || CAST(doc_id % 3 AS VARCHAR) ||
                    '&b=' || CAST(doc_id % 7 AS VARCHAR) AS canonical_url
             FROM documents ORDER BY doc_id""",
+        "extract_links": """
+            WITH p AS (
+              SELECT 'http://h' || CAST(doc_id % 4 AS VARCHAR) ||
+                     '.example/dir/page' || CAST(doc_id AS VARCHAR) AS url,
+                     doc_id
+              FROM documents)
+            SELECT url, href FROM (
+              SELECT url, 'http://h' || CAST(doc_id % 4 AS VARCHAR) ||
+                     '.example/p/' || CAST(doc_id % 10 AS VARCHAR) AS href
+              FROM p
+              UNION ALL
+              SELECT url, 'https://ex.com/' || CAST(doc_id % 5 AS VARCHAR)
+              FROM p
+              UNION ALL
+              SELECT url, 'http://h' || CAST(doc_id % 4 AS VARCHAR) ||
+                     '.example/dir/r/' || CAST(doc_id % 3 AS VARCHAR)
+              FROM p)
+            ORDER BY url, href""",
         "ifp_links": f"""
             WITH v AS (
               SELECT DISTINCT {doc_subj} AS subj,

@@ -212,3 +212,50 @@ def parse_all_scripts(html: str | bytes, url: str | None = None):
         else:
             merged.append(parsed)
     return merged, errors
+
+
+# --- Hyperlink extraction (crawl link graph) ----------------------------------
+
+
+def extract_links(pages, url_col: str = "url", html_col: str = "html"):
+    """→ (url, href): every <a href> in each page, comment-stripped and
+    resolved — the crawl LINK GRAPH builder (outlinks feed PageRank /
+    host-graph analyses; the JSON-LD scanner next door feeds the KG).
+
+    Entirely JVM-side (decode + two regexps + explode — no Python, no
+    shuffle): comments are stripped first so commented-out markup never
+    contributes links (same ordering rule as the Python ld+json
+    scanner, sources/html_jsonld.py _strip_comments); hrefs resolve
+    scheme-relative (//h/p), root-relative (/p) and path-relative
+    (r/p) targets against the page url textually — dot-segment
+    normalization (../) is NOT applied (the full RFC 3986 resolver
+    lives in iri.py for the Python path; a link graph tolerates the
+    rare unnormalized tail, and the divergence is documented here).
+
+    100-TB shape: pure map + explode; output is (url, href) pairs —
+    the link graph itself, typically ~50 edges/page."""
+    from pyspark.sql import functions as F
+
+    html_s = F.expr(
+        f"regexp_replace(decode({html_col}, 'UTF-8'), '(?s)<!--.*?-->', '')"
+    )
+    # Column-API pattern literal sidesteps SQL-string quote escaping
+    # (the regex needs both quote characters)
+    link_re = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"']*)["']"""
+    hrefs = F.regexp_extract_all(F.col("_h"), F.lit(link_re), F.lit(1))
+    origin = f"regexp_extract({url_col}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
+    scheme = f"regexp_extract({url_col}, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)"
+    base_dir = f"regexp_replace(regexp_replace({url_col}, '[?#].*$', ''), '[^/]*$', '')"
+    resolved = (
+        f"case when _href rlike '^[A-Za-z][A-Za-z0-9+.-]*:' then _href "
+        f"when _href like '//%' then concat({scheme}, ':', _href) "
+        f"when _href like '/%' then concat({origin}, _href) "
+        f"else concat({base_dir}, _href) end"
+    )
+    return (
+        pages.select(F.col(url_col).alias("url"), html_s.alias("_h"))
+        .select("url", F.explode(hrefs).alias("_href"))
+        .filter(F.col("_href") != "")
+        .select("url", F.expr(resolved).alias("href"))
+        .distinct()
+    )

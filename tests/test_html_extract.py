@@ -157,3 +157,30 @@ def test_doc_pages_template_escapes_dirty_fields(spark):
         if isinstance(v, list) and v and isinstance(v[0], dict)
     }
     assert vals.get("source") == 'a"b\\'
+
+
+def test_extract_links_resolution(spark):
+    from jsonld_spark.sources.html_jsonld import extract_links
+
+    html = (
+        b'<html><body><a href="/p/1">a</a>'
+        b"<a HREF='https://ex.com/abs'>b</a>"
+        b'<a href="r/2">c</a>'
+        b'<a href="//cdn.e/x">d</a>'
+        b'<!-- <a href="/hidden">n</a> -->'
+        b'<a href="">e</a>'
+        b'<a class="z" href="/attr">f</a>'
+        b'<a href="mailto:x@e">g</a></body></html>'
+    )
+    df = spark.createDataFrame(
+        [("http://h.example/dir/page?q=1", html)], "url string, html binary"
+    )
+    got = {r.href for r in extract_links(df).collect()}
+    assert got == {
+        "http://h.example/p/1",        # root-relative
+        "https://ex.com/abs",          # absolute, case-insensitive HREF
+        "http://h.example/dir/r/2",    # path-relative (query stripped)
+        "http://cdn.e/x",              # scheme-relative
+        "http://h.example/attr",       # href not first attribute
+        "mailto:x@e",                  # scheme'd non-http kept verbatim
+    }
