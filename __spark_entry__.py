@@ -727,6 +727,30 @@ def _q_extract_links(spark, sf_dir):
     return extract_links(pages).orderBy("url", "href")
 
 
+def _q_host_graph(spark, sf_dir):
+    """Domain-level web graph from the extracted links: hosts
+    lowercased, host-less targets dropped, weighted by link count."""
+    from jsonld_spark.sources.html_jsonld import extract_links, host_graph
+
+    pages = _docs(spark, sf_dir).select(
+        F.expr(
+            "concat('http://h', cast(doc_id % 4 as string), "
+            "'.example/dir/page', cast(doc_id as string))"
+        ).alias("url"),
+        F.encode(
+            F.expr(
+                "concat('<html><body><a href=\"/p/', cast(doc_id % 10 as string), "
+                "'\">x</a><a href=', chr(39), 'https://ex.com/', "
+                "cast(doc_id % 5 as string), chr(39), '>y</a>"
+                "<a href=\"r/', cast(doc_id % 3 as string), '\">z</a>"
+                "<!-- <a href=\"/hidden\">n</a> --></body></html>')"
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    return host_graph(extract_links(pages))
+
+
 def _q_ifp_links(spark, sf_dir):
     """IFP entity-link candidates on the n_chars property: documents
     sharing a value form one group with a min-subject canonical —
@@ -953,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_src1": _q_describe_src1,
         "ifp_links": _q_ifp_links,
         "extract_links": _q_extract_links,
+        "host_graph": _q_host_graph,
         "type_inference": _q_type_inference,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "boilerplate_lines": _q_boilerplate_lines,
@@ -1233,6 +1258,20 @@ def oracle_sql() -> dict[str, str]:
                    '?a=' || CAST(doc_id % 3 AS VARCHAR) ||
                    '&b=' || CAST(doc_id % 7 AS VARCHAR) AS canonical_url
             FROM documents ORDER BY doc_id""",
+        "host_graph": """
+            WITH p AS (
+              SELECT 'h' || CAST(doc_id % 4 AS VARCHAR) || '.example'
+                     AS src_host, doc_id
+              FROM documents),
+            e AS (
+              -- /p/k and r/k links stay on the page's own host (2 links),
+              -- the absolute link goes to ex.com (1 link)
+              SELECT src_host, src_host AS dst_host, 2 AS w FROM p
+              UNION ALL
+              SELECT src_host, 'ex.com', 1 FROM p)
+            SELECT src_host, dst_host, CAST(sum(w) AS BIGINT) AS n_links
+            FROM e GROUP BY src_host, dst_host
+            ORDER BY src_host, dst_host""",
         "extract_links": """
             WITH p AS (
               SELECT 'http://h' || CAST(doc_id % 4 AS VARCHAR) ||

@@ -259,3 +259,27 @@ def extract_links(pages, url_col: str = "url", html_col: str = "html"):
         .select("url", F.expr(resolved).alias("href"))
         .distinct()
     )
+
+
+def host_graph(links, src_col: str = "url", dst_col: str = "href"):
+    """(url, href) link pairs → weighted host graph (src_host,
+    dst_host, n_links): the domain-level web graph (host PageRank,
+    spam-cluster detection, crawl frontier prioritization).  Hosts
+    lowercase; non-absolute or host-less targets (mailto:, data:)
+    drop out.  One regexp projection + one partial-agg groupBy — at
+    crawl scale the output is hosts², bounded in practice by actual
+    linkage (~10³-10⁴ per host)."""
+    from pyspark.sql import functions as F
+
+    host = lambda c: F.lower(  # noqa: E731
+        F.regexp_extract(F.col(c), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
+    )
+    return (
+        links.select(
+            host(src_col).alias("src_host"), host(dst_col).alias("dst_host")
+        )
+        .filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+        .orderBy("src_host", "dst_host")
+    )

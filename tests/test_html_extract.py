@@ -184,3 +184,22 @@ def test_extract_links_resolution(spark):
         "http://h.example/attr",       # href not first attribute
         "mailto:x@e",                  # scheme'd non-http kept verbatim
     }
+
+
+def test_host_graph_rollup(spark):
+    from jsonld_spark.sources.html_jsonld import host_graph
+
+    links = spark.createDataFrame(
+        [
+            ("http://A.example/p1", "http://b.example/x"),
+            ("http://a.example/p2", "http://B.example/y"),  # case-folds
+            ("http://a.example/p3", "http://a.example/self"),
+            ("http://a.example/p4", "mailto:x@e"),          # host-less: dropped
+        ],
+        "url string, href string",
+    )
+    rows = {(r.src_host, r.dst_host): r.n_links for r in host_graph(links).collect()}
+    assert rows == {
+        ("a.example", "b.example"): 2,
+        ("a.example", "a.example"): 1,
+    }
