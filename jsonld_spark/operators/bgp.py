@@ -52,8 +52,8 @@ def _pattern_df(triples: DataFrame, pattern, idx: int) -> tuple[DataFrame, set]:
         else:
             df = df.filter(F.col(col) == F.lit(term))
     if not cols:  # ground pattern: contributes only an existence check
-        cols = [F.lit(1).alias(f"_ground_{idx}")]
-    return df.select(*cols).distinct(), set(seen)
+        return df.select(F.lit(1).alias(f"_ground_{idx}")).distinct(), set()
+    return df.select(*cols), set(seen)
 
 
 def bgp_match(
@@ -61,12 +61,23 @@ def bgp_match(
     patterns,
     *,
     allow_cartesian: bool = False,
+    set_semantics: bool = True,
     _sources=None,
 ) -> DataFrame:
     """→ DataFrame with one column per distinct variable: every binding
-    of the variables such that ALL patterns hold (SPARQL BGP semantics,
-    set projection — each pattern scan is de-duplicated, so a variable
-    set is a solution once regardless of how many triples witness it).
+    of the variables such that ALL patterns hold.
+
+    ``set_semantics=True`` (default): set projection — each pattern
+    scan is de-duplicated, so a variable set is a solution once
+    regardless of how many triples witness it.  ``set_semantics=False``
+    is SPARQL's own BAG semantics (duplicate witnesses multiply) — and
+    the scale lever: skipping the per-pattern distinct preserves the
+    scan's output partitioning, so over a SUBJECT-BUCKETED triples
+    table (pipeline.write_bucketed_table) a subject-star BGP compiles
+    to sort-merge joins with ZERO exchanges (plan-asserted in
+    tests/test_graph_queries.py::test_bucketed_bgp_no_exchange); a
+    final ``.distinct()`` on the (small) binding set recovers set
+    results for one exchange total instead of one per pattern.
 
     Join order: most-constant pattern first (selectivity heuristic),
     then greedily any pattern sharing a variable with the bound set —
@@ -84,10 +95,12 @@ def bgp_match(
     srcs = list(_sources) if _sources is not None else [None] * len(pats)
     if len(srcs) != len(pats):
         raise ValueError("bgp_match: _sources length must match patterns")
-    parts = [
-        _pattern_df(s if s is not None else triples, p, i)
-        for i, (s, p) in enumerate(zip(srcs, pats))
-    ]
+    parts = []
+    for i, (s, p) in enumerate(zip(srcs, pats)):
+        df, vs = _pattern_df(s if s is not None else triples, p, i)
+        if set_semantics and vs:
+            df = df.distinct()
+        parts.append((df, vs))
     # Ground (all-constant) patterns bind no variables: they are ≤1-row
     # existence gates, joined by (trivial broadcast) cross product at the
     # end — they never participate in the connectivity walk and never

@@ -721,3 +721,55 @@ class TestShaclUnknownKey:
                 [{"target_class": EX + "Doc",
                   "properties": [{"path": EX + "p", "mincount": 1}]}],
             )
+
+
+def test_bucketed_bgp_no_exchange(spark, tmp_path):
+    """The 100-TB plan shape: over a SUBJECT-BUCKETED triples table,
+    a subject-star BGP with bag semantics compiles to sort-merge joins
+    with ZERO exchanges — the scan's bucket partitioning satisfies
+    every join's distribution requirement."""
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        spark.sql("DROP TABLE IF EXISTS bgp_bucketed_test")
+        t = _triples(
+            spark,
+            [(f"s{i % 20}", f"{EX}p{i % 3}", f"o{i}") for i in range(200)],
+        )
+        (
+            t.write.bucketBy(4, "subj")
+            .sortBy("subj")
+            .mode("overwrite")
+            .saveAsTable("bgp_bucketed_test")
+        )
+        tb = spark.table("bgp_bucketed_test")
+        out = bgp_match(
+            tb,
+            [
+                ("?x", EX + "p0", "?a"),
+                ("?x", EX + "p1", "?b"),
+                ("?x", EX + "p2", "?c"),
+            ],
+            set_semantics=False,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan[:3000]
+        assert "SortMergeJoin" in plan
+        assert out.count() > 0
+        # bag vs set: final distinct recovers set results (one exchange
+        # total instead of one per pattern)
+        set_rows = bgp_match(
+            tb, [("?x", EX + "p0", "?a")], set_semantics=True
+        ).count()
+        bag_rows = (
+            bgp_match(tb, [("?x", EX + "p0", "?a")], set_semantics=False)
+            .distinct()
+            .count()
+        )
+        assert set_rows == bag_rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.sql("DROP TABLE IF EXISTS bgp_bucketed_test")
