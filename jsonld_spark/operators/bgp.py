@@ -296,7 +296,15 @@ def forward_chain(
         for body, head in rules:
             body = list(body)
             if rnd == 0:
-                sols = [bgp_match(known, body, allow_cartesian=True)]
+                # bag semantics: construct() distincts the emitted
+                # facts anyway, so per-pattern distinct exchanges are
+                # pure overhead inside the saturation loop
+                sols = [
+                    bgp_match(
+                        known, body,
+                        allow_cartesian=True, set_semantics=False,
+                    )
+                ]
             else:
                 # semi-naive: one evaluation per body atom, that atom
                 # scanning the delta, the others the full known set
@@ -305,6 +313,7 @@ def forward_chain(
                         known,
                         body,
                         allow_cartesian=True,
+                        set_semantics=False,
                         _sources=[
                             delta if j == i else None
                             for j in range(len(body))
