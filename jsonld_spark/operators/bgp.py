@@ -348,8 +348,9 @@ def describe(triples: DataFrame, subjects, *, max_iter: int = 10) -> DataFrame:
     one-column DataFrame.
 
     100-TB shape: each round is one semi-join of the triples table
-    against the (small) frontier — seed sets are query-sized, bnode
-    fan-out is document-sized, so every frontier join broadcasts; CBD
+    against the frontier — AQE broadcasts it when small (the typical
+    query-sized seed set) and shuffles correctly when a class-scale
+    seed set makes it large; CBD
     depth is bnode-nesting depth (rarely >3), bounded by ``max_iter``
     with a reliable checkpoint per round."""
     from .graph import _ensure_checkpoint_dir
@@ -371,8 +372,12 @@ def describe(triples: DataFrame, subjects, *, max_iter: int = 10) -> DataFrame:
     frontier = seen
     out = None
     for _ in range(max_iter):
+        # no broadcast HINT: a DESCRIBE seed set can be corpus-scale
+        # (every entity of a class) and a forced broadcast would OOM the
+        # executors — AQE broadcasts small frontiers on its own from
+        # runtime sizes, and big ones shuffle correctly
         batch = triples.join(
-            F.broadcast(frontier), triples.subj == F.col("_s")
+            frontier, triples.subj == F.col("_s")
         ).drop("_s")
         out = batch if out is None else out.union(batch)
         is_bnode_obj = (
