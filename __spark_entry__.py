@@ -751,6 +751,21 @@ def _q_host_graph(spark, sf_dir):
     return host_graph(extract_links(pages))
 
 
+def _q_component_stats(spark, sf_dir):
+    """Component-size histogram of the sameAs link graph: each canon
+    entity's component = its docs + the canon node itself, so the
+    histogram is derivable from the doc_id % 100 group sizes."""
+    from jsonld_spark.operators.graph import (
+        component_stats,
+        connected_components,
+        sameas_edges,
+    )
+
+    t = _doc_triples(spark, sf_dir)
+    labels = connected_components(sameas_edges(t))
+    return component_stats(labels)
+
+
 def _q_ifp_links(spark, sf_dir):
     """IFP entity-link candidates on the n_chars property: documents
     sharing a value form one group with a min-subject canonical —
@@ -976,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_validate": _q_shacl_validate,
         "describe_src1": _q_describe_src1,
         "ifp_links": _q_ifp_links,
+        "component_stats": _q_component_stats,
         "extract_links": _q_extract_links,
         "host_graph": _q_host_graph,
         "type_inference": _q_type_inference,
@@ -1290,6 +1306,13 @@ def oracle_sql() -> dict[str, str]:
                      '.example/dir/r/' || CAST(doc_id % 3 AS VARCHAR)
               FROM p)
             ORDER BY url, href""",
+        "component_stats": """
+            WITH g AS (
+              SELECT doc_id % 100 AS c, count(*) AS n
+              FROM documents GROUP BY 1)
+            SELECT CAST(n + 1 AS BIGINT) AS size,
+                   count(*)::BIGINT AS n_components
+            FROM g GROUP BY 1 ORDER BY size""",
         "ifp_links": f"""
             WITH v AS (
               SELECT DISTINCT {doc_subj} AS subj,

@@ -541,3 +541,21 @@ def ifp_sameas_edges(
         )
         .distinct()
     )
+
+
+def component_stats(labels: DataFrame, comp: str = "comp") -> DataFrame:
+    """Entity-linking QA: the component-size distribution of a
+    connected-components labeling → (size, n_components), ordered by
+    size.  The shape of this histogram is the first thing to check
+    after a linking run — a giant component signals alias-graph
+    poisoning (a hub value gluing unrelated entities), a flat
+    all-singletons histogram signals broken edge extraction.
+
+    Two partial-agg groupBys (per-component count, then per-size
+    count); output is the histogram, never the corpus."""
+    sizes = labels.groupBy(comp).agg(F.count("*").alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count("*").alias("n_components"))
+        .orderBy("size")
+    )

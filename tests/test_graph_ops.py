@@ -209,3 +209,14 @@ def test_connected_components_dictionary_encoded_equivalence(spark):
     }
     assert plain == enc
     assert ("http://e/m", "http://e/a") in enc
+
+
+def test_component_stats_histogram(spark):
+    from jsonld_spark.operators.graph import component_stats
+
+    labels = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "d"), ("e", "d"), ("f", "d")],
+        "id string, comp string",
+    )
+    rows = {r.size: r.n_components for r in component_stats(labels).collect()}
+    assert rows == {1: 1, 2: 1, 3: 1}
