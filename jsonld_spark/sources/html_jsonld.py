@@ -233,7 +233,13 @@ def extract_links(pages, url_col: str = "url", html_col: str = "html"):
     rare unnormalized tail, and the divergence is documented here).
 
     100-TB shape: pure map + explode; output is (url, href) pairs —
-    the link graph itself, typically ~50 edges/page."""
+    the link graph itself, typically ~50 edges/page.  Works unchanged
+    under Structured Streaming (tests/test_streaming.py), with one
+    caveat: the final per-page ``distinct`` becomes STATEFUL dedup on
+    a stream — state grows with distinct pairs, so long-running
+    streams should add a watermark upstream (the batch path is
+    unaffected; within-page duplicate links are the common case it
+    collapses)."""
     from pyspark.sql import functions as F
 
     html_s = F.expr(

@@ -344,3 +344,50 @@ def test_stateful_first_seen_min_over_all_chunks(spark):
     assert got["http://x.example/only"].n_occurrences == 9
     assert got["http://x.example/only"].warc_ts == datetime(2026, 1, 1)
     assert got["http://x.example/other"].n_occurrences == 1
+
+
+def test_extract_links_streams(spark):
+    """extract_links is all narrow ops (decode + regexp + explode), so
+    the link graph extracts under Structured Streaming unchanged —
+    same checkpointed availableNow pattern as the triples stream."""
+    from jsonld_spark.sources.html_jsonld import extract_links
+
+    base = os.path.join(DATA_DIR, "stream_links_test")
+    shutil.rmtree(base, ignore_errors=True)
+    pages_dir = os.path.join(base, "pages")
+    out_dir = os.path.join(base, "links")
+    cp_dir = os.path.join(base, "cp")
+    os.makedirs(pages_dir)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        {
+            "url": f"http://h{i % 2}.example/d/p{i}",
+            "html": (
+                f'<a href="/x/{i % 3}">a</a><a href="http://ex.com/{i % 5}">b</a>'
+            ).encode(),
+        }
+        for i in range(40)
+    ]
+    t = pa.Table.from_pylist(
+        rows, schema=pa.schema([("url", pa.string()), ("html", pa.binary())])
+    )
+    pq.write_table(t, os.path.join(pages_dir, "b0.parquet"))
+
+    stream = spark.readStream.schema("url string, html binary").parquet(
+        pages_dir
+    )
+    q = (
+        extract_links(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 80  # 2 links per page
+    assert got.filter("href = 'http://h0.example/x/0'").count() > 0
