@@ -751,6 +751,23 @@ def _q_host_graph(spark, sf_dir):
     return host_graph(extract_links(pages))
 
 
+def _q_graph_diff(spark, sf_dir):
+    """Recrawl delta: old snapshot = lang+source triples of even docs,
+    new = lang triples of all docs → '+' rows are odd docs' lang
+    triples, '-' rows even docs' source triples."""
+    from jsonld_spark.operators.graph import graph_diff
+
+    t = _doc_triples(spark, sf_dir)
+    even = F.expr(
+        f"cast(substring(subj, {len(DOC_NS) + 1}) as bigint) % 2 = 0"
+    )
+    old = t.filter(
+        F.col("pred").isin(VOCAB + "lang", VOCAB + "source") & even
+    )
+    new = t.filter(F.col("pred") == VOCAB + "lang")
+    return graph_diff(old, new)
+
+
 def _q_component_stats(spark, sf_dir):
     """Component-size histogram of the sameAs link graph: each canon
     entity's component = its docs + the canon node itself, so the
@@ -992,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_src1": _q_describe_src1,
         "ifp_links": _q_ifp_links,
         "component_stats": _q_component_stats,
+        "graph_diff": _q_graph_diff,
         "extract_links": _q_extract_links,
         "host_graph": _q_host_graph,
         "type_inference": _q_type_inference,
@@ -1306,6 +1324,15 @@ def oracle_sql() -> dict[str, str]:
                      '.example/dir/r/' || CAST(doc_id % 3 AS VARCHAR)
               FROM p)
             ORDER BY url, href""",
+        "graph_diff": f"""
+            SELECT op, subj, pred, obj FROM (
+              SELECT '+' AS op, {doc_subj} AS subj,
+                     '{VOCAB}lang' AS pred, lang AS obj
+              FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT '-', {doc_subj}, '{VOCAB}source', source
+              FROM documents WHERE doc_id % 2 = 0)
+            ORDER BY op, subj, pred, obj""",
         "component_stats": """
             WITH g AS (
               SELECT doc_id % 100 AS c, count(*) AS n

@@ -559,3 +559,27 @@ def component_stats(labels: DataFrame, comp: str = "comp") -> DataFrame:
         .agg(F.count("*").alias("n_components"))
         .orderBy("size")
     )
+
+
+def graph_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """KG snapshot delta → (op, subj, pred, obj) with op ∈ {'+', '-'}:
+    the triples to publish when a recrawl updates the graph — '+' rows
+    are in ``new`` only, '-' rows in ``old`` only (RDF set semantics;
+    unchanged triples emit nothing).  Incremental downstream consumers
+    (index updates, cache invalidation, entailment maintenance via
+    ``forward_chain`` on the delta) read this instead of re-scanning
+    the snapshot.
+
+    Two left-anti joins on (subj, pred, obj) — each a single hash
+    exchange; over subject-bucketed snapshots written by
+    ``write_bucketed_table`` the anti joins co-locate like any other
+    subject-keyed join."""
+    o = old.select("subj", "pred", "obj").distinct()
+    n = new.select("subj", "pred", "obj").distinct()
+    added = n.join(o, ["subj", "pred", "obj"], "left_anti").select(
+        F.lit("+").alias("op"), "subj", "pred", "obj"
+    )
+    removed = o.join(n, ["subj", "pred", "obj"], "left_anti").select(
+        F.lit("-").alias("op"), "subj", "pred", "obj"
+    )
+    return added.union(removed).orderBy("op", "subj", "pred", "obj")

@@ -220,3 +220,15 @@ def test_component_stats_histogram(spark):
     )
     rows = {r.size: r.n_components for r in component_stats(labels).collect()}
     assert rows == {1: 1, 2: 1, 3: 1}
+
+
+def test_graph_diff_directions(spark):
+    from jsonld_spark.operators.graph import graph_diff
+
+    cols = "subj string, pred string, obj string"
+    old = spark.createDataFrame(
+        [("s1", "p", "a"), ("s2", "p", "b"), ("s2", "p", "b")], cols
+    )  # duplicate row: set semantics
+    new = spark.createDataFrame([("s1", "p", "a"), ("s3", "p", "c")], cols)
+    rows = {(r.op, r.subj, r.obj) for r in graph_diff(old, new).collect()}
+    assert rows == {("+", "s3", "c"), ("-", "s2", "b")}
