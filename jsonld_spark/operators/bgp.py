@@ -290,12 +290,69 @@ def forward_chain(
     known = (
         triples.select("subj", "pred", "obj").distinct().checkpoint()
     )
-    delta = known
+    return _saturate(
+        known, known, rules, full_first_round=True,
+        max_iter=max_iter, checkpoint_every=checkpoint_every,
+    )
+
+
+def forward_chain_incremental(
+    saturated: DataFrame,
+    delta: DataFrame,
+    rules,
+    *,
+    max_iter: int = 20,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Incremental entailment MAINTENANCE: given an already-saturated
+    fact set and a batch of new facts (e.g. the '+' side of
+    :func:`~jsonld_spark.operators.graph.graph_diff` after a recrawl),
+    derive only what the new facts entail — every round, including the
+    first, is delta-restricted, so the cost scales with the update,
+    not the knowledge base.  Returns the new saturated set.
+
+    (Additions only — datalog is monotone, so added facts never
+    invalidate old conclusions; RETRACTIONS need delete/re-derive
+    bookkeeping this deliberately does not implement: re-saturate with
+    :func:`forward_chain` after removals.)"""
+    from .graph import _ensure_checkpoint_dir
+
+    rules = list(rules)
+    if not rules:
+        raise ValueError("forward_chain_incremental: empty rule list")
+    _ensure_checkpoint_dir(saturated)
+    base = saturated.select("subj", "pred", "obj").distinct()
+    new_facts = (
+        delta.select("subj", "pred", "obj")
+        .distinct()
+        .join(base, ["subj", "pred", "obj"], "left_anti")
+        .checkpoint()
+    )
+    if new_facts.isEmpty():
+        return base.checkpoint()
+    known = base.union(new_facts).checkpoint()
+    return _saturate(
+        known, new_facts, rules, full_first_round=False,
+        max_iter=max_iter, checkpoint_every=checkpoint_every,
+    )
+
+
+def _saturate(
+    known: DataFrame,
+    delta: DataFrame,
+    rules,
+    *,
+    full_first_round: bool,
+    max_iter: int,
+    checkpoint_every: int,
+) -> DataFrame:
+    """Shared semi-naive saturation loop (see the two public entry
+    points for semantics)."""
     for rnd in range(max_iter):
         derived = None
         for body, head in rules:
             body = list(body)
-            if rnd == 0:
+            if rnd == 0 and full_first_round:
                 # bag semantics: construct() distincts the emitted
                 # facts anyway, so per-pattern distinct exchanges are
                 # pure overhead inside the saturation loop

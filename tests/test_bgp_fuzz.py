@@ -207,3 +207,41 @@ def test_forward_chain_vs_naive(spark, triples, p1, p2, hp):
         (r.subj, r.pred, r.obj) for r in forward_chain(df, rules).collect()
     }
     assert got == expected, (triples, rules)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    triples=st.lists(triple_st, min_size=2, max_size=6, unique=True),
+    split=st.integers(min_value=1, max_value=5),
+    p1=st.sampled_from(PRED),
+    hp=st.sampled_from(PRED),
+)
+def test_incremental_equals_full_saturation(spark, triples, split, p1, hp):
+    # saturate(T) == incremental(saturate(T0), T \ T0) for any split —
+    # the monotone-maintenance contract
+    from jsonld_spark.operators.bgp import (
+        forward_chain,
+        forward_chain_incremental,
+    )
+
+    split = min(split, len(triples) - 1)
+    t0, extra = triples[:split], triples[split:]
+    rules = [
+        (
+            [("?x", p1, "?y"), ("?y", p1, "?z")],
+            [("?x", hp, "?z")],
+        )
+    ]
+    cols = "subj string, pred string, obj string"
+    full = forward_chain(spark.createDataFrame(triples, cols), rules)
+    base = forward_chain(spark.createDataFrame(t0, cols), rules)
+    inc = forward_chain_incremental(
+        base, spark.createDataFrame(extra, cols), rules
+    )
+    f = {(r.subj, r.pred, r.obj) for r in full.collect()}
+    i = {(r.subj, r.pred, r.obj) for r in inc.collect()}
+    assert f == i, (triples, split, rules)

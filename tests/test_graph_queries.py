@@ -773,3 +773,49 @@ def test_bucketed_bgp_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.sql("DROP TABLE IF EXISTS bgp_bucketed_test")
+
+
+class TestIncrementalChain:
+    def test_empty_delta_returns_base(self, spark):
+        from jsonld_spark.operators.bgp import (
+            forward_chain,
+            forward_chain_incremental,
+        )
+
+        cols = "subj string, pred string, obj string"
+        t = spark.createDataFrame([("a", EX + "lt", "b")], cols)
+        rules = [
+            (
+                [("?x", EX + "lt", "?y"), ("?y", EX + "lt", "?z")],
+                [("?x", EX + "lt", "?z")],
+            )
+        ]
+        base = forward_chain(t, rules)
+        # delta already contained in the base: nothing to do
+        inc = forward_chain_incremental(base, t, rules)
+        assert inc.count() == base.count()
+
+    def test_delta_derivation_joins_old_facts(self, spark):
+        from jsonld_spark.operators.bgp import (
+            forward_chain,
+            forward_chain_incremental,
+        )
+
+        cols = "subj string, pred string, obj string"
+        rules = [
+            (
+                [("?x", EX + "lt", "?y"), ("?y", EX + "lt", "?z")],
+                [("?x", EX + "lt", "?z")],
+            )
+        ]
+        base = forward_chain(
+            spark.createDataFrame([("a", EX + "lt", "b")], cols), rules
+        )
+        inc = forward_chain_incremental(
+            base,
+            spark.createDataFrame([("b", EX + "lt", "c")], cols),
+            rules,
+        )
+        rows = {(r.subj, r.obj) for r in inc.collect()}
+        # the new edge must join the OLD edge to derive a->c
+        assert rows == {("a", "b"), ("b", "c"), ("a", "c")}
