@@ -751,6 +751,17 @@ def _q_host_graph(spark, sf_dir):
     return host_graph(extract_links(pages))
 
 
+def _q_negative_samples(spark, sf_dir):
+    """Deterministic KG-embedding negative sampling over the resource
+    triples (type + sameAs): md5-indexed entity draws, filtered
+    setting — the oracle replays the dense-id entity table and the
+    draw arithmetic exactly."""
+    from jsonld_spark.operators.graph import negative_samples
+
+    t = _doc_triples(spark, sf_dir)
+    return negative_samples(t, k=2)
+
+
 def _q_graph_diff(spark, sf_dir):
     """Recrawl delta: old snapshot = lang+source triples of even docs,
     new = lang triples of all docs → '+' rows are odd docs' lang
@@ -1010,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ifp_links": _q_ifp_links,
         "component_stats": _q_component_stats,
         "graph_diff": _q_graph_diff,
+        "negative_samples": _q_negative_samples,
         "extract_links": _q_extract_links,
         "host_graph": _q_host_graph,
         "type_inference": _q_type_inference,
@@ -1324,6 +1336,35 @@ def oracle_sql() -> dict[str, str]:
                      '.example/dir/r/' || CAST(doc_id % 3 AS VARCHAR)
               FROM p)
             ORDER BY url, href""",
+        "negative_samples": f"""
+            WITH res AS (
+              SELECT {doc_subj} AS subj, '{RDF_TYPE}' AS pred,
+                     '{VOCAB}Document' AS obj FROM documents
+              UNION ALL
+              SELECT {doc_subj}, '{SAME_AS}',
+                     '{CANON_NS}' || CAST(doc_id % 100 AS VARCHAR)
+              FROM documents),
+            ents AS (
+              SELECT iri, row_number() OVER (ORDER BY iri) AS vid
+              FROM (SELECT subj AS iri FROM res
+                    UNION SELECT obj FROM res)),
+            n AS (SELECT count(*) AS n FROM ents),
+            draws AS (
+              SELECT subj, pred, obj, CAST(i AS INTEGER) AS sample_idx,
+                     (CAST(('0x' || substr(md5(subj || chr(0) || pred ||
+                       chr(0) || obj || chr(0) || CAST(i AS VARCHAR)), 1, 8))
+                       AS BIGINT) % n) + 1 AS did
+              FROM res, (SELECT unnest(range(2)) AS i), n),
+            neg AS (
+              SELECT d.subj, d.pred, d.obj, e.iri AS neg_obj, d.sample_idx
+              FROM draws d JOIN ents e ON e.vid = d.did
+              WHERE e.iri <> d.obj)
+            SELECT * FROM neg
+            WHERE NOT EXISTS (
+              SELECT 1 FROM res r
+              WHERE r.subj = neg.subj AND r.pred = neg.pred
+                AND r.obj = neg.neg_obj)
+            ORDER BY subj, pred, obj, sample_idx""",
         "graph_diff": f"""
             SELECT op, subj, pred, obj FROM (
               SELECT '+' AS op, {doc_subj} AS subj,

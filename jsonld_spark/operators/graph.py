@@ -583,3 +583,67 @@ def graph_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         F.lit("-").alias("op"), "subj", "pred", "obj"
     )
     return added.union(removed).orderBy("op", "subj", "pred", "obj")
+
+
+def negative_samples(triples: DataFrame, k: int = 1) -> DataFrame:
+    """KG-embedding training prep (TransE-family): for every triple
+    whose object is a resource, emit ``k`` corrupted variants — the
+    object replaced by a DETERMINISTICALLY drawn entity — in the
+    'filtered setting' (Bordes et al. 2013): a corruption that happens
+    to be a true triple is dropped, not trained on as a negative.
+
+    Determinism: the replacement is ``entities[h32(md5(s‖p‖o‖i)) mod
+    n]`` over the lexicographically-indexed entity table — the sample
+    set is a pure function of the graph, bit-identical at any
+    parallelism (and therefore value-hash-checkable / reproducible
+    across epochs without storing the draws).  Self-corruptions
+    (draw == true object) are also dropped.
+
+    → (subj, pred, obj, neg_obj, sample_idx), sample_idx ∈ [0, k).
+
+    100-TB shape: the entity index uses the two-phase dense-id
+    assignment (NO single-partition window); each draw is one equi-join
+    against the entity table on the drawn id + one left-anti against
+    the graph for the filtered setting — all AQE-sized."""
+    if k < 1:
+        raise ValueError("negative_samples: k must be >= 1")
+    res = triples.filter(~F.col("obj_is_literal")) if (
+        "obj_is_literal" in triples.columns
+    ) else triples
+    res = res.select("subj", "pred", "obj")
+    ents = dense_ids_by_sorted_order(
+        res.select(F.col("subj").alias("iri"))
+        .union(res.select(F.col("obj").alias("iri")))
+        .distinct()
+    ).select(F.col("iri").alias("_ent"), F.col("vid").alias("_eid"))
+    n = ents.count()
+    out = None
+    for i in range(k):
+        # dense ids are 1..n — the +1 keeps every draw in range (a
+        # plain mod n would silently drop draws landing on 0)
+        h = (
+            f"pmod(cast(conv(substr(md5(concat(subj, chr(0), pred, "
+            f"chr(0), obj, chr(0), '{i}')), 1, 8), 16, 10) as bigint), {n}) + 1"
+        )
+        drawn = res.withColumn("_did", F.expr(h)).join(
+            ents, F.col("_did") == F.col("_eid")
+        ).select(
+            "subj", "pred", "obj",
+            F.col("_ent").alias("neg_obj"),
+            F.lit(i).alias("sample_idx"),
+        )
+        out = drawn if out is None else out.union(drawn)
+    # filtered setting: drop corruptions that are REAL triples, and
+    # degenerate draws equal to the true object
+    out = out.filter(F.col("neg_obj") != F.col("obj"))
+    real = res.select(
+        F.col("subj").alias("_s"), F.col("pred").alias("_p"),
+        F.col("obj").alias("_o"),
+    )
+    out = out.join(
+        real,
+        (out.subj == real._s) & (out.pred == real._p)
+        & (out.neg_obj == real._o),
+        "left_anti",
+    )
+    return out.orderBy("subj", "pred", "obj", "sample_idx")

@@ -1,5 +1,7 @@
 """Connected components + entity linking tests."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from jsonld_spark.operators.graph import (
@@ -232,3 +234,33 @@ def test_graph_diff_directions(spark):
     new = spark.createDataFrame([("s1", "p", "a"), ("s3", "p", "c")], cols)
     rows = {(r.op, r.subj, r.obj) for r in graph_diff(old, new).collect()}
     assert rows == {("+", "s3", "c"), ("-", "s2", "b")}
+
+
+def test_negative_samples_deterministic_and_filtered(spark):
+    import hashlib
+
+    from jsonld_spark.operators.graph import negative_samples
+
+    cols = "subj string, pred string, obj string"
+    triples = [("a", "p", "b"), ("a", "p", "c"), ("b", "p", "c")]
+    t = spark.createDataFrame(triples, cols)
+    s1 = negative_samples(t, k=2).collect()
+    s2 = negative_samples(t, k=2).collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]  # bit-stable
+
+    # full Python mirror of the draw (pins the 1..n dense-id indexing:
+    # a plain `mod n` would silently drop draws landing on id 0)
+    ents = sorted({s for s, _, _ in triples} | {o for _, _, o in triples})
+    real = set(triples)
+    expected = set()
+    for (su, p, o) in triples:
+        for i in range(2):
+            key = f"{su}\x00{p}\x00{o}\x00{i}".encode()
+            h = int(hashlib.md5(key).hexdigest()[:8], 16) % len(ents)
+            neg = ents[h]  # ents[h] == dense id h+1
+            if neg != o and (su, p, neg) not in real:
+                expected.add((su, p, o, neg, i))
+    got = {(r.subj, r.pred, r.obj, r.neg_obj, r.sample_idx) for r in s1}
+    assert got == expected
+    with pytest.raises(ValueError, match="k must be"):
+        negative_samples(t, k=0)
