@@ -840,7 +840,10 @@ def _q_shacl_validate(spark, sf_dir):
                 {"path": VOCAB + "lang", "min_count": 1, "max_count": 1,
                  "pattern": "^(en|es)"},
                 {"path": VOCAB + "n_chars", "datatype": XSD_INTEGER},
-                {"path": SAME_AS, "node_kind": "iri"},
+                {"path": SAME_AS, "node_kind": "iri",
+                 # canon entities carry no rdf:type -> every doc
+                 # violates, exercising the sh:class anti-join
+                 "cls": VOCAB + "Entity"},
             ],
         }
     ]
@@ -1408,13 +1411,19 @@ def oracle_sql() -> dict[str, str]:
                      '{CANON_NS}' || CAST(doc_id % 100 AS VARCHAR) FROM s1)
             ORDER BY subj, pred, obj""",
         "shacl_validate": f"""
-            SELECT {doc_subj} AS focus,
-                   'DocumentShape' AS shape,
-                   '{VOCAB}lang' AS path,
-                   'pattern ^(en|es)' AS "constraint",
-                   lang AS value
-            FROM documents
-            WHERE NOT regexp_matches(lang, '^(en|es)')
+            SELECT focus, shape, path, "constraint", value FROM (
+              SELECT {doc_subj} AS focus,
+                     'DocumentShape' AS shape,
+                     '{VOCAB}lang' AS path,
+                     'pattern ^(en|es)' AS "constraint",
+                     lang AS value
+              FROM documents
+              WHERE NOT regexp_matches(lang, '^(en|es)')
+              UNION ALL
+              SELECT {doc_subj}, 'DocumentShape', '{SAME_AS}',
+                     'class {VOCAB}Entity',
+                     '{CANON_NS}' || CAST(doc_id % 100 AS VARCHAR)
+              FROM documents)
             ORDER BY focus, shape, path, "constraint", value""",
         "rule_materialization": f"""
             WITH RECURSIVE inst AS (

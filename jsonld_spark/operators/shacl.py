@@ -84,7 +84,7 @@ def validate_shapes(triples: DataFrame, shapes) -> DataFrame:
         for prop in shape.get("properties", []):
             unknown = set(prop) - {
                 "path", "min_count", "max_count",
-                "datatype", "node_kind", "pattern",
+                "datatype", "node_kind", "pattern", "cls",
             }
             if unknown:
                 # a typo'd key would otherwise be silently ignored —
@@ -155,6 +155,19 @@ def validate_shapes(triples: DataFrame, shapes) -> DataFrame:
                     _violation(
                         bad, name, path, f"nodeKind {kind}", F.col("v")
                     )
+                )
+            if "cls" in prop:
+                # sh:class: every value must be an instance of cls —
+                # one left-anti join against the type-triple scan.
+                # Pass SATURATED triples (infer_types / forward_chain)
+                # when subclass membership should count.
+                cls = prop["cls"]
+                typed = triples.filter(
+                    (F.col("pred") == RDF_TYPE) & (F.col("obj") == cls)
+                ).select(F.col("subj").alias("v"))
+                bad = fvals.join(typed, "v", "left_anti")
+                outs.append(
+                    _violation(bad, name, path, f"class {cls}", F.col("v"))
                 )
             if "pattern" in prop:
                 pat = prop["pattern"]

@@ -819,3 +819,27 @@ class TestIncrementalChain:
         rows = {(r.subj, r.obj) for r in inc.collect()}
         # the new edge must join the OLD edge to derive a->c
         assert rows == {("a", "b"), ("b", "c"), ("a", "c")}
+
+
+class TestShaclClass:
+    def test_class_constraint(self, spark):
+        from jsonld_spark.operators.shacl import validate_shapes
+
+        XSD = "http://www.w3.org/2001/XMLSchema#"
+        rows = [
+            ("d1", TYPE, EX + "Doc", False, None),
+            ("d1", EX + "author", EX + "p1", False, None),
+            ("d2", TYPE, EX + "Doc", False, None),
+            ("d2", EX + "author", EX + "p2", False, None),  # p2 untyped
+            (EX + "p1", TYPE, EX + "Person", False, None),
+        ]
+        kg = spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj string, obj_is_literal boolean, obj_datatype string",
+        )
+        out = validate_shapes(
+            kg,
+            [{"target_class": EX + "Doc",
+              "properties": [{"path": EX + "author", "cls": EX + "Person"}]}],
+        ).collect()
+        assert [(r.focus, r.value) for r in out] == [("d2", EX + "p2")]
