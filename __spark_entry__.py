@@ -751,6 +751,15 @@ def _q_host_graph(spark, sf_dir):
     return host_graph(extract_links(pages))
 
 
+def _q_sample_frames(spark, sf_dir):
+    """Frame-sampling plumbing: mapInPandas explode (1 payload row ->
+    4 frame rows); digests over the hex form are byte-true and
+    SQL-mirrorable."""
+    return multimodal.sample_frames(
+        multimodal.attach_payload(_docs(spark, sf_dir)), n_frames=4
+    ).orderBy("doc_id", "frame_idx")
+
+
 def _q_negative_samples(spark, sf_dir):
     """Deterministic KG-embedding negative sampling over the resource
     triples (type + sameAs): md5-indexed entity draws, filtered
@@ -1025,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_stats": _q_component_stats,
         "graph_diff": _q_graph_diff,
         "negative_samples": _q_negative_samples,
+        "sample_frames": _q_sample_frames,
         "extract_links": _q_extract_links,
         "host_graph": _q_host_graph,
         "type_inference": _q_type_inference,
@@ -1493,4 +1503,5 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": similarity.semdedup_sql(),
         "payload_meta": multimodal.PAYLOAD_META_SQL,
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
+        "sample_frames": multimodal.sample_frames_sql(),
     }

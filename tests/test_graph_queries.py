@@ -843,3 +843,31 @@ class TestShaclClass:
               "properties": [{"path": EX + "author", "cls": EX + "Person"}]}],
         ).collect()
         assert [(r.focus, r.value) for r in out] == [("d2", EX + "p2")]
+
+
+class TestSampleFrames:
+    def test_frame_slices_and_nulls(self, spark):
+        import hashlib
+
+        from jsonld_spark.functions.multimodal import sample_frames
+
+        p = spark.createDataFrame(
+            [(1, b"abcdefghij"), (2, None)], "doc_id long, payload binary"
+        )
+        rows = sample_frames(p, n_frames=3).collect()
+        by_key = {(r.doc_id, r.frame_idx): r for r in rows}
+        assert len(rows) == 6
+        # 10 bytes / 3 frames -> slices [0:3] [3:6] [6:10]
+        assert [by_key[(1, i)].n_frame_bytes for i in range(3)] == [3, 3, 4]
+        want = hashlib.md5(b"abc".hex().upper().encode()).hexdigest()
+        assert by_key[(1, 0)].frame_digest == want
+        assert by_key[(1, 1)].frame_ts_ms == 1000
+        # NULL payload -> empty frames, digest of ''
+        empty = hashlib.md5(b"".hex().upper().encode()).hexdigest()
+        assert all(
+            by_key[(2, i)].n_frame_bytes == 0
+            and by_key[(2, i)].frame_digest == empty
+            for i in range(3)
+        )
+        with pytest.raises(ValueError, match="n_frames"):
+            sample_frames(p, n_frames=0)

@@ -168,6 +168,7 @@ PAIRS = [
     ("boilerplate_lines", textops.boilerplate_lines, textops.boilerplate_lines_sql),
     ("domain_quality", textops.domain_quality, textops.domain_quality_sql),
     ("corpus_stats", textops.corpus_stats, lambda: textops.CORPUS_STATS_SQL),
+    ("sample_frames", lambda d: mm.sample_frames(mm.attach_payload(d), n_frames=3).orderBy("doc_id", "frame_idx"), lambda: mm.sample_frames_sql(n_frames=3)),
 ]
 
 
