@@ -31,6 +31,9 @@ Constraint → plan mapping (each an independent subplan, unioned):
   — lite simplification, bnode targets are rare in published data).
 - ``pattern``: ``rlike`` on the lexical form (Java regex — keep to the
   RE2-safe subset if the oracle mirrors it).
+- ``cls``: sh:class — every value an instance of the class, one
+  left-anti join against the type scan (pass saturated triples when
+  subclass membership should count).
 
 → (focus, shape, path, constraint, value) — one row per violation,
 ``value`` the offending lexical form or stringified count.
