@@ -455,3 +455,20 @@ def describe(triples: DataFrame, subjects, *, max_iter: int = 10) -> DataFrame:
     else:
         warnings.warn(f"describe: bnode nesting deeper than {max_iter}")
     return out.distinct()
+
+
+def bgp_values(bindings: DataFrame, var: str, values) -> DataFrame:
+    """SPARQL ``VALUES``: constrain a binding set to an inline list of
+    allowed values for ``var`` — semantically a join with a constant
+    table, planned as an IN predicate (pushable into the scans feeding
+    the bindings).  Multi-variable VALUES rows are an ordinary join
+    with a small DataFrame the caller builds; this helper covers the
+    ubiquitous single-variable case."""
+    vals = list(values)
+    if not vals:
+        raise ValueError("bgp_values: empty value list")
+    if var not in bindings.columns:
+        raise ValueError(
+            f"bgp_values: ?{var} not bound (columns: {bindings.columns})"
+        )
+    return bindings.filter(F.col(var).isin(*vals))

@@ -34,6 +34,8 @@ Constraint → plan mapping (each an independent subplan, unioned):
 - ``cls``: sh:class — every value an instance of the class, one
   left-anti join against the type scan (pass saturated triples when
   subclass membership should count).
+- ``in``: sh:in — value from an enumerated lexical-form list (an IN
+  predicate on the scan).
 
 → (focus, shape, path, constraint, value) — one row per violation,
 ``value`` the offending lexical form or stringified count.
@@ -87,7 +89,7 @@ def validate_shapes(triples: DataFrame, shapes) -> DataFrame:
         for prop in shape.get("properties", []):
             unknown = set(prop) - {
                 "path", "min_count", "max_count",
-                "datatype", "node_kind", "pattern", "cls",
+                "datatype", "node_kind", "pattern", "cls", "in",
             }
             if unknown:
                 # a typo'd key would otherwise be silently ignored —
@@ -171,6 +173,18 @@ def validate_shapes(triples: DataFrame, shapes) -> DataFrame:
                 bad = fvals.join(typed, "v", "left_anti")
                 outs.append(
                     _violation(bad, name, path, f"class {cls}", F.col("v"))
+                )
+            if "in" in prop:
+                # sh:in — value from an enumerated list (lexical forms)
+                allowed = list(prop["in"])
+                if not allowed:
+                    raise ValueError(f"'in' list empty in shape {name!r}")
+                bad = fvals.filter(~F.col("v").isin(*allowed))
+                outs.append(
+                    _violation(
+                        bad, name, path,
+                        f"in [{', '.join(allowed)}]", F.col("v"),
+                    )
                 )
             if "pattern" in prop:
                 pat = prop["pattern"]

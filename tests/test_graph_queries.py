@@ -871,3 +871,43 @@ class TestSampleFrames:
         )
         with pytest.raises(ValueError, match="n_frames"):
             sample_frames(p, n_frames=0)
+
+
+class TestShaclIn:
+    def test_in_constraint(self, spark):
+        from jsonld_spark.operators.shacl import validate_shapes
+
+        kg = spark.createDataFrame(
+            [
+                ("d1", TYPE, EX + "Doc", False, None),
+                ("d1", EX + "lang", "en", True, None),
+                ("d2", TYPE, EX + "Doc", False, None),
+                ("d2", EX + "lang", "xx", True, None),
+            ],
+            "subj string, pred string, obj string, obj_is_literal boolean, obj_datatype string",
+        )
+        out = validate_shapes(
+            kg,
+            [{"target_class": EX + "Doc",
+              "properties": [{"path": EX + "lang", "in": ["en", "fr"]}]}],
+        ).collect()
+        assert [(r.focus, r.value) for r in out] == [("d2", "xx")]
+        with pytest.raises(ValueError, match="'in' list empty"):
+            validate_shapes(
+                kg,
+                [{"target_class": EX + "Doc",
+                  "properties": [{"path": EX + "lang", "in": []}]}],
+            )
+
+
+class TestBgpValues:
+    def test_values_constrains(self, tiny):
+        from jsonld_spark.operators.bgp import bgp_match, bgp_values
+
+        sols = bgp_match(tiny, [("?x", EX + "name", "?n")])
+        out = bgp_values(sols, "n", ["Alice", "Carol"])
+        assert {r.n for r in out.collect()} == {"Alice", "Carol"}
+        with pytest.raises(ValueError, match="not bound"):
+            bgp_values(sols, "missing", ["v"])
+        with pytest.raises(ValueError, match="empty value"):
+            bgp_values(sols, "n", [])
