@@ -149,6 +149,7 @@ def bgp_optional(
     optional_groups,
     *,
     allow_cartesian: bool = False,
+    set_semantics: bool = True,
 ) -> DataFrame:
     """SPARQL ``OPTIONAL`` over BGPs: solutions of ``required`` extended
     with each optional group's bindings where the group matches, NULL in
@@ -168,11 +169,17 @@ def bgp_optional(
     100-TB shape: required + each group compile to Catalyst join trees
     (see :func:`bgp_match`); the OPTIONAL layer adds one left equi-join
     per group, broadcast by AQE when a group's solution set is small."""
-    out = bgp_match(triples, required, allow_cartesian=allow_cartesian)
+    out = bgp_match(
+        triples, required,
+        allow_cartesian=allow_cartesian, set_semantics=set_semantics,
+    )
     req_vars = set(out.columns)
     new_vars: set = set()
     for gi, grp in enumerate(optional_groups):
-        opt = bgp_match(triples, grp, allow_cartesian=allow_cartesian)
+        opt = bgp_match(
+            triples, grp,
+            allow_cartesian=allow_cartesian, set_semantics=set_semantics,
+        )
         vs = set(opt.columns)
         shared = sorted(vs & req_vars)
         if not shared:
@@ -196,6 +203,7 @@ def bgp_union(
     branches,
     *,
     allow_cartesian: bool = False,
+    set_semantics: bool = True,
 ) -> DataFrame:
     """SPARQL ``UNION`` over BGPs: the set union of each branch's
     solutions, projected to the union of all branch variables — a
@@ -211,11 +219,17 @@ def bgp_union(
     if not brs:
         raise ValueError("bgp_union: empty branch list")
     sols = [
-        bgp_match(triples, b, allow_cartesian=allow_cartesian) for b in brs
+        bgp_match(
+            triples, b,
+            allow_cartesian=allow_cartesian, set_semantics=set_semantics,
+        )
+        for b in brs
     ]
     out = sols[0]
     for s in sols[1:]:
         out = out.unionByName(s, allowMissingColumns=True)
+    # one distinct on the final (small) binding set either way — with
+    # set_semantics=False it is the ONLY exchange the union pays
     return out.distinct()
 
 
