@@ -426,6 +426,8 @@ def describe(triples: DataFrame, subjects, *, max_iter: int = 10) -> DataFrame:
     with a reliable checkpoint per round."""
     from .graph import _ensure_checkpoint_dir
 
+    if max_iter < 1:
+        raise ValueError("describe: max_iter must be >= 1")
     if isinstance(subjects, DataFrame):
         seeds = subjects.select(
             F.col(subjects.columns[0]).alias("_s")
@@ -471,13 +473,24 @@ def describe(triples: DataFrame, subjects, *, max_iter: int = 10) -> DataFrame:
     return out.distinct()
 
 
-def bgp_values(bindings: DataFrame, var: str, values) -> DataFrame:
+def bgp_values(
+    bindings: DataFrame, var: str, values, *, keep_unbound: bool = False
+) -> DataFrame:
     """SPARQL ``VALUES``: constrain a binding set to an inline list of
     allowed values for ``var`` — semantically a join with a constant
     table, planned as an IN predicate (pushable into the scans feeding
     the bindings).  Multi-variable VALUES rows are an ordinary join
     with a small DataFrame the caller builds; this helper covers the
-    ubiquitous single-variable case."""
+    ubiquitous single-variable case.
+
+    Unbound solutions (``var`` NULL, e.g. from ``bgp_optional``
+    output): SPARQL compatibility treats an unbound variable as
+    compatible with every VALUES row, so strict SPARQL keeps those
+    solutions.  The default here (``keep_unbound=False``) follows SQL
+    ``IN`` and drops them — the common data-filtering intent — and the
+    divergence is opt-out: pass ``keep_unbound=True`` for
+    SPARQL-compatible retention (planned as ``isNull() OR isin``, still
+    a pushable predicate)."""
     vals = list(values)
     if not vals:
         raise ValueError("bgp_values: empty value list")
@@ -485,4 +498,7 @@ def bgp_values(bindings: DataFrame, var: str, values) -> DataFrame:
         raise ValueError(
             f"bgp_values: ?{var} not bound (columns: {bindings.columns})"
         )
-    return bindings.filter(F.col(var).isin(*vals))
+    pred = F.col(var).isin(*vals)
+    if keep_unbound:
+        pred = F.col(var).isNull() | pred
+    return bindings.filter(pred)

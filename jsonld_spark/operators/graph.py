@@ -616,7 +616,17 @@ def negative_samples(triples: DataFrame, k: int = 1) -> DataFrame:
         .union(res.select(F.col("obj").alias("iri")))
         .distinct()
     ).select(F.col("iri").alias("_ent"), F.col("vid").alias("_eid"))
+    # the count is one eager (narrow) job at plan-construction time —
+    # unavoidable: the draw expression needs the literal modulus.  It
+    # also guards the degenerate no-resource-triples graph, where
+    # `pmod(x, 0)` would otherwise be silent NULLs (ANSI off) or a
+    # DIVIDE_BY_ZERO crash (ANSI on)
     n = ents.count()
+    if n == 0:
+        raise ValueError(
+            "negative_samples: graph has no resource-object triples "
+            "(nothing to corrupt)"
+        )
     out = None
     for i in range(k):
         # dense ids are 1..n — the +1 keeps every draw in range (a

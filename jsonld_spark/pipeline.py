@@ -253,7 +253,11 @@ class KGPipeline:
         for p in ifp_preds:
             edges = edges.union(
                 ifp_sameas_edges(triples, p, max_group=ifp_max_group)
-            ).distinct()
+            )
+        if ifp_preds:
+            # one dedup exchange over the whole union, not one per
+            # predicate
+            edges = edges.distinct()
         mapping = canonical_mapping(
             edges, max_iter=max_iter, dictionary_encode=dictionary_encode
         )

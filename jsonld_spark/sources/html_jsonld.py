@@ -226,11 +226,14 @@ def extract_links(pages, url_col: str = "url", html_col: str = "html"):
     shuffle): comments are stripped first so commented-out markup never
     contributes links (same ordering rule as the Python ld+json
     scanner, sources/html_jsonld.py _strip_comments); hrefs resolve
-    scheme-relative (//h/p), root-relative (/p) and path-relative
-    (r/p) targets against the page url textually — dot-segment
-    normalization (../) is NOT applied (the full RFC 3986 resolver
-    lives in iri.py for the Python path; a link graph tolerates the
-    rare unnormalized tail, and the divergence is documented here).
+    scheme-relative (//h/p), root-relative (/p), query-only (?x=1,
+    against the defragmented page url — RFC 3986 keeps the path) and
+    path-relative (r/p) targets against the page url textually —
+    dot-segment normalization (../) is NOT applied and fragment-only
+    hrefs (#top — pure self-references, no edge in a link graph) are
+    dropped (the full RFC 3986 resolver lives in iri.py for the Python
+    path; a link graph tolerates the rare unnormalized tail, and both
+    divergences are documented here).
 
     100-TB shape: pure map + explode; output is (url, href) pairs —
     the link graph itself, typically ~50 edges/page.  Works unchanged
@@ -251,17 +254,24 @@ def extract_links(pages, url_col: str = "url", html_col: str = "html"):
     hrefs = F.regexp_extract_all(F.col("_h"), F.lit(link_re), F.lit(1))
     origin = f"regexp_extract({url_col}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
     scheme = f"regexp_extract({url_col}, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)"
-    base_dir = f"regexp_replace(regexp_replace({url_col}, '[?#].*$', ''), '[^/]*$', '')"
+    # query-only hrefs replace the query/fragment of the PAGE url
+    # (path kept — RFC 3986 §5.3); path-relative ones resolve against
+    # the page's directory
+    defrag = f"regexp_replace({url_col}, '[?#].*$', '')"
+    base_dir = f"regexp_replace({defrag}, '[^/]*$', '')"
     resolved = (
         f"case when _href rlike '^[A-Za-z][A-Za-z0-9+.-]*:' then _href "
         f"when _href like '//%' then concat({scheme}, ':', _href) "
         f"when _href like '/%' then concat({origin}, _href) "
+        f"when _href like '?%' then concat({defrag}, _href) "
         f"else concat({base_dir}, _href) end"
     )
     return (
         pages.select(F.col(url_col).alias("url"), html_s.alias("_h"))
         .select("url", F.explode(hrefs).alias("_href"))
-        .filter(F.col("_href") != "")
+        # '' (empty) and '#...' (fragment-only) are self-references —
+        # no edge in a link graph
+        .filter((F.col("_href") != "") & ~F.col("_href").startswith("#"))
         .select("url", F.expr(resolved).alias("href"))
         .distinct()
     )

@@ -264,3 +264,12 @@ def test_negative_samples_deterministic_and_filtered(spark):
     assert got == expected
     with pytest.raises(ValueError, match="k must be"):
         negative_samples(t, k=0)
+
+    # literal-only graph: n = 0 entities must be an explicit error, not
+    # a silent-NULL pmod(x, 0) empty result
+    lit = spark.createDataFrame(
+        [("s", "p", "v", True)],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+    with pytest.raises(ValueError, match="no resource-object triples"):
+        negative_samples(lit, k=1)

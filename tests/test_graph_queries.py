@@ -623,6 +623,8 @@ class TestDescribe:
         assert describe(t, seeds).count() == 1
         with pytest.raises(ValueError, match="empty subject"):
             describe(t, [])
+        with pytest.raises(ValueError, match="max_iter"):
+            describe(t, [EX + "a"], max_iter=0)
 
 
 class TestCanonicalUrl:
@@ -911,3 +913,21 @@ class TestBgpValues:
             bgp_values(sols, "missing", ["v"])
         with pytest.raises(ValueError, match="empty value"):
             bgp_values(sols, "n", [])
+
+    def test_values_keep_unbound(self, tiny):
+        """SPARQL compatibility: an unbound var matches every VALUES
+        row — keep_unbound=True retains NULL solutions, the default
+        (SQL IN) drops them."""
+        from jsonld_spark.operators.bgp import bgp_optional, bgp_values
+
+        sols = bgp_optional(
+            tiny,
+            [("?x", EX + "name", "?n")],
+            [[("?x", EX + "knows", "?k")]],
+        )
+        # c has a name but no outgoing knows → k unbound for c
+        assert sols.filter("k is null").count() == 1
+        strict = bgp_values(sols, "k", [EX + "b"])
+        assert {r.n for r in strict.collect()} == {"Alice"}
+        sparql = bgp_values(sols, "k", [EX + "b"], keep_unbound=True)
+        assert {r.n for r in sparql.collect()} == {"Alice", "Carol"}

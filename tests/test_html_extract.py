@@ -170,10 +170,13 @@ def test_extract_links_resolution(spark):
         b'<!-- <a href="/hidden">n</a> -->'
         b'<a href="">e</a>'
         b'<a class="z" href="/attr">f</a>'
+        b'<a href="#top">h</a>'
+        b'<a href="?page=2">i</a>'
         b'<a href="mailto:x@e">g</a></body></html>'
     )
     df = spark.createDataFrame(
-        [("http://h.example/dir/page?q=1", html)], "url string, html binary"
+        [("http://h.example/dir/page?q=1#frag", html)],
+        "url string, html binary",
     )
     got = {r.href for r in extract_links(df).collect()}
     assert got == {
@@ -182,6 +185,8 @@ def test_extract_links_resolution(spark):
         "http://h.example/dir/r/2",    # path-relative (query stripped)
         "http://cdn.e/x",              # scheme-relative
         "http://h.example/attr",       # href not first attribute
+        # '#top' dropped: fragment-only = self-reference, no edge
+        "http://h.example/dir/page?page=2",  # query-only: page path kept
         "mailto:x@e",                  # scheme'd non-http kept verbatim
     }
 
