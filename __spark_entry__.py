@@ -971,17 +971,50 @@ def _q_multimodal_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's oracle harness verifies the FIRST
+    # 50 entries in insertion order (CORRECTNESS_r05 == queries()[:50]).
+    # Rounds 1-5 left the 27 newest ops (KG query layer, round-5 text /
+    # similarity / multimodal ops) past the cap, so they lead here;
+    # a representative previously-driver-green spine fills the rest of
+    # the first 50, and the remaining green queries follow.  Every
+    # entry is ALSO verified in-repo at sf0.01 AND sf0.1 by
+    # tests/test_oracle_parity.py regardless of position.
     return {
-        # JSON-LD KG-construction spine (full pandas-UDF path)
-        "jsonld_lang_triples": _q_jsonld_lang,
-        "jsonld_nchars_triples": _q_jsonld_nchars,
-        "jsonld_type_triples": _q_jsonld_types,
+        # --- never driver-checked before round 6: KG query layer ---
+        "rule_materialization": _q_rule_materialization,
+        "pagerank_links": _q_pagerank_links,
+        "shacl_validate": _q_shacl_validate,
+        "describe_src1": _q_describe_src1,
+        "type_inference": _q_type_inference,
+        "subclass_closure": _q_subclass_closure,
+        "void_stats": _q_void_stats,
+        "ifp_links": _q_ifp_links,
+        "graph_diff": _q_graph_diff,
+        "component_stats": _q_component_stats,
+        "negative_samples": _q_negative_samples,
+        "path_canon_langs": _q_path_canon_langs,
+        # --- never driver-checked: similarity / text / crawl / multimodal ---
+        "semdedup": _q_semdedup,
+        "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
+        "cosine_topk": _q_cosine_topk,
+        "near_dup_embeddings": _q_near_dup_embeddings,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "extract_links": _q_extract_links,
+        "host_graph": _q_host_graph,
+        "canonical_urls": _q_canonical_urls,
+        "domain_quality": _q_domain_quality,
+        "corpus_stats": _q_corpus_stats,
+        "multimodal_features": _q_multimodal_features,
+        "sample_frames": _q_sample_frames,
+        "payload_meta": _q_payload_meta,
+        # --- representative spine (driver-green in r1-r5) to slot 50 ---
         "jsonld_pred_counts": _q_jsonld_pred_counts,
         "jsonld_sameas_canonical": _q_jsonld_sameas_canonical,
         "jsonld_nquads": _q_jsonld_nquads,
         "nquads_roundtrip": _q_nquads_roundtrip,
         "jsonld_stream_triples": _q_jsonld_stream_triples,
-        "jsonld_node_stats": _q_jsonld_node_stats,
         "jsonld_expand_nodes": _q_jsonld_expand_nodes,
         "jsonld_flatten_nodes": _q_jsonld_flatten_nodes,
         "jsonld_compact_keys": _q_jsonld_compact_keys,
@@ -989,21 +1022,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_materialize": _q_jsonld_materialize,
         "jsonld_rdfstar_annotations": _q_jsonld_rdfstar,
         "trig_named_graphs": _q_trig_named_graphs,
-        # relational operators
         "tpch_q1": _q_tpch_q1,
         "top_revenue_join": _q_top_revenue_join,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "events_first_per_user": _q_events_first_per_user,
-        "events_json_props": _q_events_json_props,
         "events_sessions": _q_events_sessions,
-        "events_hourly": _q_events_hourly,
-        "parts_by_brand": _q_parts_by_brand,
-        "orders_no_lineitem": _q_orders_no_lineitem,
         "multi_type_users": _q_multi_type_users,
-        # dedup / text analysis
         "dedup_exact": _q_dedup_exact,
         "passage_dedup": _q_passage_dedup,
         "decontaminate": _q_decontaminate,
+        "minhash_candidate_pairs": _q_minhash_candidates,
+        "bgp_bindings": _q_bgp_bindings,
+        "bgp_optional_lang": _q_bgp_optional_lang,
+        # --------------- slot 50 boundary (r5 harness cap) ---------------
+        "jsonld_lang_triples": _q_jsonld_lang,
+        "jsonld_nchars_triples": _q_jsonld_nchars,
+        "jsonld_type_triples": _q_jsonld_types,
+        "jsonld_node_stats": _q_jsonld_node_stats,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "events_first_per_user": _q_events_first_per_user,
+        "events_json_props": _q_events_json_props,
+        "events_hourly": _q_events_hourly,
+        "parts_by_brand": _q_parts_by_brand,
+        "orders_no_lineitem": _q_orders_no_lineitem,
         "quota_sample": _q_quota_sample,
         "repetition_stats": _q_repetition_stats,
         "top_ngram_stats": _q_top_ngram_stats,
@@ -1020,41 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": _q_minhash,
         "simhash": _q_simhash,
         "jaccard_pairs": _q_jaccard_pairs,
-        "minhash_candidate_pairs": _q_minhash_candidates,
         "dedup_groups": _q_dedup_groups,
-        # KG graph queries
-        "bgp_bindings": _q_bgp_bindings,
-        "bgp_optional_lang": _q_bgp_optional_lang,
         "bgp_union_sources": _q_bgp_union_sources,
-        "path_canon_langs": _q_path_canon_langs,
-        "rule_materialization": _q_rule_materialization,
-        "shacl_validate": _q_shacl_validate,
-        "describe_src1": _q_describe_src1,
-        "ifp_links": _q_ifp_links,
-        "component_stats": _q_component_stats,
-        "graph_diff": _q_graph_diff,
-        "negative_samples": _q_negative_samples,
-        "sample_frames": _q_sample_frames,
-        "extract_links": _q_extract_links,
-        "host_graph": _q_host_graph,
-        "type_inference": _q_type_inference,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "boilerplate_lines": _q_boilerplate_lines,
-        "canonical_urls": _q_canonical_urls,
-        "domain_quality": _q_domain_quality,
-        "corpus_stats": _q_corpus_stats,
-        "void_stats": _q_void_stats,
-        "pagerank_links": _q_pagerank_links,
-        "subclass_closure": _q_subclass_closure,
-        # similarity search
-        "cosine_topk": _q_cosine_topk,
-        "near_dup_embeddings": _q_near_dup_embeddings,
-        "ann_topk_lsh": _q_ann_lsh,
-        "ann_topk_ivf": _q_ann_ivf,
-        "semdedup": _q_semdedup,
-        # multimodal plumbing
-        "payload_meta": _q_payload_meta,
-        "multimodal_features": _q_multimodal_features,
     }
 
 
