@@ -93,8 +93,28 @@ class KGPipeline:
 
     # -- stage 2: fused extraction ------------------------------------------
 
-    def extract(self, pages: DataFrame) -> DataFrame:
-        """pages → (url, subj, …, graph, error) — triple rows + error rows."""
+    def extract(
+        self, pages: DataFrame, skip_scriptless: bool = True
+    ) -> DataFrame:
+        """pages → (url, subj, …, graph, error) — triple rows + error rows.
+
+        ``skip_scriptless`` (default on) puts a whole-stage-codegen JVM
+        pre-filter in front of the Arrow crossing: a page whose html
+        lacks the (case-folded) ``ld+json`` substring cannot produce a
+        single row from the scanner (sources/html_jsonld.py requires
+        ``type="application/ld+json"``, case-insensitive, and a page
+        with no script block yields zero rows — udfs.py page_to_rows),
+        so filtering it JVM-side is semantically transparent while
+        deleting the dominant cost at crawl scale: most real pages
+        carry no JSON-LD, and without the filter every one of them pays
+        Arrow serialization + a Python scan.  The substring test is
+        deliberately conservative (commented-out or text-only
+        occurrences still cross — the Python scanner then emits zero
+        rows as before).  One documented divergence: a page LARGER than
+        ``max_html_bytes`` with no ld+json substring no longer emits
+        its ``document too large`` error row (it is skipped before the
+        size gate); pass ``skip_scriptless=False`` for byte-identical
+        observability on such pages."""
         fn = make_pages_to_triples(
             self.cache_bc,
             self.cache_version,
@@ -104,7 +124,14 @@ class KGPipeline:
             rdfstar=self.rdfstar,
         )
         # column pruning: only url+html cross the Arrow boundary
-        return pages.select("url", "html").mapInPandas(fn, TRIPLES_SCHEMA)
+        src = pages.select("url", "html")
+        if skip_scriptless:
+            # NULL html fails the predicate → filtered, same zero-row
+            # outcome as the Python path
+            src = src.filter(
+                F.expr("contains(lower(decode(html, 'UTF-8')), 'ld+json')")
+            )
+        return src.mapInPandas(fn, TRIPLES_SCHEMA)
 
     def triples(self, pages: DataFrame) -> DataFrame:
         return self.extract(pages).filter(F.col("error").isNull()).drop("error")

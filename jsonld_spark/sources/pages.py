@@ -191,7 +191,9 @@ _TEMPLATES = [
 _LANGS = ["en", "en", "en", "de", "ja", "fr", "x!!bad"]
 
 
-def gen_page(i: int, rng: random.Random) -> tuple[str, datetime.datetime, bytes, str, str]:
+def gen_page(
+    i: int, rng: random.Random, scriptless_frac: float = 0.0
+) -> tuple[str, datetime.datetime, bytes, str, str]:
     # URL skew: ~30% mega-domains
     if rng.random() < 0.30:
         domain = MEGA_DOMAINS[rng.randrange(len(MEGA_DOMAINS))]
@@ -200,6 +202,17 @@ def gen_page(i: int, rng: random.Random) -> tuple[str, datetime.datetime, bytes,
     url = f"{domain}/page/{i}"
     ent = f"{domain}/entity/{i}"
     ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i)
+    if scriptless_frac and rng.random() < scriptless_frac:
+        # crawl-realistic no-JSON-LD page: bulkier body (real pages
+        # average tens of KB), zero ld+json — exercises the JVM
+        # pre-filter A/B (KGPipeline.extract skip_scriptless)
+        filler = f"<p>Paragraph {i} filler content of ordinary prose.</p>" * 200
+        text = f"Plain page {i} on {domain}."
+        html = (
+            f"<!DOCTYPE html><html><head><title>Page {i}</title></head>"
+            f"<body><p>{text}</p>{filler}</body></html>"
+        ).encode("utf-8")
+        return url, ts, html, text, _LANGS[i % len(_LANGS)]
     n_scripts = rng.choices([0, 1, 2, 3], weights=[5, 55, 30, 10])[0]
     scripts = []
     for s in range(n_scripts):
@@ -225,11 +238,13 @@ def gen_page(i: int, rng: random.Random) -> tuple[str, datetime.datetime, bytes,
     return url, ts, html, text, lang
 
 
-def generate_pages(n_rows: int, seed: int = 42):
-    """Yield page tuples deterministically."""
+def generate_pages(n_rows: int, seed: int = 42, scriptless_frac: float = 0.0):
+    """Yield page tuples deterministically.  ``scriptless_frac`` mixes
+    in crawl-realistic no-JSON-LD pages (default 0.0 keeps every
+    historical corpus byte-identical)."""
     rng = random.Random(seed)
     for i in range(n_rows):
-        yield gen_page(i, rng)
+        yield gen_page(i, rng, scriptless_frac)
 
 
 def _rows_to_table(rows):
@@ -254,7 +269,8 @@ def _rows_to_table(rows):
 
 
 def write_pages_parquet(
-    path: str, n_rows: int, seed: int = 42, n_files: int = 1
+    path: str, n_rows: int, seed: int = 42, n_files: int = 1,
+    scriptless_frac: float = 0.0,
 ) -> str:
     """Write the synthetic crawl.  ``n_files > 1`` writes a directory of
     part files so a Spark scan gets parallel splits out of the box (a
@@ -264,7 +280,7 @@ def write_pages_parquet(
 
     import pyarrow.parquet as pq
 
-    gen = generate_pages(n_rows, seed)
+    gen = generate_pages(n_rows, seed, scriptless_frac)
     if n_files <= 1:
         pq.write_table(_rows_to_table(gen), path)
         return path
@@ -282,7 +298,10 @@ def write_pages_parquet(
     return path
 
 
-def ensure_pages(path: str, n_rows: int, seed: int = 42, n_files: int = 1) -> str:
+def ensure_pages(
+    path: str, n_rows: int, seed: int = 42, n_files: int = 1,
+    scriptless_frac: float = 0.0,
+) -> str:
     """Materialize once; reuse across test sessions.
 
     Atomic: written under a temp name and renamed into place — an
@@ -300,6 +319,9 @@ def ensure_pages(path: str, n_rows: int, seed: int = 42, n_files: int = 1) -> st
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-        write_pages_parquet(tmp, n_rows, seed, n_files=n_files)
+        write_pages_parquet(
+            tmp, n_rows, seed, n_files=n_files,
+            scriptless_frac=scriptless_frac,
+        )
         os.rename(tmp, path)
     return path

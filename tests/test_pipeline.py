@@ -471,3 +471,61 @@ def test_rerun_same_run_id_stats_not_doubled(spark, pipe, pages):
     written = spark.read.parquet(os.path.join(out, "triples")).count()
     assert written == stats2["triples"]
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_skip_scriptless_prefilter_parity_and_plan(spark, pipe):
+    """The JVM pre-filter is semantically transparent on any corpus
+    (scriptless pages emit zero rows from the Python scanner anyway)
+    and stays JVM-side: one Filter over the scan, still exactly one
+    Python stage."""
+    from jsonld_spark.sources.pages import gen_page
+    import random
+
+    rng = random.Random(7)
+    rows = [gen_page(i, rng, scriptless_frac=0.6) for i in range(40)]
+    # uppercase-attribute page: scanner matches case-insensitively, so
+    # the lower() in the pre-filter must too
+    rows.append((
+        "http://upper.example/p", rows[0][1],
+        b'<script TYPE="APPLICATION/LD+JSON">'
+        b'{"@id": "http://upper.example/e", '
+        b'"http://v.e/p": "x"}</script>',
+        "t", "en",
+    ))
+    rows.append(("http://null.example/p", rows[0][1], None, None, "en"))
+    df = spark.createDataFrame(
+        [(u, t, h, x, lg) for (u, t, h, x, lg) in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    on = pipe.extract(df, skip_scriptless=True)
+    off = pipe.extract(df, skip_scriptless=False)
+    key = lambda r: tuple("" if v is None else str(v) for v in r)  # noqa: E731
+    assert sorted(map(key, on.collect())) == sorted(map(key, off.collect()))
+    assert on.filter("subj = 'http://upper.example/e'").count() == 1
+    plan = on._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Filter" in plan and "ld+json" in plan
+
+
+def test_skip_scriptless_filters_before_arrow(spark, pipe):
+    """Scriptless pages never reach Python: the filtered count equals
+    the ld+json-carrying subset."""
+    from jsonld_spark.sources.pages import gen_page
+    import random
+
+    rng = random.Random(11)
+    rows = [gen_page(i, rng, scriptless_frac=0.5) for i in range(60)]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    n_with = df.filter(
+        "contains(lower(decode(html, 'UTF-8')), 'ld+json')"
+    ).count()
+    assert 0 < n_with < 60  # the mix actually mixes
+    src_count = (
+        df.select("url", "html")
+        .filter("contains(lower(decode(html, 'UTF-8')), 'ld+json')")
+        .count()
+    )
+    assert src_count == n_with
