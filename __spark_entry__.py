@@ -970,6 +970,21 @@ def _q_multimodal_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_image_dims(spark, sf_dir):
+    """Round-trip oracle for the pure-Python image-header parser:
+    VALID PNG/GIF/JPEG/WEBP headers are synthesized JVM-side from
+    doc_id arithmetic, parsed back by parse_image_dims inside the
+    mapInPandas feature stage, and the oracle predicts the dims
+    directly from doc_id — any mis-read byte layout breaks the hash."""
+    return (
+        multimodal.extract_features(
+            multimodal.synth_image_payloads(_docs(spark, sf_dir))
+        )
+        .select("doc_id", "format", "width", "height")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's oracle harness verifies the FIRST
     # 50 entries in insertion order (CORRECTNESS_r05 == queries()[:50]).
@@ -1007,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": _q_domain_quality,
         "corpus_stats": _q_corpus_stats,
         "multimodal_features": _q_multimodal_features,
+        "image_dims": _q_image_dims,
         "sample_frames": _q_sample_frames,
         "payload_meta": _q_payload_meta,
         # --- representative spine (driver-green in r1-r5) to slot 50 ---
@@ -1509,5 +1525,6 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": similarity.semdedup_sql(),
         "payload_meta": multimodal.PAYLOAD_META_SQL,
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
+        "image_dims": multimodal.IMAGE_DIMS_SQL,
         "sample_frames": multimodal.sample_frames_sql(),
     }

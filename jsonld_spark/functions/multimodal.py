@@ -30,6 +30,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("digest", T.StringType()),
+        T.StructField("format", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
     ]
@@ -47,19 +48,99 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """STUB: real decoder requires an image lib not present here."""
+    """STUB: full pixel decode requires an image lib not present here.
+    Header-level metadata (format, width, height) IS implemented —
+    see ``parse_image_dims``."""
     raise NotImplementedError(
-        "image decode requires pillow/opencv; not available in this runtime"
+        "image pixel decode requires pillow/opencv; not available in this "
+        "runtime — parse_image_dims covers header metadata"
     )
 
 
+def parse_image_dims(b: bytes):
+    """(format, width, height) from the PUBLIC header byte layouts of
+    the four big web image formats, or None when ``b`` is not one of
+    them.  Pure Python over a few header bytes — no codec dependency:
+
+    - PNG: 8-byte signature, then the IHDR chunk is REQUIRED first
+      (PNG spec §11.2.2): width/height big-endian uint32 at offsets
+      16/20.
+    - GIF: 'GIF87a'/'GIF89a', logical-screen width/height little-endian
+      uint16 at offsets 6/8.
+    - JPEG: marker scan from SOI; the frame header SOFn (0xC0-0xCF
+      minus DHT 0xC4 / JPG 0xC8 / DAC 0xCC) carries [len, precision,
+      height:be16, width:be16]; standalone markers (RSTn, TEM, SOI)
+      have no length field and are stepped over.
+    - WEBP: RIFF container; VP8X extended header stores canvas
+      (width-1)/(height-1) as 24-bit LE at chunk-payload offsets 4/7;
+      lossy VP8 stores 14-bit LE dims after the 9D 01 2A start code;
+      lossless VP8L packs (width-1) in bits 0-13 and (height-1) in
+      bits 14-27 of the LE uint32 after the 0x2F signature."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None  # lost marker sync
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone: TEM / SOI / RSTn carry no length
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(b):
+                    return (
+                        "jpeg",
+                        int.from_bytes(b[i + 7: i + 9], "big"),
+                        int.from_bytes(b[i + 5: i + 7], "big"),
+                    )
+                return None
+            i += 2 + int.from_bytes(b[i + 2: i + 4], "big")
+        return None
+    if len(b) >= 16 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        kind = b[12:16]
+        if kind == b"VP8X" and len(b) >= 30:
+            return (
+                "webp",
+                1 + int.from_bytes(b[24:27], "little"),
+                1 + int.from_bytes(b[27:30], "little"),
+            )
+        if kind == b"VP8 " and len(b) >= 30 and b[23:26] == b"\x9d\x01\x2a":
+            return (
+                "webp",
+                int.from_bytes(b[26:28], "little") & 0x3FFF,
+                int.from_bytes(b[28:30], "little") & 0x3FFF,
+            )
+        if kind == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+            bits = int.from_bytes(b[21:25], "little")
+            return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+    return None
+
+
 def _fake_dims(digest: str) -> tuple[int, int]:
-    """Deterministic fake for the decode step (documented stand-in)."""
+    """Deterministic fake for non-image payloads (documented stand-in —
+    keeps the feature stage total over arbitrary blobs)."""
     return 64 + int(digest[:2], 16), 64 + int(digest[2:4], 16)
 
 
 def extract_features(payloads: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads."""
+    """mapInPandas feature extraction over binary payloads: real
+    header-parsed (format, width, height) for PNG/GIF/JPEG/WEBP
+    payloads, md5-derived deterministic fake dims (format NULL) for
+    anything else."""
     import pandas as pd
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -68,10 +149,18 @@ def extract_features(payloads: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 digest = hashlib.md5(b).hexdigest()
-                w, h = _fake_dims(digest)
-                out.append((int(doc_id), len(b), digest, w, h))
+                parsed = parse_image_dims(b)
+                if parsed is not None:
+                    fmt, w, h = parsed
+                else:
+                    fmt = None
+                    w, h = _fake_dims(digest)
+                out.append((int(doc_id), len(b), digest, fmt, w, h))
             yield pd.DataFrame(
-                out, columns=["doc_id", "n_bytes", "digest", "width", "height"]
+                out,
+                columns=[
+                    "doc_id", "n_bytes", "digest", "format", "width", "height",
+                ],
             )
 
     return payloads.select("doc_id", "payload").mapInPandas(fn, FEATURE_SCHEMA)
@@ -104,9 +193,69 @@ WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS digest,
+       CAST(NULL AS VARCHAR) AS format,
        CAST(64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS INTEGER) AS width,
        CAST(64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) AS INTEGER) AS height
 FROM t ORDER BY doc_id
+"""
+
+# --- image-header dims oracle -------------------------------------------------
+# Synthesize VALID format headers JVM-side from doc_id (unhex over
+# arithmetic — nothing random, no files), parse them back through the
+# Python header parser, and let the oracle predict the dims DIRECTLY
+# from doc_id: if parse_image_dims mis-reads any byte layout, the
+# round-trip breaks the value hash.  The JPEG variant places an APP0
+# segment before SOF0 so the marker SCAN (not just offset math) is
+# exercised; dims exceed 255 so multi-byte fields are too.
+
+
+def synth_image_payloads(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload) with payload a minimal valid
+    PNG/GIF/JPEG/WEBP-VP8X header whose dims derive from doc_id."""
+    w = "(100 + doc_id % 1000)"
+    h = "(50 + doc_id % 700)"
+    be16 = "lpad(hex({v}), 4, '0')"
+    be32 = "lpad(hex({v}), 8, '0')"
+    # little-endian = byte-swapped big-endian hex
+    le16 = (
+        "concat(substr(lpad(hex({v}), 4, '0'), 3, 2), "
+        "substr(lpad(hex({v}), 4, '0'), 1, 2))"
+    )
+    le24 = (
+        "concat(substr(lpad(hex({v}), 6, '0'), 5, 2), "
+        "substr(lpad(hex({v}), 6, '0'), 3, 2), "
+        "substr(lpad(hex({v}), 6, '0'), 1, 2))"
+    )
+    png = (
+        "concat('89504E470D0A1A0A0000000D49484452', "
+        f"{be32.format(v=w)}, {be32.format(v=h)}, '0806000000')"
+    )
+    gif = f"concat('474946383961', {le16.format(v=w)}, {le16.format(v=h)}, '00')"
+    jpeg = (
+        "concat('FFD8', 'FFE000100000000000000000000000000000', "
+        f"'FFC0001108', {be16.format(v=h)}, {be16.format(v=w)}, "
+        "'03000000000000000000')"
+    )
+    webp = (
+        "concat('52494646240000005745425056503858', '0A000000', '00000000', "
+        f"{le24.format(v=w + ' - 1')}, {le24.format(v=h + ' - 1')})"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"unhex(case doc_id % 4 when 0 then {png} when 1 then {gif} "
+            f"when 2 then {jpeg} else {webp} end)"
+        ).alias("payload"),
+    )
+
+
+IMAGE_DIMS_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                       WHEN 2 THEN 'jpeg' ELSE 'webp' END AS format,
+       CAST(100 + doc_id % 1000 AS INTEGER) AS width,
+       CAST(50 + doc_id % 700 AS INTEGER) AS height
+FROM documents ORDER BY doc_id
 """
 
 
