@@ -577,6 +577,70 @@ def _q_bgp_bindings(spark, sf_dir):
     ).orderBy("d", "lang", "canon")
 
 
+def _q_bgp_filter_expr(spark, sf_dir):
+    """SPARQL FILTER + expression layer over bind_meta bindings:
+    langMatches(lang(?ttl), 'en') — RFC 4647 prefix matching must
+    accept the '-us'-extended tags — AND a numeric range on the
+    xsd:integer n_chars binding; the projection exercises lang() and
+    datatype().  All whole-stage-codegen Column expressions; the
+    pipeline runs on language-TAGGED pages so obj_lang is real."""
+    from jsonld_spark.operators.bgp import (
+        bgp_filter, bgp_match, datatype, lang, lang_matches, num,
+    )
+    from jsonld_spark.sources.doc_pages import pages_from_documents_tagged
+
+    t = KGPipeline(spark).triples(
+        pages_from_documents_tagged(_docs(spark, sf_dir))
+    )
+    b = bgp_match(
+        t,
+        [("?d", VOCAB + "title", "?ttl"), ("?d", VOCAB + "n_chars", "?n")],
+        bind_meta=True,
+    )
+    b = bgp_filter(
+        b,
+        lang_matches(lang("ttl"), "en")
+        & (num("n") >= 100)
+        & (num("n") < 300),
+    )
+    return b.select(
+        "d",
+        F.col("ttl").alias("title"),
+        lang("ttl").alias("title_lang"),
+        F.col("n").alias("n_chars_lex"),
+        datatype("n").alias("n_dt"),
+    ).orderBy("d")
+
+
+def _q_bgp_aggregate_langs(spark, sf_dir):
+    """SPARQL GROUP BY over a binding table: per language tag of the
+    tagged-title KG, solution count + MIN-sample title + average
+    n_chars — the documented aggregate mapping (partial-agg groupBy,
+    one exchange on the tag)."""
+    from jsonld_spark.operators.bgp import (
+        bgp_aggregate, bgp_match, lang, num,
+    )
+    from jsonld_spark.sources.doc_pages import pages_from_documents_tagged
+
+    t = KGPipeline(spark).triples(
+        pages_from_documents_tagged(_docs(spark, sf_dir))
+    )
+    b = bgp_match(
+        t,
+        [("?d", VOCAB + "title", "?ttl"), ("?d", VOCAB + "n_chars", "?n")],
+        bind_meta=True,
+    ).withColumn("tag", lang("ttl"))
+    return bgp_aggregate(
+        b,
+        "tag",
+        {
+            "n_docs": F.count("*"),
+            "sample_title": F.min("ttl"),
+            "avg_chars": F.round(F.avg(num("n")), 3),
+        },
+    ).orderBy("tag")
+
+
 def _q_bgp_optional_lang(spark, sf_dir):
     """SPARQL OPTIONAL over the extracted triples: every Document with
     its canon, plus the lang binding ONLY where the optional
@@ -1046,9 +1110,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": _q_passage_dedup,
         "decontaminate": _q_decontaminate,
         "minhash_candidate_pairs": _q_minhash_candidates,
+        "bgp_filter_expr": _q_bgp_filter_expr,
+        "bgp_aggregate_langs": _q_bgp_aggregate_langs,
+        # --------------- slot 50 boundary (r5 harness cap) ---------------
         "bgp_bindings": _q_bgp_bindings,
         "bgp_optional_lang": _q_bgp_optional_lang,
-        # --------------- slot 50 boundary (r5 harness cap) ---------------
         "jsonld_lang_triples": _q_jsonld_lang,
         "jsonld_nchars_triples": _q_jsonld_nchars,
         "jsonld_type_triples": _q_jsonld_types,
@@ -1294,6 +1360,23 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": textops.jaccard_pairs_sql(),
         "minhash_candidate_pairs": textops.minhash_candidate_pairs_sql(),
         "dedup_groups": textops.dedup_groups_sql(),
+        "bgp_filter_expr": f"""
+            SELECT {doc_subj} AS d,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   lang || CASE WHEN doc_id % 3 = 0 THEN '-us' ELSE '' END
+                       AS title_lang,
+                   CAST(n_chars AS VARCHAR) AS n_chars_lex,
+                   '{XSD_INTEGER}' AS n_dt
+            FROM documents
+            WHERE lang = 'en' AND n_chars >= 100 AND n_chars < 300
+            ORDER BY d""",
+        "bgp_aggregate_langs": f"""
+            SELECT lang || CASE WHEN doc_id % 3 = 0 THEN '-us' ELSE '' END
+                       AS tag,
+                   count(*)::BIGINT AS n_docs,
+                   min('Doc ' || CAST(doc_id AS VARCHAR)) AS sample_title,
+                   round(avg(n_chars), 3) AS avg_chars
+            FROM documents GROUP BY tag ORDER BY tag""",
         "bgp_bindings": f"""
             SELECT {doc_subj} AS d, lang,
                    '{CANON_NS}' || CAST(doc_id % 100 AS VARCHAR) AS canon

@@ -25,13 +25,27 @@ from pyspark.sql import DataFrame, functions as F
 
 _POSITIONS = ("subj", "pred", "obj", "graph")
 
+# SPARQL expression-layer term-metadata suffixes (bind_meta=True)
+_META = ("__lang", "__dt", "__lit")
+_META_SRC = {"__lang": "obj_lang", "__dt": "obj_datatype", "__lit": "obj_is_literal"}
 
-def _pattern_df(triples: DataFrame, pattern, idx: int) -> tuple[DataFrame, set]:
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def _pattern_df(
+    triples: DataFrame, pattern, idx: int, bind_meta: bool = False
+) -> tuple[DataFrame, set]:
     """One pattern → filtered scan projecting its variables.
 
     3-element patterns match any graph (the ``graph`` column is never
     touched, so plain (subj, pred, obj) frames work); a 4th element
-    constrains/binds the named graph — SPARQL ``GRAPH g { ... }``."""
+    constrains/binds the named graph — SPARQL ``GRAPH g { ... }``.
+
+    ``bind_meta``: an object-position variable also projects the term
+    metadata its FILTER expressions need — ``{var}__lang``,
+    ``{var}__dt``, ``{var}__lit`` (from obj_lang / obj_datatype /
+    obj_is_literal where the source frame carries them)."""
     if len(pattern) not in (3, 4):
         raise ValueError(
             f"pattern #{idx} must be (s, p, o) or (s, p, o, g): {pattern!r}"
@@ -49,6 +63,11 @@ def _pattern_df(triples: DataFrame, pattern, idx: int) -> tuple[DataFrame, set]:
             else:
                 seen[var] = col
                 cols.append(F.col(col).alias(var))
+                if bind_meta and col == "obj":
+                    for suf in _META:
+                        src = _META_SRC[suf]
+                        if src in triples.columns:
+                            cols.append(F.col(src).alias(var + suf))
         else:
             df = df.filter(F.col(col) == F.lit(term))
     if not cols:  # ground pattern: contributes only an existence check
@@ -62,6 +81,7 @@ def bgp_match(
     *,
     allow_cartesian: bool = False,
     set_semantics: bool = True,
+    bind_meta: bool = False,
     _sources=None,
 ) -> DataFrame:
     """→ DataFrame with one column per distinct variable: every binding
@@ -97,7 +117,9 @@ def bgp_match(
         raise ValueError("bgp_match: _sources length must match patterns")
     parts = []
     for i, (s, p) in enumerate(zip(srcs, pats)):
-        df, vs = _pattern_df(s if s is not None else triples, p, i)
+        df, vs = _pattern_df(
+            s if s is not None else triples, p, i, bind_meta=bind_meta
+        )
         if set_semantics and vs:
             df = df.distinct()
         parts.append((df, vs))
@@ -135,7 +157,36 @@ def bgp_match(
             remaining.remove(nxt)
             df, vs = parts[nxt]
             shared = sorted(vs & bound)
-            out = out.join(df, on=shared) if shared else out.crossJoin(df)
+            # term-identity join: when BOTH sides carry a shared var's
+            # metadata columns (bind_meta), the var's lang/datatype/
+            # literal-kind join too — two literals with the same lexical
+            # form but different datatypes are different RDF terms.
+            # Metadata equality must be NULL-SAFE (<=>): most literals
+            # have NULL lang and many NULL datatype, and a plain
+            # equi-join would drop every such solution.
+            meta_shared = [
+                v + suf
+                for v in shared
+                for suf in _META
+                if v + suf in out.columns and v + suf in df.columns
+            ]
+            if meta_shared:
+                right = df
+                for c in shared + meta_shared:
+                    right = right.withColumnRenamed(c, "_r_" + c)
+                cond = None
+                for v in shared:
+                    e = F.col(v) == F.col("_r_" + v)
+                    cond = e if cond is None else cond & e
+                for m in meta_shared:
+                    cond = cond & F.col(m).eqNullSafe(F.col("_r_" + m))
+                out = out.join(right, cond).drop(
+                    *["_r_" + c for c in shared + meta_shared]
+                )
+            elif shared:
+                out = out.join(df, on=shared)
+            else:
+                out = out.crossJoin(df)
             bound |= vs
     for i in gates:
         out = out.crossJoin(parts[i][0])
@@ -502,3 +553,133 @@ def bgp_values(
     if keep_unbound:
         pred = F.col(var).isNull() | pred
     return bindings.filter(pred)
+
+
+# --- SPARQL expression layer over binding tables -------------------------------
+#
+# The most common thing a KG user writes after a BGP is FILTER / SELECT
+# expressions and GROUP BY aggregates (SPARQL 1.1 §17-§18).  The layer
+# below compiles those to Column expressions over a binding table built
+# with ``bgp_match(..., bind_meta=True)`` — the metadata columns
+# ``{var}__lang`` / ``{var}__dt`` / ``{var}__lit`` carry each
+# object-bound variable's language tag, datatype IRI and literal-kind,
+# which is exactly what lang()/datatype() need.  Reference-adjacent:
+# frame.rb:346-457's value-pattern matching is the per-document analog
+# of these binding-level predicates.
+#
+# Error semantics: a SPARQL FILTER whose expression errors removes the
+# solution (SPARQL 1.1 §17.2 "effective boolean value").  The helpers
+# return NULL for type errors (lang() of an IRI, number() of a
+# non-numeric lexical), and DataFrame.filter drops NULL-condition rows
+# — the same outcome, for free, with no Python in the loop.
+
+
+def bgp_filter(bindings: DataFrame, condition) -> DataFrame:
+    """SPARQL ``FILTER``: keep solutions where ``condition`` (a Column
+    or SQL string over the binding columns) evaluates to true.  NULL
+    conditions (type errors in SPARQL terms) drop the row — SPARQL's
+    error-removes-solution rule via Spark's native NULL filtering.
+    Stays whole-stage-codegen; pushable into the scans feeding the
+    bindings."""
+    return bindings.filter(condition)
+
+
+def lang(var: str):
+    """SPARQL ``lang(?var)``: the language tag, '' for a plain or typed
+    literal, NULL (error) for a non-literal.  Requires
+    ``bind_meta=True`` bindings."""
+    return F.when(
+        F.col(var + "__lit"), F.coalesce(F.col(var + "__lang"), F.lit(""))
+    )
+
+
+def datatype(var: str):
+    """SPARQL ``datatype(?var)``: rdf:langString for language-tagged
+    literals, the stored datatype otherwise (xsd:string when none —
+    RDF 1.1 simple literals), NULL (error) for a non-literal."""
+    return F.when(
+        F.col(var + "__lit"),
+        F.when(
+            F.col(var + "__lang").isNotNull(), F.lit(RDF_LANGSTRING)
+        ).otherwise(F.coalesce(F.col(var + "__dt"), F.lit(XSD_STRING))),
+    )
+
+
+def is_iri(var: str):
+    """SPARQL ``isIRI(?var)``: bound, not a literal, not a bnode."""
+    return (
+        F.col(var).isNotNull()
+        & ~F.coalesce(F.col(var + "__lit"), F.lit(False))
+        & ~F.col(var).startswith("_:")
+    )
+
+
+def num(var: str):
+    """Numeric value of a binding for range/arithmetic FILTERs: the
+    lexical form try_cast to double — NULL (SPARQL type error → row
+    dropped) when the lexical form is not numeric, under ANSI mode
+    too (a plain cast would CRASH the job on the first non-numeric
+    literal with spark.sql.ansi.enabled)."""
+    return F.col(var).try_cast("double")
+
+
+def lang_matches(lang_expr, range_: str):
+    """SPARQL ``langMatches(lang, range)`` with RFC 4647 basic
+    filtering: ``'*'`` matches any non-empty tag; otherwise the tag
+    equals the range or extends it at a ``-`` boundary, ASCII
+    case-insensitively."""
+    if range_ == "*":
+        return lang_expr != ""
+    lo = F.lower(lang_expr)
+    r = range_.lower()
+    return (lo == r) | lo.startswith(r + "-")
+
+
+def regex(col_or_var, pattern: str, flags: str = ""):
+    """SPARQL ``regex(?var, pattern, flags)`` — 'i' (case-insensitive),
+    's' (dotall) and 'm' (multiline) map to embedded Java regex flags;
+    others are refused rather than silently ignored."""
+    bad = set(flags) - set("ism")
+    if bad:
+        raise ValueError(f"regex: unsupported flags {sorted(bad)}")
+    c = F.col(col_or_var) if isinstance(col_or_var, str) else col_or_var
+    return c.rlike(f"(?{flags}){pattern}" if flags else pattern)
+
+
+def bgp_aggregate(
+    bindings: DataFrame, group_vars, aggs: dict
+) -> DataFrame:
+    """SPARQL 1.1 ``GROUP BY`` over a binding table — a documented thin
+    mapping onto Spark's partial-aggregating groupBy (map-side combine,
+    one exchange on the group keys; AQE handles skewed keys):
+
+    ========================  =====================================
+    SPARQL aggregate          Column expression
+    ========================  =====================================
+    COUNT(*)                  F.count("*")
+    COUNT(?x)                 F.count("x")          (bound-only)
+    COUNT(DISTINCT ?x)        F.countDistinct("x")
+    SUM/AVG/MIN/MAX(?x)       F.sum/avg/min/max(num("x"))
+    SAMPLE(?x)                F.min("x")  — deterministic pick; SPARQL
+                              allows any member, min makes runs and
+                              engines agree
+    GROUP_CONCAT(?x; sep)     F.array_join(F.sort_array(
+                              F.collect_list("x")), sep) — SPARQL
+                              leaves element order implementation-
+                              defined; sorting pins it
+    ========================  =====================================
+
+    ``aggs`` maps output column name → Column expression (aliased
+    here).  Grouping by an expression (SPARQL GROUP BY (expr AS ?v))
+    is ``bindings.withColumn(v, expr)`` first, then this."""
+    gv = [group_vars] if isinstance(group_vars, str) else list(group_vars)
+    missing = [v for v in gv if v not in bindings.columns]
+    if missing:
+        raise ValueError(
+            f"bgp_aggregate: group vars not bound: {missing} "
+            f"(columns: {bindings.columns})"
+        )
+    if not aggs:
+        raise ValueError("bgp_aggregate: empty aggregate dict")
+    exprs = [c.alias(name) for name, c in aggs.items()]
+    return bindings.groupBy(*gv).agg(*exprs)

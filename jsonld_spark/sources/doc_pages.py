@@ -106,3 +106,41 @@ def pages_from_documents_annotated(docs: DataFrame) -> DataFrame:
         ).alias("url"),
         F.encode(jsonld, "utf-8").alias("html"),
     )
+
+
+def pages_from_documents_tagged(docs: DataFrame) -> DataFrame:
+    """Language-tagged variant of :func:`pages_from_documents` for the
+    SPARQL expression layer's oracle: each page's block carries a
+    ``title`` LANGUAGE-TAGGED literal (tag = the document's lang, with
+    a ``-us`` region subtag for doc_id % 3 == 0 rows so langMatches must
+    prove RFC 4647 prefix-at-boundary matching, not equality) plus the
+    ``n_chars`` integer — giving the emitted triples non-null obj_lang
+    and a numeric datatype to FILTER on."""
+    tag = F.concat(
+        F.col("lang"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("-us")).otherwise(F.lit("")),
+    )
+    jsonld = F.concat(
+        F.lit(_HTML_PREFIX),
+        F.lit('"@id":"' + DOC_NS),
+        F.col("doc_id").cast("string"),
+        F.lit('","@type":"Document","title":{"@value":"Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('","@language":"'),
+        tag,
+        F.lit('"},"n_chars":'),
+        F.col("n_chars").cast("string"),
+        F.lit("}</script></head><body></body></html>"),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("http://docs.example/tagged/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("warc_ts"),
+        F.encode(jsonld, "utf-8").alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang"),
+    )

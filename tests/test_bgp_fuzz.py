@@ -245,3 +245,95 @@ def test_incremental_equals_full_saturation(spark, triples, split, p1, hp):
     f = {(r.subj, r.pred, r.obj) for r in full.collect()}
     i = {(r.subj, r.pred, r.obj) for r in inc.collect()}
     assert f == i, (triples, split, rules)
+
+
+# --- expression-layer fuzz: FILTER vs a naive Python evaluator -----------------
+
+LANGS = [None, "en", "en-us", "EN-GB", "de", ""]
+DTS = [None, "http://www.w3.org/2001/XMLSchema#integer"]
+LEX = ["1", "25", "300", "abc", "s0"]
+
+term_row_st = st.tuples(
+    st.sampled_from(SUBJ),
+    st.sampled_from(PRED),
+    st.sampled_from(LEX),
+    st.booleans(),             # obj_is_literal
+    st.sampled_from(LANGS),
+    st.sampled_from(DTS),
+)
+
+
+def _naive_lang(lit, lg):
+    return (lg or "") if lit else None
+
+
+def _naive_langmatches(tag, rng):
+    if tag is None:
+        return None
+    if rng == "*":
+        return tag != ""
+    t, r = tag.lower(), rng.lower()
+    return t == r or t.startswith(r + "-")
+
+
+def _naive_num(lex):
+    try:
+        return float(lex)
+    except (TypeError, ValueError):
+        return None
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(term_row_st, min_size=0, max_size=10),
+    rng=st.sampled_from(["*", "en", "EN", "de", "en-us"]),
+    lo=st.integers(min_value=0, max_value=30),
+)
+def test_bgp_filter_vs_naive(spark, rows, rng, lo):
+    """langMatches(lang(?o), rng) OR num(?o) >= lo — mixed boolean
+    expression with NULL (SPARQL error) propagation: a row survives iff
+    the naive three-valued evaluation is exactly True."""
+    from jsonld_spark.operators.bgp import (
+        bgp_filter, bgp_match, lang, lang_matches, num,
+    )
+
+    # lang tags only make sense on literals: clear lang for non-literals
+    rows = [
+        (s, p, o, lit, lg if lit else None, dt if lit else None)
+        for (s, p, o, lit, lg, dt) in rows
+    ]
+    cols = (
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, obj_datatype string"
+    )
+    df = spark.createDataFrame(
+        rows or [("_", "_", "_", False, None, None)], cols
+    )
+    if not rows:
+        df = df.filter("subj <> '_'")
+    b = bgp_match(df, [("?s", "p0", "?o")], bind_meta=True)
+    out = bgp_filter(
+        b, lang_matches(lang("o"), rng) | (num("o") >= float(lo))
+    )
+    # set compare: two term variants (e.g. IRI '1' and literal '1') are
+    # distinct SOLUTIONS but identical (s, o) projections
+    got = sorted({(r.s, r.o) for r in out.collect()})
+
+    def naive_keep(lit, lg, lex):
+        a = _naive_langmatches(_naive_lang(lit, lg), rng)
+        n = _naive_num(lex)
+        c = None if n is None else n >= lo
+        # SQL three-valued OR
+        if a is True or c is True:
+            return True
+        return False
+
+    expected = sorted(
+        {(s, o) for (s, p, o, lit, lg, dt) in rows
+         if p == "p0" and naive_keep(lit, lg, o)}
+    )
+    assert got == expected, (rows, rng, lo)

@@ -931,3 +931,138 @@ class TestBgpValues:
         assert {r.n for r in strict.collect()} == {"Alice"}
         sparql = bgp_values(sols, "k", [EX + "b"], keep_unbound=True)
         assert {r.n for r in sparql.collect()} == {"Alice", "Carol"}
+
+
+class TestExpressionLayer:
+    META_COLS = (
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, obj_datatype string"
+    )
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+    def _kg(self, spark):
+        return spark.createDataFrame(
+            [
+                (EX + "a", EX + "label", "color", True, "en", None),
+                (EX + "b", EX + "label", "Farbe", True, "de-AT", None),
+                (EX + "c", EX + "label", "plain", True, None, None),
+                (EX + "a", EX + "n", "42", True, None, self.XSD_INT),
+                (EX + "b", EX + "n", "abc", True, None, self.XSD_INT),
+                (EX + "c", EX + "link", EX + "a", False, None, None),
+            ],
+            self.META_COLS,
+        )
+
+    def test_lang_datatype_helpers(self, spark):
+        from jsonld_spark.operators.bgp import (
+            RDF_LANGSTRING, XSD_STRING, bgp_match, datatype, lang,
+        )
+
+        b = bgp_match(
+            self._kg(spark), [("?s", EX + "label", "?o")], bind_meta=True
+        ).select("s", lang("o").alias("lg"), datatype("o").alias("dt"))
+        got = {r.s: (r.lg, r.dt) for r in b.collect()}
+        assert got[EX + "a"] == ("en", RDF_LANGSTRING)
+        assert got[EX + "b"] == ("de-AT", RDF_LANGSTRING)
+        assert got[EX + "c"] == ("", XSD_STRING)  # plain literal: lang ''
+
+    def test_lang_of_iri_is_error(self, spark):
+        from jsonld_spark.operators.bgp import (
+            bgp_filter, bgp_match, lang, lang_matches,
+        )
+
+        b = bgp_match(
+            self._kg(spark), [("?s", EX + "link", "?o")], bind_meta=True
+        )
+        # lang(IRI) = NULL (SPARQL error) -> langMatches NULL -> dropped
+        assert bgp_filter(b, lang_matches(lang("o"), "*")).count() == 0
+
+    def test_lang_matches_rfc4647(self, spark):
+        from jsonld_spark.operators.bgp import (
+            bgp_filter, bgp_match, lang, lang_matches,
+        )
+
+        b = bgp_match(
+            self._kg(spark), [("?s", EX + "label", "?o")], bind_meta=True
+        )
+        de = bgp_filter(b, lang_matches(lang("o"), "DE"))
+        assert {r.s for r in de.collect()} == {EX + "b"}  # de-AT, case-fold
+        star = bgp_filter(b, lang_matches(lang("o"), "*"))
+        assert {r.s for r in star.collect()} == {EX + "a", EX + "b"}
+
+    def test_num_and_is_iri(self, spark):
+        from jsonld_spark.operators.bgp import (
+            bgp_filter, bgp_match, is_iri, num,
+        )
+
+        kg = self._kg(spark)
+        b = bgp_match(kg, [("?s", EX + "n", "?o")], bind_meta=True)
+        # 'abc' -> NULL (no ANSI crash), 42 passes the range
+        assert {r.s for r in bgp_filter(b, num("o") > 40).collect()} == {
+            EX + "a"
+        }
+        links = bgp_match(kg, [("?s", "?p", "?o")], bind_meta=True)
+        iris = bgp_filter(links, is_iri("o"))
+        assert {(r.s, r.o) for r in iris.collect()} == {(EX + "c", EX + "a")}
+
+    def test_regex_flags(self, spark):
+        from jsonld_spark.operators.bgp import bgp_filter, bgp_match, regex
+
+        b = bgp_match(
+            self._kg(spark), [("?s", EX + "label", "?o")], bind_meta=True
+        )
+        assert {
+            r.o for r in bgp_filter(b, regex("o", "^FAR", "i")).collect()
+        } == {"Farbe"}
+        with pytest.raises(ValueError, match="unsupported flags"):
+            regex("o", "x", "gx")
+
+    def test_term_identity_join_on_meta(self, spark):
+        """Same lexical form, different datatype/lang = DIFFERENT RDF
+        terms: a shared object var joins on the metadata too."""
+        from jsonld_spark.operators.bgp import bgp_match
+
+        t = spark.createDataFrame(
+            [
+                ("s1", "p0", "1", True, None, self.XSD_INT),
+                ("s2", "p1", "1", True, None, None),  # xsd:string '1'
+                ("s3", "p1", "1", True, None, self.XSD_INT),
+            ],
+            self.META_COLS,
+        )
+        out = bgp_match(
+            t, [("?x", "p0", "?v"), ("?y", "p1", "?v")], bind_meta=True
+        )
+        assert {(r.x, r.y) for r in out.collect()} == {("s1", "s3")}
+        # without metadata the lexical join would also pick up s2
+        lex = bgp_match(t, [("?x", "p0", "?v"), ("?y", "p1", "?v")])
+        assert {(r.x, r.y) for r in lex.collect()} == {
+            ("s1", "s2"), ("s1", "s3"),
+        }
+
+    def test_bgp_aggregate_mapping(self, spark):
+        from jsonld_spark.operators.bgp import (
+            bgp_aggregate, bgp_match, lang, num,
+        )
+
+        b = bgp_match(
+            self._kg(spark), [("?s", EX + "label", "?o")], bind_meta=True
+        ).withColumn("tag", lang("o"))
+        out = bgp_aggregate(
+            b,
+            "tag",
+            {
+                "n": F.count("*"),
+                "labels": F.array_join(
+                    F.sort_array(F.collect_list("o")), "|"
+                ),
+            },
+        )
+        got = {r.tag: (r.n, r.labels) for r in out.collect()}
+        assert got == {
+            "en": (1, "color"), "de-AT": (1, "Farbe"), "": (1, "plain")
+        }
+        with pytest.raises(ValueError, match="not bound"):
+            bgp_aggregate(b, "missing", {"n": F.count("*")})
+        with pytest.raises(ValueError, match="empty aggregate"):
+            bgp_aggregate(b, "tag", {})
