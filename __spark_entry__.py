@@ -641,6 +641,22 @@ def _q_bgp_aggregate_langs(spark, sf_dir):
     ).orderBy("tag")
 
 
+def _q_bgp_minus_exists(spark, sf_dir):
+    """SPARQL MINUS + FILTER EXISTS over the extracted KG: Documents
+    with a lang binding, FILTER EXISTS { ?d sameAs ?c } (semi-join —
+    every doc has one, so it proves the join keeps rather than
+    multiplies), MINUS { ?d source 'src3' } (anti-join)."""
+    from jsonld_spark.operators.bgp import bgp_exists, bgp_match, bgp_minus
+
+    t = _doc_triples(spark, sf_dir)
+    b = bgp_match(
+        t,
+        [("?d", RDF_TYPE, VOCAB + "Document"), ("?d", VOCAB + "lang", "?lang")],
+    )
+    b = bgp_exists(b, t, [("?d", SAME_AS, "?c")])
+    return bgp_minus(b, t, [("?d", VOCAB + "source", "src3")]).orderBy("d")
+
+
 def _q_bgp_optional_lang(spark, sf_dir):
     """SPARQL OPTIONAL over the extracted triples: every Document with
     its canon, plus the lang binding ONLY where the optional
@@ -1109,10 +1125,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "passage_dedup": _q_passage_dedup,
         "decontaminate": _q_decontaminate,
-        "minhash_candidate_pairs": _q_minhash_candidates,
         "bgp_filter_expr": _q_bgp_filter_expr,
         "bgp_aggregate_langs": _q_bgp_aggregate_langs,
+        "bgp_minus_exists": _q_bgp_minus_exists,
         # --------------- slot 50 boundary (r5 harness cap) ---------------
+        "minhash_candidate_pairs": _q_minhash_candidates,
         "bgp_bindings": _q_bgp_bindings,
         "bgp_optional_lang": _q_bgp_optional_lang,
         "jsonld_lang_triples": _q_jsonld_lang,
@@ -1360,6 +1377,10 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": textops.jaccard_pairs_sql(),
         "minhash_candidate_pairs": textops.minhash_candidate_pairs_sql(),
         "dedup_groups": textops.dedup_groups_sql(),
+        "bgp_minus_exists": f"""
+            SELECT {doc_subj} AS d, lang
+            FROM documents WHERE source <> 'src3'
+            ORDER BY d""",
         "bgp_filter_expr": f"""
             SELECT {doc_subj} AS d,
                    'Doc ' || CAST(doc_id AS VARCHAR) AS title,

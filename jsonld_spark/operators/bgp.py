@@ -683,3 +683,63 @@ def bgp_aggregate(
         raise ValueError("bgp_aggregate: empty aggregate dict")
     exprs = [c.alias(name) for name, c in aggs.items()]
     return bindings.groupBy(*gv).agg(*exprs)
+
+
+def bgp_minus(bindings: DataFrame, triples: DataFrame, patterns) -> DataFrame:
+    """SPARQL ``MINUS``: remove solutions compatible with some solution
+    of the right-hand BGP on at least one shared variable (SPARQL 1.1
+    §8.3).  Right-hand solutions come from ``bgp_match`` (never NULL);
+    left-hand NULLs (unbound, e.g. OPTIONAL output) follow the spec:
+
+    - no shared variables at all → nothing is removed (domains
+      disjoint), the bindings return unchanged;
+    - ONE shared variable → plain left-anti equi-join: a NULL key never
+      matches, which IS the spec outcome (empty domain intersection →
+      solution kept);
+    - several shared variables → a conditional anti-join
+      ``AND_v(left.v IS NULL OR left.v = right.v) AND OR_v(left.v IS
+      NOT NULL)`` — per-variable compatibility plus the non-empty
+      domain-intersection requirement.  Scale note: the OR/IS NULL
+      terms block hash-join extraction, so this shape plans as a
+      broadcast nested loop — fine for query-sized right sides; for
+      crawl-scale right sides with fully-bound left vars, filter the
+      NULLs yourself and the single-var/equi path applies."""
+    right = bgp_match(triples, patterns)
+    shared = sorted(set(bindings.columns) & set(right.columns))
+    if not shared:
+        return bindings
+    right = right.select(*shared).distinct()
+    if len(shared) == 1:
+        return bindings.join(right, on=shared, how="left_anti")
+    for c in shared:
+        right = right.withColumnRenamed(c, "_r_" + c)
+    cond = None
+    for v in shared:
+        e = F.col(v).isNull() | (F.col(v) == F.col("_r_" + v))
+        cond = e if cond is None else cond & e
+    dom = None
+    for v in shared:
+        e = F.col(v).isNotNull()
+        dom = e if dom is None else dom | e
+    return bindings.join(right, cond & dom, how="left_anti")
+
+
+def bgp_exists(
+    bindings: DataFrame, triples: DataFrame, patterns, *, negate: bool = False
+) -> DataFrame:
+    """SPARQL ``FILTER EXISTS { ... }`` (``negate=True`` → NOT EXISTS):
+    keep solutions for which the pattern group, with shared variables
+    substituted, has (no) solutions — a left-semi (left-anti) equi-join
+    on the shared variables.  The pattern group must share at least one
+    variable with the bindings (an unshared EXISTS is a constant gate —
+    evaluate it separately).  One hash semi-join; the right side is
+    deduplicated on the shared vars so the probe side stays thin."""
+    right = bgp_match(triples, patterns)
+    shared = sorted(set(bindings.columns) & set(right.columns))
+    if not shared:
+        raise ValueError(
+            "bgp_exists: pattern group shares no variable with the bindings"
+        )
+    right = right.select(*shared).distinct()
+    how = "left_anti" if negate else "left_semi"
+    return bindings.join(right, on=shared, how=how)

@@ -1066,3 +1066,64 @@ class TestExpressionLayer:
             bgp_aggregate(b, "missing", {"n": F.count("*")})
         with pytest.raises(ValueError, match="empty aggregate"):
             bgp_aggregate(b, "tag", {})
+
+
+class TestMinusExists:
+    def test_minus_removes_compatible(self, tiny):
+        from jsonld_spark.operators.bgp import bgp_match, bgp_minus
+
+        sols = bgp_match(tiny, [("?x", EX + "name", "?n")])
+        out = bgp_minus(sols, tiny, [("?x", TYPE, EX + "Person")])
+        assert {r.n for r in out.collect()} == {"Carol"}
+
+    def test_minus_disjoint_removes_nothing(self, tiny):
+        from jsonld_spark.operators.bgp import bgp_match, bgp_minus
+
+        sols = bgp_match(tiny, [("?x", EX + "name", "?n")])
+        out = bgp_minus(sols, tiny, [("?y", TYPE, EX + "Person")])
+        assert out.count() == sols.count()
+
+    def test_minus_null_single_var_kept(self, tiny):
+        """Unbound shared var → empty domain intersection → kept."""
+        from jsonld_spark.operators.bgp import bgp_minus, bgp_optional
+
+        sols = bgp_optional(
+            tiny,
+            [("?x", EX + "name", "?n")],
+            [[("?x", EX + "knows", "?k")]],
+        )
+        # remove solutions whose ?k is a Place; Carol's k is NULL → kept
+        out = bgp_minus(sols, tiny, [("?k", TYPE, EX + "Place")])
+        got = {r.n for r in out.collect()}
+        assert got == {"Alice", "Carol"}  # Bob knows c (a Place): removed
+
+    def test_minus_multi_var_partial_null(self, spark):
+        """Two shared vars, one NULL on the left: compatibility judged
+        on the bound one (SPARQL 8.3) — conditional anti-join path."""
+        from jsonld_spark.operators.bgp import bgp_minus
+
+        bindings = spark.createDataFrame(
+            [("a", "v1"), ("b", None), ("c", "v9")], "x string, y string"
+        )
+        t = spark.createDataFrame(
+            [("a", "p", "v1"), ("b", "p", "v2")], TRIPLE_COLS
+        )
+        out = bgp_minus(bindings, t, [("?x", "p", "?y")])
+        got = {(r.x, r.y) for r in out.collect()}
+        # ("a","v1") compatible with right ("a","v1") → removed.
+        # ("b",NULL): dom intersection = {x}, right has x="b" → removed.
+        # ("c","v9"): no right row with x="c" → kept.
+        assert got == {("c", "v9")}
+
+    def test_exists_and_not_exists(self, tiny):
+        from jsonld_spark.operators.bgp import bgp_exists, bgp_match
+
+        sols = bgp_match(tiny, [("?x", EX + "name", "?n")])
+        has_knows = bgp_exists(sols, tiny, [("?x", EX + "knows", "?y")])
+        assert {r.n for r in has_knows.collect()} == {"Alice", "Bob"}
+        no_knows = bgp_exists(
+            sols, tiny, [("?x", EX + "knows", "?y")], negate=True
+        )
+        assert {r.n for r in no_knows.collect()} == {"Carol"}
+        with pytest.raises(ValueError, match="shares no variable"):
+            bgp_exists(sols, tiny, [("?a", EX + "knows", "?b")])
