@@ -913,11 +913,11 @@ def _q_describe_src1(spark, sf_dir):
 
 def _q_shacl_validate(spark, sf_dir):
     """SHACL-lite validation of the extracted KG: DocumentShape
-    (lang minCount/maxCount/pattern, n_chars xsd:integer datatype,
-    sameAs nodeKind iri) — the only firing constraint on the synthetic
-    corpus is the lang pattern, so violations = docs whose lang is not
-    en/es, with every other constraint proven green by the zero rows
-    it contributes."""
+    (lang minCount/maxCount/pattern, n_chars xsd:integer datatype +
+    minInclusive range facet, sameAs nodeKind iri) — the firing
+    constraints on the synthetic corpus are the lang pattern, the
+    sh:class anti-join and the n_chars range, with every other
+    constraint proven green by the zero rows it contributes."""
     from jsonld_spark.operators.shacl import validate_shapes
 
     t = _doc_triples(spark, sf_dir)
@@ -928,7 +928,8 @@ def _q_shacl_validate(spark, sf_dir):
             "properties": [
                 {"path": VOCAB + "lang", "min_count": 1, "max_count": 1,
                  "pattern": "^(en|es)"},
-                {"path": VOCAB + "n_chars", "datatype": XSD_INTEGER},
+                {"path": VOCAB + "n_chars", "datatype": XSD_INTEGER,
+                 "min_inclusive": 100},
                 {"path": SAME_AS, "node_kind": "iri",
                  # canon entities carry no rdf:type -> every doc
                  # violates, exercising the sh:class anti-join
@@ -1559,7 +1560,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT {doc_subj}, 'DocumentShape', '{SAME_AS}',
                      'class {VOCAB}Entity',
                      '{CANON_NS}' || CAST(doc_id % 100 AS VARCHAR)
-              FROM documents)
+              FROM documents
+              UNION ALL
+              SELECT {doc_subj}, 'DocumentShape', '{VOCAB}n_chars',
+                     'minInclusive 100', CAST(n_chars AS VARCHAR)
+              FROM documents WHERE n_chars < 100)
             ORDER BY focus, shape, path, "constraint", value""",
         "rule_materialization": f"""
             WITH RECURSIVE inst AS (

@@ -36,6 +36,13 @@ Constraint → plan mapping (each an independent subplan, unioned):
   subclass membership should count).
 - ``in``: sh:in — value from an enumerated lexical-form list (an IN
   predicate on the scan).
+- ``min_length`` / ``max_length``: sh:minLength/sh:maxLength —
+  character length of the lexical form (a length shape on an
+  IRI-valued path flags the IRI too: modeling error worth a row).
+- ``min_inclusive`` / ``max_inclusive`` / ``min_exclusive`` /
+  ``max_exclusive``: numeric range facets over ``try_cast(double)``
+  of the lexical form (ANSI-safe); a non-numeric value violates any
+  range constraint.
 
 → (focus, shape, path, constraint, value) — one row per violation,
 ``value`` the offending lexical form or stringified count.
@@ -90,6 +97,9 @@ def validate_shapes(triples: DataFrame, shapes) -> DataFrame:
             unknown = set(prop) - {
                 "path", "min_count", "max_count",
                 "datatype", "node_kind", "pattern", "cls", "in",
+                "min_length", "max_length",
+                "min_inclusive", "max_inclusive",
+                "min_exclusive", "max_exclusive",
             }
             if unknown:
                 # a typo'd key would otherwise be silently ignored —
@@ -192,6 +202,59 @@ def validate_shapes(triples: DataFrame, shapes) -> DataFrame:
                 outs.append(
                     _violation(bad, name, path, f"pattern {pat}", F.col("v"))
                 )
+            if "min_length" in prop or "max_length" in prop:
+                # sh:minLength/sh:maxLength over the lexical form
+                # (characters, per SHACL's string facet); non-literals
+                # violate length constraints by definition (sh:minLength
+                # does not apply to IRIs in spirit, but a length shape
+                # on an IRI-valued path is a modeling error worth a row)
+                ln = F.length("v")
+                if "min_length" in prop:
+                    bad = fvals.filter(ln < prop["min_length"])
+                    outs.append(
+                        _violation(
+                            bad, name, path,
+                            f"minLength {prop['min_length']}", F.col("v"),
+                        )
+                    )
+                if "max_length" in prop:
+                    bad = fvals.filter(ln > prop["max_length"])
+                    outs.append(
+                        _violation(
+                            bad, name, path,
+                            f"maxLength {prop['max_length']}", F.col("v"),
+                        )
+                    )
+            range_keys = (
+                ("min_inclusive", "<"), ("max_inclusive", ">"),
+                ("min_exclusive", "<="), ("max_exclusive", ">="),
+            )
+            if any(k in prop for k, _ in range_keys):
+                # sh:minInclusive etc. — numeric comparison over the
+                # lexical form; a NON-numeric lexical form cannot
+                # satisfy a range constraint, so it violates too
+                # (try_cast NULL → the coalesce(False) path fires;
+                # ANSI-safe: a plain cast would crash the job)
+                n = F.col("v").try_cast("double")
+                for key, op in range_keys:
+                    if key not in prop:
+                        continue
+                    bound = float(prop[key])
+                    cmp = {
+                        "<": n < bound, ">": n > bound,
+                        "<=": n <= bound, ">=": n >= bound,
+                    }[op]
+                    bad = fvals.filter(
+                        n.isNull() | F.coalesce(cmp, F.lit(True))
+                    )
+                    camel = key.split("_")
+                    label = camel[0] + camel[1].capitalize()
+                    outs.append(
+                        _violation(
+                            bad, name, path, f"{label} {prop[key]}",
+                            F.col("v"),
+                        )
+                    )
     if not outs:
         raise ValueError("validate_shapes: shapes declare no constraints")
     out = outs[0]

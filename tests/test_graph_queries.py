@@ -551,6 +551,61 @@ class TestShacl:
             ("d2", "nodeKind iri", "literal!"),
         }
 
+    def test_length_and_range_facets(self, spark, kg):
+        from jsonld_spark.operators.shacl import validate_shapes
+
+        shapes = [
+            {
+                "name": "FacetShape",
+                "target_class": EX + "Doc",
+                "properties": [
+                    {"path": EX + "lang", "min_length": 2, "max_length": 2},
+                    {"path": EX + "size", "min_inclusive": 1,
+                     "max_inclusive": 4},
+                ],
+            }
+        ]
+        out = validate_shapes(kg, shapes)
+        rows = {(r.focus, r.constraint, r.value) for r in out.collect()}
+        assert rows == {
+            # d1 size '5' > 4 inclusive max; d2 size 'big' is
+            # non-numeric → violates BOTH range facets
+            ("d1", "maxInclusive 4", "5"),
+            ("d2", "minInclusive 1", "big"),
+            ("d2", "maxInclusive 4", "big"),
+        }
+
+        excl = validate_shapes(
+            kg,
+            [{
+                "name": "Excl",
+                "target_class": EX + "Doc",
+                "properties": [
+                    {"path": EX + "size", "min_exclusive": 5},
+                ],
+            }],
+        )
+        got = {(r.focus, r.constraint, r.value) for r in excl.collect()}
+        assert got == {
+            ("d1", "minExclusive 5", "5"),   # 5 > 5 is false
+            ("d2", "minExclusive 5", "big"),
+        }
+
+        lng = validate_shapes(
+            kg,
+            [{
+                "name": "Lng",
+                "target_class": EX + "Doc",
+                "properties": [
+                    {"path": EX + "ref", "max_length": 3},
+                ],
+            }],
+        )
+        # IRI value longer than 3 chars flags too (modeling error row)
+        assert {(r.focus, r.value) for r in lng.collect()} == {
+            ("d1", EX + "x"), ("d2", "literal!"),
+        }
+
     def test_refusals(self, spark, kg):
         from jsonld_spark.operators.shacl import validate_shapes
 
