@@ -704,6 +704,7 @@ def _q_bgp_union_sources(spark, sf_dir):
 
 
 CLASS_NS = "http://class.example/"
+PRED_NS = "http://prop.example/"
 
 
 def _q_type_inference(spark, sf_dir):
@@ -992,6 +993,38 @@ def _q_path_canon_langs(spark, sf_dir):
     ).orderBy("src", "dst")
 
 
+def _q_property_inference(spark, sf_dir):
+    """RDFS subPropertyOf entailment (rdfs7): doc facts asserted under
+    Pred{doc_id%50} lift through the ontology Pred{p} \u2291 Pred{p div 3}
+    \u2014 the property closure runs on the tiny vocabulary, ONE join lifts
+    the instance triples, per-pred counts from a partial-agg groupBy."""
+    from jsonld_spark.operators.graph import infer_properties
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        F.concat(F.lit(DOC_NS), F.col("doc_id").cast("string")).alias("subj"),
+        F.concat(
+            F.lit(PRED_NS), F.pmod(F.col("doc_id"), F.lit(50)).cast("string")
+        ).alias("pred"),
+        F.col("lang").alias("obj"),
+    )
+    ps = (
+        docs.select(F.pmod(F.col("doc_id"), F.lit(50)).alias("p"))
+        .distinct()
+        .filter(F.col("p") > 0)
+    )
+    subprop = ps.select(
+        F.concat(F.lit(PRED_NS), F.col("p").cast("string")).alias("src"),
+        F.concat(F.lit(PRED_NS), F.expr("p div 3").cast("string")).alias("dst"),
+    )
+    return (
+        infer_properties(t, subprop)
+        .groupBy("pred")
+        .agg(F.count("*").alias("n_facts"))
+        .orderBy("pred")
+    )
+
+
 def _q_void_stats(spark, sf_dir):
     """VoID property-partition statistics of the extracted KG: per
     predicate, triple count + exact distinct subject/object counts —
@@ -1082,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_validate": _q_shacl_validate,
         "describe_src1": _q_describe_src1,
         "type_inference": _q_type_inference,
+        "property_inference": _q_property_inference,
         "subclass_closure": _q_subclass_closure,
         "void_stats": _q_void_stats,
         "ifp_links": _q_ifp_links,
@@ -1125,11 +1159,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_type_users": _q_multi_type_users,
         "dedup_exact": _q_dedup_exact,
         "passage_dedup": _q_passage_dedup,
-        "decontaminate": _q_decontaminate,
         "bgp_filter_expr": _q_bgp_filter_expr,
         "bgp_aggregate_langs": _q_bgp_aggregate_langs,
         "bgp_minus_exists": _q_bgp_minus_exists,
         # --------------- slot 50 boundary (r5 harness cap) ---------------
+        "decontaminate": _q_decontaminate,
         "minhash_candidate_pairs": _q_minhash_candidates,
         "bgp_bindings": _q_bgp_bindings,
         "bgp_optional_lang": _q_bgp_optional_lang,
@@ -1433,6 +1467,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT '{CLASS_NS}' || CAST(cls AS VARCHAR) AS cls,
                    count(*)::BIGINT AS n_instances
             FROM types GROUP BY 1 ORDER BY cls""",
+        "property_inference": f"""
+            WITH RECURSIVE inst AS (
+              SELECT doc_id, doc_id % 50 AS p, lang FROM documents),
+            e AS (SELECT DISTINCT p AS s, p // 3 AS d FROM inst WHERE p > 0),
+            cl AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT cl.s, e.d FROM cl JOIN e ON cl.d = e.s),
+            facts AS (
+              SELECT doc_id, p AS pred, lang FROM inst
+              UNION
+              SELECT i.doc_id, cl.d AS pred, i.lang
+              FROM inst i JOIN cl ON cl.s = i.p)
+            SELECT '{PRED_NS}' || CAST(pred AS VARCHAR) AS pred,
+                   count(*)::BIGINT AS n_facts
+            FROM facts GROUP BY 1 ORDER BY pred""",
         "tfidf_top_terms": textops.tfidf_top_terms_sql(),
         "boilerplate_lines": textops.boilerplate_lines_sql(),
         "domain_quality": textops.domain_quality_sql(),

@@ -483,6 +483,35 @@ def infer_types(
     return t.union(inherited).distinct()
 
 
+def infer_properties(
+    triples: DataFrame,
+    subprop: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """RDFS subPropertyOf inference (rdfs7 entailment: ``p(x, y) ∧
+    subPropertyOf⁺(p, q) → q(x, y)``): materialize every triple under
+    its super-properties alongside the asserted ones.  → (subj, pred,
+    obj) DISTINCT.
+
+    Same shape as :func:`infer_types` (rdfs9): the property hierarchy
+    closes FIRST (iterative doubling over a vocabulary-sized edge set),
+    then ONE join of the triples scan against the closure — broadcast
+    in practice (property vocabularies are thousands; triples are
+    trillions), never an iterative walk over instances."""
+    t = triples.select("subj", "pred", "obj")
+    clo = transitive_closure(
+        subprop.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        max_iter=max_iter,
+    )
+    lifted = t.join(clo, t.pred == clo.src).select(
+        "subj", F.col("dst").alias("pred"), "obj"
+    )
+    return t.union(lifted).distinct()
+
+
 def ifp_link_candidates(
     triples: DataFrame, pred: str, *, max_group: int = 1024
 ) -> DataFrame:

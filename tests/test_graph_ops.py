@@ -273,3 +273,22 @@ def test_negative_samples_deterministic_and_filtered(spark):
     )
     with pytest.raises(ValueError, match="no resource-object triples"):
         negative_samples(lit, k=1)
+
+
+def test_infer_properties_rdfs7(spark):
+    from jsonld_spark.operators.graph import infer_properties
+
+    t = spark.createDataFrame(
+        [("a", "p2", "v"), ("b", "p1", "w"), ("c", "q", "z")],
+        "subj string, pred string, obj string",
+    )
+    # p2 ⊑ p1 ⊑ p0 — two-level closure
+    sp = spark.createDataFrame(
+        [("p2", "p1"), ("p1", "p0")], "src string, dst string"
+    )
+    got = {(r.subj, r.pred, r.obj) for r in infer_properties(t, sp).collect()}
+    assert got == {
+        ("a", "p2", "v"), ("a", "p1", "v"), ("a", "p0", "v"),
+        ("b", "p1", "w"), ("b", "p0", "w"),
+        ("c", "q", "z"),
+    }
