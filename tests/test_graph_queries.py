@@ -1182,3 +1182,25 @@ class TestMinusExists:
         assert {r.n for r in no_knows.collect()} == {"Carol"}
         with pytest.raises(ValueError, match="shares no variable"):
             bgp_exists(sols, tiny, [("?a", EX + "knows", "?b")])
+
+
+def test_bgp_filter_pushes_to_parquet_scan(spark, tmp_path):
+    """A FILTER over a single pattern's bindings reaches the parquet
+    scan as a pushed predicate (num() try_cast blocks pushdown of the
+    cast itself, so assert on a string-prefix filter — the common
+    lang/IRI-prefix case)."""
+    from jsonld_spark.operators.bgp import bgp_filter, bgp_match
+
+    t = spark.createDataFrame(
+        [(EX + "a", EX + "p", "en", True, "en", None)],
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, obj_datatype string",
+    )
+    path = str(tmp_path / "t.parquet")
+    t.write.parquet(path)
+    b = bgp_match(
+        spark.read.parquet(path), [("?s", EX + "p", "?o")], bind_meta=True
+    )
+    out = bgp_filter(b, F.col("o").startswith("e"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "StartsWith(obj,e" in plan, plan[:3000]
