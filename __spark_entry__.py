@@ -42,7 +42,9 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(_docs(spark, sf_dir))
-    return KGPipeline(spark).triples(pages)
+    # derived pages are 100% ld+json by construction: the crawl
+    # pre-filter would be pure decode overhead here (bench-measured)
+    return KGPipeline(spark).triples(pages, skip_scriptless=False)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -61,7 +63,7 @@ def _q_jsonld_rdfstar(spark, sf_dir):
     pages = pages_from_documents_annotated(_docs(spark, sf_dir))
     return (
         KGPipeline(spark, rdfstar=True)
-        .triples(pages)
+        .triples(pages, skip_scriptless=False)
         .select("subj", "pred", "obj", "obj_datatype")
         .orderBy("subj", "pred")
     )
@@ -590,7 +592,8 @@ def _q_bgp_filter_expr(spark, sf_dir):
     from jsonld_spark.sources.doc_pages import pages_from_documents_tagged
 
     t = KGPipeline(spark).triples(
-        pages_from_documents_tagged(_docs(spark, sf_dir))
+        pages_from_documents_tagged(_docs(spark, sf_dir)),
+        skip_scriptless=False,
     )
     b = bgp_match(
         t,
@@ -623,7 +626,8 @@ def _q_bgp_aggregate_langs(spark, sf_dir):
     from jsonld_spark.sources.doc_pages import pages_from_documents_tagged
 
     t = KGPipeline(spark).triples(
-        pages_from_documents_tagged(_docs(spark, sf_dir))
+        pages_from_documents_tagged(_docs(spark, sf_dir)),
+        skip_scriptless=False,
     )
     b = bgp_match(
         t,
