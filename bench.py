@@ -709,6 +709,20 @@ Semantics are unchanged (scriptless pages emit zero rows either way;
 the one divergence — no `document too large` row for oversized
 scriptless pages — is documented on extract()).
 
+### Round-6 samples + the one sign-stable regression (fixed in-round)
+
+Fresh-window raw scaling **0.897** (t8 76.5 s / t32 21.3 s; ceiling
+0.841 → normalized 1.0) — raw exceeded both the 0.8 bar and the
+perfectly-parallel multiprocessing control.  vs_prev flagged ONE
+sign-stable regression pair: jsonld_pred_counts / jsonld_sameas_
+canonical (+8-14% median), attributed to the new skip_scriptless
+pre-filter running over the 100%-scripted DERIVED doc-pages frames,
+where its decode+contains pass can never skip anything.  Fixed the
+same round: the oracle spine passes skip_scriptless=False (the input
+is all-JSON-LD by construction); raw-crawl callers keep the default,
+where the same filter measured pages_extract_16f −10.4% sign-stable
+(5% scriptless skipped) and −55.7% on the 70%-scriptless mixed corpus.
+
 ### Output contract (round 6)
 
 bench.py's LAST stdout line is a compact JSON summary (headline
