@@ -743,3 +743,74 @@ def bgp_exists(
     right = right.select(*shared).distinct()
     how = "left_anti" if negate else "left_semi"
     return bindings.join(right, on=shared, how=how)
+
+
+def select(
+    triples: DataFrame,
+    patterns,
+    *,
+    where=None,
+    optional=None,
+    minus=None,
+    exists=None,
+    not_exists=None,
+    group_by=None,
+    aggs=None,
+    order_by=None,
+    limit: int | None = None,
+    bind_meta: bool = False,
+    set_semantics: bool = True,
+) -> DataFrame:
+    """One-call SPARQL-SELECT composition — the query shape a reference
+    user writes against ruby-rdf's ``RDF::Query`` (README.md usage),
+    assembled from this module's algebra in SPARQL 1.1 evaluation
+    order: BGP → OPTIONAL groups → MINUS → EXISTS / NOT EXISTS gates →
+    FILTER → GROUP BY+aggregates → ORDER BY → LIMIT.  Every stage is
+    the documented operator (same plans, same scale notes); this is
+    composition only.
+
+    ``where``: Column / SQL-string FILTER (use the lang()/datatype()/
+    num()/lang_matches()/regex() helpers with ``bind_meta=True``).
+    ``optional``: list of OPTIONAL pattern groups.  ``minus`` /
+    ``exists`` / ``not_exists``: pattern groups evaluated against the
+    same ``triples``.  ``aggs``: dict name → Column (requires
+    ``group_by``).  ``order_by``: column name or list.  LIMIT plans as
+    a global top-k when combined with ORDER BY (TakeOrderedAndProject
+    — no full sort at scale)."""
+    if optional:
+        b = bgp_optional(
+            triples, patterns, optional, set_semantics=set_semantics
+        )
+        if bind_meta:
+            raise ValueError(
+                "select: bind_meta with OPTIONAL groups is not supported "
+                "(optional NULLs have no term metadata); filter on the "
+                "required part or run bgp_match separately"
+            )
+    else:
+        b = bgp_match(
+            triples, patterns,
+            bind_meta=bind_meta, set_semantics=set_semantics,
+        )
+    if minus:
+        b = bgp_minus(b, triples, minus)
+    if exists:
+        b = bgp_exists(b, triples, exists)
+    if not_exists:
+        b = bgp_exists(b, triples, not_exists, negate=True)
+    if where is not None:
+        b = bgp_filter(b, where)
+    if aggs and not group_by:
+        raise ValueError("select: aggs requires group_by")
+    if group_by:
+        if not aggs:
+            raise ValueError("select: group_by requires aggs")
+        b = bgp_aggregate(b, group_by, aggs)
+    if order_by:
+        cols = [order_by] if isinstance(order_by, str) else list(order_by)
+        b = b.orderBy(*cols)
+    if limit is not None:
+        if limit < 1:
+            raise ValueError("select: limit must be >= 1")
+        b = b.limit(limit)
+    return b

@@ -1204,3 +1204,63 @@ def test_bgp_filter_pushes_to_parquet_scan(spark, tmp_path):
     out = bgp_filter(b, F.col("o").startswith("e"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "StartsWith(obj,e" in plan, plan[:3000]
+
+
+class TestSelect:
+    def test_full_composition(self, tiny):
+        from jsonld_spark.operators.bgp import select
+
+        out = select(
+            tiny,
+            [("?x", TYPE, "?t"), ("?x", EX + "name", "?n")],
+            not_exists=[("?x", EX + "knows", "?y")],
+            where=F.col("n") != "Nobody",
+            order_by="n",
+            limit=5,
+        )
+        # only c has a type+name and no outgoing knows
+        assert [(r.x, r.n) for r in out.collect()] == [(EX + "c", "Carol")]
+
+    def test_group_by_with_limit_plans_topk(self, tiny):
+        from jsonld_spark.operators.bgp import select
+
+        out = select(
+            tiny,
+            [("?x", TYPE, "?t")],
+            group_by="t",
+            aggs={"n": F.count("*")},
+            order_by="t",
+            limit=1,
+        )
+        assert [(r.t, r.n) for r in out.collect()] == [(EX + "Person", 2)]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+    def test_validation(self, tiny):
+        from jsonld_spark.operators.bgp import select
+
+        with pytest.raises(ValueError, match="requires group_by"):
+            select(tiny, [("?x", TYPE, "?t")], aggs={"n": F.count("*")})
+        with pytest.raises(ValueError, match="requires aggs"):
+            select(tiny, [("?x", TYPE, "?t")], group_by="t")
+        with pytest.raises(ValueError, match="limit"):
+            select(tiny, [("?x", TYPE, "?t")], limit=0)
+        with pytest.raises(ValueError, match="bind_meta with OPTIONAL"):
+            select(
+                tiny, [("?x", EX + "name", "?n")],
+                optional=[[("?x", EX + "knows", "?y")]], bind_meta=True,
+            )
+
+    def test_optional_and_minus(self, tiny):
+        from jsonld_spark.operators.bgp import select
+
+        out = select(
+            tiny,
+            [("?x", EX + "name", "?n")],
+            optional=[[("?x", EX + "knows", "?k")]],
+            minus=[("?k", TYPE, EX + "Place")],
+            order_by="n",
+        )
+        assert [(r.n, r.k) for r in out.collect()] == [
+            ("Alice", EX + "b"), ("Carol", None),
+        ]
