@@ -515,6 +515,13 @@ def _q_decontaminate(spark, sf_dir):
     return textops.decontaminate(_docs(spark, sf_dir))
 
 
+def _q_decontaminate_fuzzy(spark, sf_dir):
+    """MinHash-LSH fuzzy benchmark decontamination: training docs that
+    share any LSH band bucket with the held-out split — the
+    paraphrase-robust complement to the exact 8-gram filter."""
+    return textops.decontaminate_fuzzy(_docs(spark, sf_dir))
+
+
 def _q_quota_sample(spark, sf_dir):
     return textops.quota_sample(_docs(spark, sf_dir))
 
@@ -1162,11 +1169,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "multi_type_users": _q_multi_type_users,
         "dedup_exact": _q_dedup_exact,
-        "passage_dedup": _q_passage_dedup,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "bgp_filter_expr": _q_bgp_filter_expr,
         "bgp_aggregate_langs": _q_bgp_aggregate_langs,
         "bgp_minus_exists": _q_bgp_minus_exists,
         # --------------- slot 50 boundary (r5 harness cap) ---------------
+        "passage_dedup": _q_passage_dedup,
         "decontaminate": _q_decontaminate,
         "minhash_candidate_pairs": _q_minhash_candidates,
         "bgp_bindings": _q_bgp_bindings,
@@ -1399,6 +1407,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": textops.EXACT_DEDUP_SQL,
         "passage_dedup": textops.passage_dedup_sql(),
         "decontaminate": textops.decontaminate_sql(),
+        "decontaminate_fuzzy": textops.decontaminate_fuzzy_sql(),
         "quota_sample": textops.quota_sample_sql(),
         "repetition_stats": textops.REPETITION_STATS_SQL,
         "top_ngram_stats": textops.top_ngram_stats_sql(),

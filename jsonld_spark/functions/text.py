@@ -708,6 +708,83 @@ ORDER BY d.doc_id
 """
 
 
+def decontaminate_fuzzy(
+    docs: DataFrame, eval_mod: int = DECON_EVAL_MOD
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training documents that are
+    MinHash-LSH near-duplicates of any held-out document — catches the
+    paraphrased/reformatted contamination the exact n-gram filter
+    (:func:`decontaminate`) misses (same banding as the dedup path, so
+    a "contaminated" verdict here means "would have been a near-dup
+    candidate of an eval doc").  ``doc_id % eval_mod == 0`` stands in
+    for the benchmark set, as in :func:`decontaminate`.
+
+    → (doc_id, n_shared_bands, contaminated) for every training doc —
+    n_shared_bands ∈ [0, 32] is the LSH evidence strength (bands are
+    unique per doc, so count(*) after the join IS the distinct count).
+
+    100-TB shape: the eval side reduces to DISTINCT (band_id,
+    band_hash) keys — benchmark-sized → BROADCAST; training band rows
+    stream through the broadcast hash join (no shuffle of the big
+    side), then one partial-agg count per doc.  No-shingle docs never
+    enter banding (minhash_bands' hot-key guard) and report 0."""
+    bands = minhash_bands(docs)
+    ev = (
+        bands.filter(F.col("doc_id") % eval_mod == 0)
+        .select("band_id", "band_hash")
+        .distinct()
+    )
+    train = bands.filter(F.col("doc_id") % eval_mod != 0)
+    overlap = (
+        train.join(F.broadcast(ev), ["band_id", "band_hash"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    train_docs = (
+        docs.filter(F.col("doc_id") % eval_mod != 0)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        train_docs.join(overlap, "doc_id", "left")
+        .fillna(0, subset=["n_shared_bands"])
+        .withColumn("contaminated", F.col("n_shared_bands") >= 1)
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_fuzzy_sql(eval_mod: int = DECON_EVAL_MOD) -> str:
+    """DuckDB mirror: same band construction as
+    ``minhash_candidate_pairs_sql``, eval/train split on doc_id."""
+    n_bands = MINHASH_K // LSH_BAND_ROWS
+    band_selects = []
+    for b in range(n_bands):
+        cols = ", ".join(
+            f"CAST(sig[{b * LSH_BAND_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(LSH_BAND_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, "
+            f"md5(concat_ws(',', {cols})) AS band_hash FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""{_DUCK_MINHASH_CTES},
+     sig AS (SELECT * FROM (SELECT doc_id, [{_duck_sig_items()}] AS sig FROM h)
+             WHERE sig[1] IS NOT NULL),
+     bands AS ({bands}),
+     ev AS (SELECT DISTINCT band_id, band_hash FROM bands
+            WHERE doc_id % {eval_mod} = 0),
+     ov AS (SELECT doc_id, count(*) AS n_shared_bands
+            FROM bands JOIN ev USING (band_id, band_hash)
+            WHERE doc_id % {eval_mod} != 0 GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(ov.n_shared_bands, 0) AS BIGINT) AS n_shared_bands,
+       coalesce(ov.n_shared_bands, 0) >= 1 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % {eval_mod} != 0) d
+LEFT JOIN ov USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # --- per-group quota sampling ---------------------------------------------------
 
 
