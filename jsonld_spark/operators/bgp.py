@@ -733,7 +733,17 @@ def bgp_exists(
     on the shared variables.  The pattern group must share at least one
     variable with the bindings (an unshared EXISTS is a constant gate —
     evaluate it separately).  One hash semi-join; the right side is
-    deduplicated on the shared vars so the probe side stays thin."""
+    deduplicated on the shared vars so the probe side stays thin.
+
+    Divergence from SPARQL substitution semantics (§8.3.3) for UNBOUND
+    shared variables: SPARQL substitutes only bound vars and leaves
+    unbound ones free (so NOT EXISTS removes an unbound-var solution
+    whenever the pattern has any solution at all); here the equi-join
+    key never matches NULL, so EXISTS drops unbound solutions and NOT
+    EXISTS keeps them.  Feeding OPTIONAL output with NULLs in the
+    shared vars hits this — filter or coalesce them explicitly when
+    the SPARQL reading matters (bgp_minus DOES implement the spec's
+    unbound rules; prefer it for negation over OPTIONAL output)."""
     right = bgp_match(triples, patterns)
     shared = sorted(set(bindings.columns) & set(right.columns))
     if not shared:
@@ -773,7 +783,9 @@ def select(
     num()/lang_matches()/regex() helpers with ``bind_meta=True``).
     ``optional``: list of OPTIONAL pattern groups.  ``minus`` /
     ``exists`` / ``not_exists``: pattern groups evaluated against the
-    same ``triples``.  ``aggs``: dict name → Column (requires
+    same ``triples`` (note: exists/not_exists use equi-join semantics —
+    unbound shared vars from OPTIONAL groups never match; see
+    bgp_exists.  minus implements the spec's unbound rules).  ``aggs``: dict name → Column (requires
     ``group_by``).  ``order_by``: column name or list.  LIMIT plans as
     a global top-k when combined with ORDER BY (TakeOrderedAndProject
     — no full sort at scale)."""

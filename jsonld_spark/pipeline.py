@@ -127,9 +127,17 @@ class KGPipeline:
         src = pages.select("url", "html")
         if skip_scriptless:
             # NULL html fails the predicate → filtered, same zero-row
-            # outcome as the Python path
+            # outcome as the Python path.  CAST, not decode(): Spark 4's
+            # decode() throws MALFORMED_CHARACTER_CODING on invalid
+            # UTF-8 — and a real crawl (this filter's whole target)
+            # always contains such pages — while binary→string cast is
+            # validation-free and byte-preserving, so the ASCII
+            # 'ld+json' substring test sees exactly the raw bytes (the
+            # Python scanner decodes with errors='replace', which can
+            # never CREATE ascii letters, so cast-contains never
+            # false-negatives against it).
             src = src.filter(
-                F.expr("contains(lower(decode(html, 'UTF-8')), 'ld+json')")
+                F.expr("contains(lower(cast(html as string)), 'ld+json')")
             )
         return src.mapInPandas(fn, TRIPLES_SCHEMA)
 
@@ -147,9 +155,16 @@ class KGPipeline:
             .drop("error")
         )
 
-    def errors(self, pages: DataFrame) -> DataFrame:
+    def errors(
+        self, pages: DataFrame, skip_scriptless: bool = True
+    ) -> DataFrame:
+        """Pass ``skip_scriptless=False`` for byte-identical
+        observability (the pre-filter otherwise drops oversized
+        scriptless pages before their 'document too large' row — see
+        extract); the observability view must be able to follow its own
+        escape hatch."""
         return (
-            self.extract(pages)
+            self.extract(pages, skip_scriptless=skip_scriptless)
             .filter(F.col("error").isNotNull())
             .select("url", "error")
         )

@@ -116,8 +116,11 @@ def pages_from_documents_tagged(docs: DataFrame) -> DataFrame:
     prove RFC 4647 prefix-at-boundary matching, not equality) plus the
     ``n_chars`` integer — giving the emitted triples non-null obj_lang
     and a numeric datatype to FILTER on."""
+    # _json_esc like the sibling template: a lang containing '"' or '\'
+    # must not break the JSON block (the parser unescapes back, so
+    # oracle predictions over the raw column still hold)
     tag = F.concat(
-        F.col("lang"),
+        _json_esc(F.col("lang")),
         F.when(F.col("doc_id") % 3 == 0, F.lit("-us")).otherwise(F.lit("")),
     )
     jsonld = F.concat(

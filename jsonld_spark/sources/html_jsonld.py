@@ -245,8 +245,12 @@ def extract_links(pages, url_col: str = "url", html_col: str = "html"):
     collapses)."""
     from pyspark.sql import functions as F
 
+    # cast, not decode(): Spark 4 decode() throws on invalid UTF-8
+    # (MALFORMED_CHARACTER_CODING) and crawl html is routinely invalid;
+    # binary→string cast is validation-free and byte-preserving, which
+    # is all the ASCII-pattern regexes need
     html_s = F.expr(
-        f"regexp_replace(decode({html_col}, 'UTF-8'), '(?s)<!--.*?-->', '')"
+        f"regexp_replace(cast({html_col} as string), '(?s)<!--.*?-->', '')"
     )
     # Column-API pattern literal sidesteps SQL-string quote escaping
     # (the regex needs both quote characters)

@@ -529,3 +529,37 @@ def test_skip_scriptless_filters_before_arrow(spark, pipe):
         .count()
     )
     assert src_count == n_with
+
+
+def test_skip_scriptless_survives_malformed_utf8(spark, pipe):
+    """Crawl html is routinely invalid UTF-8: the JVM pre-filter must
+    not crash on it (Spark 4 decode() throws MALFORMED_CHARACTER_CODING;
+    the cast-based filter is validation-free) and must still KEEP a
+    malformed page whose raw bytes contain the ld+json marker."""
+    good = (
+        b'<script type="application/ld+json">'
+        b'{"@id": "http://m.example/e", "http://v.e/p": "x"}</script>'
+    )
+    rows = [
+        ("http://m.example/bad-with-ld", b"\xff\xfe\x80" + good),
+        ("http://m.example/bad-plain", b"\xff\xfe\x41 no scripts"),
+        ("http://m.example/good", good),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = pipe.extract(df, skip_scriptless=True).collect()  # must not raise
+    subjects = {r.subj for r in out if r.subj}
+    assert "http://m.example/e" in subjects
+    by_url = {r.url for r in out}
+    assert "http://m.example/bad-with-ld" in by_url  # kept by the filter
+
+
+def test_extract_links_survives_malformed_utf8(spark):
+    from jsonld_spark.sources.html_jsonld import extract_links
+
+    df = spark.createDataFrame(
+        [("http://m.example/p", b'\xff\xfe<a href="/x">l</a>')],
+        "url string, html binary",
+    )
+    assert {r.href for r in extract_links(df).collect()} == {
+        "http://m.example/x"
+    }
