@@ -711,6 +711,14 @@ scriptless pages — is documented on extract()).
 
 ### Round-6 samples + the one sign-stable regression (fixed in-round)
 
+Second independent round-6 window (after the in-round fixes): raw
+**0.885** (t8 71.0 s / t32 20.1 s; ceiling 0.647 → normalized 1.0) and
+653k triples/s — the raw number cleared 0.8 in BOTH round-6 windows
+and exceeded the hardware control in both.  The same window confirms
+the spine fix below: jsonld_pred_counts 2.33 s (window 1, pre-filter
+overhead) → **1.77 s** (window 2, skip_scriptless=False on the derived
+frames) vs 2.66 s in round 5.
+
 Fresh-window raw scaling **0.897** (t8 76.5 s / t32 21.3 s; ceiling
 0.841 → normalized 1.0) — raw exceeded both the 0.8 bar and the
 perfectly-parallel multiprocessing control.  vs_prev flagged ONE
