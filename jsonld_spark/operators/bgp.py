@@ -826,3 +826,12 @@ def select(
             raise ValueError("select: limit must be >= 1")
         b = b.limit(limit)
     return b
+
+
+def ask(triples: DataFrame, patterns, **kwargs) -> bool:
+    """SPARQL ``ASK``: does the BGP have any solution?  Planned as the
+    bgp_match join tree under an ``isEmpty`` probe — Spark stops at the
+    first produced row (LocalLimit 1 pushed through the plan), so an
+    ASK over a 100-TB store does not materialize the binding set.
+    Keyword args pass through to :func:`bgp_match`."""
+    return not bgp_match(triples, patterns, **kwargs).isEmpty()

@@ -1264,3 +1264,11 @@ class TestSelect:
         assert [(r.n, r.k) for r in out.collect()] == [
             ("Alice", EX + "b"), ("Carol", None),
         ]
+
+
+def test_ask(tiny):
+    from jsonld_spark.operators.bgp import ask
+
+    assert ask(tiny, [("?x", TYPE, EX + "Person")]) is True
+    assert ask(tiny, [(EX + "a", EX + "knows", EX + "b")]) is True
+    assert ask(tiny, [("?x", TYPE, EX + "Robot")]) is False
