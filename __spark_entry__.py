@@ -554,6 +554,12 @@ def _q_ann_ivf(spark, sf_dir):
     return similarity.ann_topk_ivf(_emb(spark, sf_dir))
 
 
+def _q_ann_recall(spark, sf_dir):
+    """ANN QA: recall@5 of the LSH index vs brute-force exact top-5,
+    per query — integer fixed-point, both rankings already mirrored."""
+    return similarity.ann_recall(_emb(spark, sf_dir), method="lsh")
+
+
 def _q_semdedup(spark, sf_dir):
     return similarity.semdedup(_emb(spark, sf_dir))
 
@@ -1140,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_ivf,
         "cosine_topk": _q_cosine_topk,
         "near_dup_embeddings": _q_near_dup_embeddings,
+        "ann_recall_lsh": _q_ann_recall,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "boilerplate_lines": _q_boilerplate_lines,
         "extract_links": _q_extract_links,
@@ -1168,12 +1175,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_join": _q_top_revenue_join,
         "events_sessions": _q_events_sessions,
         "multi_type_users": _q_multi_type_users,
-        "dedup_exact": _q_dedup_exact,
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "bgp_filter_expr": _q_bgp_filter_expr,
         "bgp_aggregate_langs": _q_bgp_aggregate_langs,
         "bgp_minus_exists": _q_bgp_minus_exists,
         # --------------- slot 50 boundary (r5 harness cap) ---------------
+        "dedup_exact": _q_dedup_exact,
         "passage_dedup": _q_passage_dedup,
         "decontaminate": _q_decontaminate,
         "minhash_candidate_pairs": _q_minhash_candidates,
@@ -1690,6 +1697,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": similarity.cosine_topk_sql(),
         "near_dup_embeddings": similarity.near_dup_embeddings_sql(),
         "ann_topk_lsh": similarity.ann_topk_lsh_sql(),
+        "ann_recall_lsh": similarity.ann_recall_sql(),
         # the deterministic k-means quantizer is replayed in SQL (4
         # unrolled assign/update rounds, 1e-6-quantized centroids)
         "ann_topk_ivf": similarity.ann_topk_ivf_sql(),

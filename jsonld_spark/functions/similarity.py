@@ -586,3 +586,67 @@ FROM assigned a LEFT JOIN dup d ON a.vec_id = d.a_id
 ORDER BY a.vec_id
 """
     )
+
+
+def ann_recall(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, method: str = "lsh"
+) -> DataFrame:
+    """ANN quality-assurance metric: recall@k of the approximate index
+    vs the exact brute-force top-k, per query → (query_id, n_hits,
+    recall_x1e6).  The QA every production ANN deployment runs on a
+    sample before trusting the index (recall is THE accuracy knob an
+    LSH/IVF parameterization trades against cost).
+
+    recall_x1e6 is integer fixed-point (n_hits*1e6 / k) — exact at any
+    parallelism, value-hash mirrorable.
+
+    100-TB shape: exact ground truth only ever runs on the QUERY SAMPLE
+    (n_queries rows broadcast against the corpus — the same bounded
+    shape as cosine_topk); the approximate side is the production index
+    path.  One left-semi join per query set + one partial-agg count."""
+    if method == "lsh":
+        approx = ann_topk_lsh(emb, n_queries=n_queries, k=k)
+    elif method == "ivf":
+        approx = ann_topk_ivf(emb, n_queries=n_queries, k=k)
+    else:
+        raise ValueError(f"ann_recall: method must be lsh|ivf: {method}")
+    exact = cosine_topk(emb, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    return (
+        qs.join(hits, "query_id", "left")
+        .fillna(0, subset=["n_hits"])
+        .withColumn(
+            "recall_x1e6",
+            F.expr(f"cast(n_hits * 1000000L div {k} as bigint)"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ann_recall_sql(n_queries: int = 10, k: int = 5) -> str:
+    """DuckDB mirror for method='lsh': intersect the two mirrored
+    rankings (both SQL constructions already exist) and count hits."""
+    exact = cosine_topk_sql(n_queries, k).strip().rstrip()
+    approx = ann_topk_lsh_sql(n_queries, k).strip().rstrip()
+    return f"""
+WITH exact_r AS ({exact}),
+ approx_r AS ({approx}),
+ hits AS (
+  SELECT a.query_id, count(*) AS n_hits
+  FROM approx_r a JOIN exact_r e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY a.query_id)
+SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // {k} AS BIGINT) AS recall_x1e6
+FROM (SELECT DISTINCT query_id FROM exact_r) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+"""
