@@ -113,8 +113,16 @@ def stream_pages_to_triples(
         fn = make_streaming_pages_to_triples(
             pipe.cache_bc, cache_version, rdfstar=rdfstar
         )
-        extracted = pages.select("url", "html").mapInPandas(fn, TRIPLES_SCHEMA)
+        src = pages.select("url", "html").filter(
+            # same JVM pre-filter the batch path applies in extract():
+            # scriptless pages in a micro-batch never cross to Python.
+            # cast, not decode() — crawl html can be invalid UTF-8
+            F.expr("contains(lower(cast(html as string)), 'ld+json')")
+        )
+        extracted = src.mapInPandas(fn, TRIPLES_SCHEMA)
     else:
+        # extract()'s skip_scriptless pre-filter applies to streaming
+        # frames unchanged (stateless codegen filter)
         extracted = pipe.extract(pages)
     triples = extracted.filter(F.col("error").isNull()).drop("error")
     writer = (
