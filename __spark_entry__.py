@@ -799,6 +799,20 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return textops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _q_extract_text(spark, sf_dir):
+    """Heuristic HTML->text extraction (the canonical first stage of a
+    crawl text pipeline) over the derived doc pages: script/comment
+    blocks drop, tags become spaces, the 5 ubiquitous entities
+    unescape, whitespace collapses - all one JVM codegen projection.
+    The fixed page template makes the output exactly predictable from
+    the raw text column (the '<'-escape round-trips; the entity
+    replaces apply identically to raw text on the oracle side)."""
+    from jsonld_spark.sources.html_jsonld import html_to_text
+
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    return html_to_text(pages).orderBy("url")
+
+
 def _q_extract_links(spark, sf_dir):
     """Crawl link-graph extraction: pages synthesized with one
     root-relative, one absolute, one path-relative and one
@@ -1150,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "boilerplate_lines": _q_boilerplate_lines,
         "extract_links": _q_extract_links,
+        "extract_text": _q_extract_text,
         "host_graph": _q_host_graph,
         "canonical_urls": _q_canonical_urls,
         "domain_quality": _q_domain_quality,
@@ -1174,12 +1189,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "top_revenue_join": _q_top_revenue_join,
         "events_sessions": _q_events_sessions,
-        "multi_type_users": _q_multi_type_users,
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "bgp_filter_expr": _q_bgp_filter_expr,
         "bgp_aggregate_langs": _q_bgp_aggregate_langs,
         "bgp_minus_exists": _q_bgp_minus_exists,
         # --------------- slot 50 boundary (r5 harness cap) ---------------
+        "multi_type_users": _q_multi_type_users,
         "dedup_exact": _q_dedup_exact,
         "passage_dedup": _q_passage_dedup,
         "decontaminate": _q_decontaminate,
@@ -1514,6 +1529,16 @@ def oracle_sql() -> dict[str, str]:
                    '?a=' || CAST(doc_id % 3 AS VARCHAR) ||
                    '&b=' || CAST(doc_id % 7 AS VARCHAR) AS canonical_url
             FROM documents ORDER BY doc_id""",
+        "extract_text": """
+            SELECT 'http://docs.example/' || source || '/' ||
+                   CAST(doc_id AS VARCHAR) AS url,
+                   trim(regexp_replace(
+                     replace(replace(replace(replace(replace(replace(
+                       text,
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', chr(34)),
+                       '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                     '\\s+', ' ', 'g')) AS text
+            FROM documents ORDER BY url""",
         "host_graph": """
             WITH p AS (
               SELECT 'h' || CAST(doc_id % 4 AS VARCHAR) || '.example'

@@ -303,3 +303,49 @@ def host_graph(links, src_col: str = "url", dst_col: str = "href"):
         .agg(F.count("*").alias("n_links"))
         .orderBy("src_host", "dst_host")
     )
+
+
+# --- Heuristic HTML → text extraction (crawl text pipeline) --------------------
+
+
+def html_to_text(pages, url_col: str = "url", html_col: str = "html"):
+    """→ (url, text): heuristic visible-text extraction from raw html —
+    the canonical first stage of every crawl text pipeline (quality
+    scoring, dedup, tokenization all run on THIS column when the
+    upstream crawl didn't ship one).  Entirely JVM-side regexp map
+    stages, no Python, no shuffle:
+
+    1. comments stripped first (same ordering rule as the ld+json
+       scanner: commented-out markup is not content),
+    2. <script>/<style>/<noscript>/<template> blocks dropped wholesale
+       (their text is code, not prose),
+    3. remaining tags → a single space (block boundaries must separate
+       words, not concatenate them),
+    4. the five ubiquitous entities unescaped (&lt; &gt; &quot; &#39;
+       &nbsp;, then &amp; LAST — unescaping it first would double-decode
+       '&amp;lt;'),
+    5. whitespace collapsed and trimmed.
+
+    Known heuristic bounds (documented, not hidden): attribute values
+    containing '>' mis-close their tag (rare, tolerated — a full
+    HTML5 tree builder is a different cost class and lives outside the
+    hot path); numeric entities other than &#39; pass through
+    verbatim.  NULL html → NULL text (row kept — callers decide).
+
+    100-TB shape: one whole-stage-codegen projection over the scan;
+    malformed-UTF-8 safe (binary→string CAST, never decode())."""
+    from pyspark.sql import functions as F
+
+    s = F.expr(f"cast({html_col} as string)")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
+    s = F.regexp_replace(
+        s, r"(?is)<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>", " "
+    )
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return pages.select(F.col(url_col).alias("url"), s.alias("text"))

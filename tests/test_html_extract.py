@@ -208,3 +208,32 @@ def test_host_graph_rollup(spark):
         ("a.example", "b.example"): 2,
         ("a.example", "a.example"): 1,
     }
+
+
+def test_html_to_text_heuristics(spark):
+    from jsonld_spark.sources.html_jsonld import html_to_text
+
+    html = (
+        b"<html><head><title>My Title</title>"
+        b"<style>p { color: red }</style>"
+        b'<script type="application/ld+json">{"never": "this"}</script>'
+        b"</head><body>"
+        b"<!-- <p>commented out</p> -->"
+        b"<p>Hello &amp; welcome to 5 &lt; 7 land.</p>"
+        b"<div>Second   block\nwith&nbsp;entities &quot;q&#39;</div>"
+        b"<noscript>js off</noscript>"
+        b"</body></html>"
+    )
+    rows = [
+        ("http://t.example/a", html),
+        ("http://t.example/null", None),
+        ("http://t.example/bad", b"\xff\xfe<p>still works</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url: r.text for r in html_to_text(df).collect()}
+    assert got["http://t.example/a"] == (
+        "My Title Hello & welcome to 5 < 7 land. "
+        'Second block with entities "q\''
+    )
+    assert got["http://t.example/null"] is None
+    assert got["http://t.example/bad"].endswith("still works")
