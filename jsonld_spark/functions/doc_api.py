@@ -86,7 +86,9 @@ def _apply(
         if cache_entries
         else None
     )
-    return pages.select("url", "html").mapInPandas(
+    from ..pipeline import parallelize_small_input
+
+    return parallelize_small_input(pages.select("url", "html")).mapInPandas(
         _doc_op_udf(op, cache_bc, max_html_bytes), DOC_RESULT_SCHEMA
     )
 

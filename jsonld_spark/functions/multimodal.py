@@ -163,7 +163,11 @@ def extract_features(payloads: DataFrame) -> DataFrame:
                 ],
             )
 
-    return payloads.select("doc_id", "payload").mapInPandas(fn, FEATURE_SCHEMA)
+    from ..pipeline import parallelize_small_input
+
+    return parallelize_small_input(
+        payloads.select("doc_id", "payload")
+    ).mapInPandas(fn, FEATURE_SCHEMA)
 
 
 def payload_meta(docs: DataFrame) -> DataFrame:
@@ -315,7 +319,11 @@ def sample_frames(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
                 ],
             )
 
-    return payloads.select("doc_id", "payload").mapInPandas(fn, FRAME_SCHEMA)
+    from ..pipeline import parallelize_small_input
+
+    return parallelize_small_input(
+        payloads.select("doc_id", "payload")
+    ).mapInPandas(fn, FRAME_SCHEMA)
 
 
 def sample_frames_sql(n_frames: int = 4) -> str:

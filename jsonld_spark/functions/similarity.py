@@ -394,7 +394,9 @@ def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
             cells = _assign_scores(x, np.asarray(c)).argmin(axis=1)
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cells.astype("int32")})
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    from ..pipeline import parallelize_small_input
+
+    return parallelize_small_input(emb.select("vec_id", "embedding")).mapInPandas(
         fn,
         T.StructType(
             [

@@ -284,11 +284,19 @@ def bgp_union(
     return out.distinct()
 
 
-def construct(bindings: DataFrame, templates) -> DataFrame:
+def construct(
+    bindings: DataFrame, templates, *, set_semantics: bool = True
+) -> DataFrame:
     """SPARQL ``CONSTRUCT``: project a binding set into new triples.
     Each template is an (s, p, o) triple of variables (``"?x"`` — must
     be a column of ``bindings``) and constants; the result is the
     DISTINCT union of one instantiation per binding row per template.
+
+    ``set_semantics=False`` skips the final distinct (bag output) for
+    callers that dedup downstream anyway — the saturation loop unions
+    several construct() results and distincts ONCE per round, where a
+    per-evaluation distinct is one pure-overhead exchange each
+    (measured: 4 redundant exchanges per semi-naive round).
 
     100-TB shape: pure projection per template (no shuffle) + one
     distinct on the emitted (subj, pred, obj) — the same exchange any
@@ -316,7 +324,7 @@ def construct(bindings: DataFrame, templates) -> DataFrame:
     out = outs[0]
     for o in outs[1:]:
         out = out.union(o)
-    return out.distinct()
+    return out.distinct() if set_semantics else out
 
 
 def forward_chain(
@@ -444,7 +452,10 @@ def _saturate(
                     for i in range(len(body))
                 ]
             for s in sols:
-                d = construct(s, head)
+                # bag output: the round's single distinct below dedups
+                # everything — a per-evaluation distinct is one
+                # redundant exchange each
+                d = construct(s, head, set_semantics=False)
                 derived = d if derived is None else derived.union(d)
         new = derived.distinct().join(
             known, on=["subj", "pred", "obj"], how="left_anti"
