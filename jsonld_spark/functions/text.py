@@ -471,8 +471,13 @@ def jaccard_pairs(
     exploded shingles instead of the self-join's two, and pair blowup is
     bounded per group.  Uncapped falls back to the equality self-join,
     whose sort-merge spills gracefully when a posting list would not."""
+    from ..pipeline import parallelize_small_input
+
+    # the shingle explode + first aggregation otherwise run serial on a
+    # one-row-group small input (see parallelize_small_input)
     sh = (
-        docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+        parallelize_small_input(docs.select("doc_id", "text"))
+        .select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
         .select("doc_id", F.explode(F.array_distinct(F.expr(SHINGLES_EXPR))).alias("sh"))
     )
     if max_df is not None:
@@ -1392,9 +1397,14 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     shuffle).  Hot terms ('the') have large df but the df groupBy input
     is one row per (doc, term) — bounded by the corpus vocabulary ×
     docs, with partial aggregation absorbing the skew."""
-    base = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("term")
-    )
+    from ..pipeline import parallelize_small_input
+
+    # parallelize the token explode on one-row-group small inputs; the
+    # 2 MB floor keeps truly tiny inputs on the cheaper serial plan
+    base = parallelize_small_input(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", "text"),
+        min_bytes=2_000_000,
+    ).select("doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("term"))
     tf = base.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.filter(F.col("text").isNotNull()).agg(
@@ -1461,8 +1471,13 @@ def boilerplate_lines(docs: DataFrame, min_df: int = 2) -> DataFrame:
     per-doc rollup a second partial-agg groupBy.  Mega-hot lines
     ('Home') make large join groups but the output stays one row per
     input line occurrence — bounded by the corpus, no pair blowup."""
+    from ..pipeline import parallelize_small_input
+
     lines = (
-        docs.filter(F.col("text").isNotNull())
+        parallelize_small_input(
+            docs.filter(F.col("text").isNotNull()).select("doc_id", "text"),
+            min_bytes=2_000_000,
+        )
         .select("doc_id", F.explode(F.split("text", "\n")).alias("_raw"))
         .select("doc_id", F.md5(F.trim("_raw")).alias("lh"), F.trim("_raw").alias("_t"))
         .filter(F.col("_t") != "")

@@ -69,7 +69,9 @@ def default_session(
 
 
 def parallelize_small_input(
-    df: DataFrame, max_bytes_per_core: int = 1_000_000
+    df: DataFrame,
+    max_bytes_per_core: int = 1_000_000,
+    min_bytes: int = 0,
 ) -> DataFrame:
     """Round-robin repartition a SMALL input up to the session's default
     parallelism before an expensive per-row (Python/Arrow) stage.
@@ -86,7 +88,15 @@ def parallelize_small_input(
     serial Python stage it prevents.  A crawl-scale input fails the
     gate immediately and never pays the shuffle (at 100 TB this is a
     no-op by construction).  Keyless repartition is deterministic under
-    retry (sort-before-repartition is on by default, SPARK-23207)."""
+    retry (sort-before-repartition is on by default, SPARK-23207).
+
+    ``min_bytes``: floor below which the input is left alone — for ops
+    whose per-byte work is light (a token explode, a line split) the
+    extra exchange + stage costs more than the serial stage it replaces
+    when the input is truly tiny (measured: tfidf 0.75→1.28 s at 0.9 MB
+    with an unconditional repartition), while the same op at 10× the
+    input is dominated by the serial stage.  Heavy per-row ops (the
+    JSON-LD Python stage, shingle+collect_list) keep the default 0."""
     spark = df.sparkSession
     para = spark.sparkContext.defaultParallelism
     try:
@@ -95,7 +105,7 @@ def parallelize_small_input(
         )
     except Exception:  # noqa: BLE001 — stats are advisory; never fail the plan
         return df
-    if size <= para * max_bytes_per_core:
+    if min_bytes <= size <= para * max_bytes_per_core:
         return df.repartition(para)
     return df
 
