@@ -463,7 +463,12 @@ def _saturate(
         new = new.checkpoint() if (rnd + 1) % checkpoint_every == 0 else new
         if new.isEmpty():
             break
-        known = known.union(new).checkpoint()
+        # known = initial ∪ the per-round checkpointed deltas: every leg
+        # is already materialized, so the union is plan-only — the
+        # previous known.union(new).checkpoint() REWROTE the whole fact
+        # set once per round (O(|saturated| × rounds) checkpoint I/O);
+        # lineage stays shallow because each leg is a checkpoint scan.
+        known = known.union(new)
         delta = new
     else:
         warnings.warn(

@@ -114,15 +114,23 @@ def connected_components(
     )
 
     for it in range(max_iter):
-        # 1. neighbor-min message passing
+        # 1. neighbor-min message passing.  The PREVIOUS label rides
+        # along as ``_old`` (unique per id, so max() recovers it through
+        # the min-aggregation; message rows carry NULL, which max
+        # ignores) — the convergence probe then reads comp != _old off
+        # the round's own checkpoint instead of re-joining two full
+        # label tables (one join job per round deleted).
         msgs = sym.join(labels, sym.a == labels.id).select(
-            F.col("b").alias("id"), F.col("comp")
+            F.col("b").alias("id"),
+            F.col("comp"),
+            # typed to comp (CC also runs on dictionary-encoded longs)
+            F.lit(None).cast(labels.schema["comp"].dataType).alias("_old"),
         )
         new_labels = (
-            labels.select("id", "comp")
+            labels.select("id", "comp", F.col("comp").alias("_old"))
             .union(msgs)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.max("_old").alias("_old"))
         )
         # 2. pointer jumping: comp ← comp(comp), halves chain length
         jump = new_labels.select(
@@ -130,20 +138,18 @@ def connected_components(
         )
         new_labels = new_labels.join(
             jump, new_labels.comp == jump.jid, "left"
-        ).select("id", F.coalesce("jcomp", "comp").alias("comp"))
+        ).select("id", F.coalesce("jcomp", "comp").alias("comp"), "_old")
         check = it % checkpoint_every == checkpoint_every - 1 or it == max_iter - 1
         if check:
             # truncate lineage where we also probe convergence — the
             # checkpointed result feeds both the probe and the next round
             new_labels = new_labels.checkpoint()
             changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.comp") != F.col("o.comp"))
+                new_labels.filter(F.col("comp") != F.col("_old"))
                 .limit(1)
                 .count()
             )
-        labels = new_labels
+        labels = new_labels.select("id", "comp")
         if check and changed == 0:
             break
     return labels

@@ -485,14 +485,33 @@ class KGPipeline:
         raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
 
         triples = raw.filter(F.col("error").isNull()).drop("error")
+        out = triples.repartition("part_id")
         if link_entities:
-            triples = self.linked_triples(triples)
-            triples = self.with_bucket(triples.drop("part_id"))
+            # dedup AFTER the bucket repartition, with part_id leading
+            # the key: part_id is a pure function of url (a dedup-key
+            # column), so equal rows are already co-located and the
+            # hash(part_id) layout satisfies the dedup's clustering
+            # requirement — ONE full shuffle of the linked triples
+            # instead of two (dropDuplicates' 8-column exchange followed
+            # by the bucket repartition).
+            linked = self.linked_triples(triples, dedup=False)
+            linked = self.with_bucket(linked.drop("part_id"))
+            out = linked.repartition("part_id").dropDuplicates(
+                ["part_id", "url", "subj", "pred", "obj", "obj_is_literal",
+                 "obj_datatype", "obj_lang", "graph"]
+                if "url" in linked.columns
+                else None
+            )
 
         triples_path = os.path.join(out_dir, "triples")
         writer = (
-            triples.repartition("part_id")
-            .sortWithinPartitions("subj", "pred")
+            # part_id LEADS the sort: the dynamic-partition writer
+            # requires its input ordered by the partition column and
+            # plans its own Sort(part_id) otherwise — sorting once on
+            # (part_id, subj, pred) satisfies that requirement AND
+            # guarantees the intended subj/pred order inside each file
+            # (the writer's own added sort does not)
+            out.sortWithinPartitions("part_id", "subj", "pred")
             .write.mode("overwrite")
             # per-writer option, NOT session conf: under Spark's default
             # static overwrite a resumed run would truncate the whole
