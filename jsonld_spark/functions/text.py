@@ -1471,13 +1471,12 @@ def boilerplate_lines(docs: DataFrame, min_df: int = 2) -> DataFrame:
     per-doc rollup a second partial-agg groupBy.  Mega-hot lines
     ('Home') make large join groups but the output stays one row per
     input line occurrence — bounded by the corpus, no pair blowup."""
-    from ..pipeline import parallelize_small_input
-
+    # NOT parallelize_small_input-wrapped: the line split + md5 ahead of
+    # the first exchange is too light per byte for the extra exchange to
+    # pay off — measured slower with the hook at BOTH 0.6 MB (0.30→0.88s)
+    # and 5.9 MB (0.62→0.94s); the partial agg absorbs the serial map.
     lines = (
-        parallelize_small_input(
-            docs.filter(F.col("text").isNotNull()).select("doc_id", "text"),
-            min_bytes=2_000_000,
-        )
+        docs.filter(F.col("text").isNotNull())
         .select("doc_id", F.explode(F.split("text", "\n")).alias("_raw"))
         .select("doc_id", F.md5(F.trim("_raw")).alias("lh"), F.trim("_raw").alias("_t"))
         .filter(F.col("_t") != "")
