@@ -189,6 +189,11 @@ FROM documents ORDER BY doc_id
 # Oracle for the mapInPandas feature stage: every output column is a
 # deterministic function of the payload bytes (md5-derived fake dims
 # stand in for the stubbed decode), so DuckDB can predict it exactly.
+# ASSUMPTION (ADVICE r6): the text-derived payloads this SQL mirrors
+# never BEGIN with a real image signature (PNG/GIF/JPEG/WEBP magic) —
+# extract_features would then real-parse dims while this oracle still
+# predicts md5-fake dims.  The fixture generator keeps payloads
+# plain-text; revisit if payload synthesis ever changes.
 # coalesce(text, '') mirrors extract_features' NULL-payload → b"" branch
 # (without it, DuckDB's NULL-skipping concat() yields '0x' and the INT
 # cast crashes the oracle while Spark returns a normal row).

@@ -45,7 +45,16 @@ def _pattern_df(
     ``bind_meta``: an object-position variable also projects the term
     metadata its FILTER expressions need — ``{var}__lang``,
     ``{var}__dt``, ``{var}__lit`` (from obj_lang / obj_datatype /
-    obj_is_literal where the source frame carries them)."""
+    obj_is_literal where the source frame carries them).
+
+    Known limitation (ADVICE r6): when a shared variable is
+    object-bound in one pattern but subject/predicate/graph-bound in
+    another, the meta columns exist on only one side, so the join falls
+    back to lexical equality — a literal whose lexical form equals an
+    IRI (e.g. a URL stored as a string) would join it.  Chains like
+    [(?x, p, ?v), (?v, q, ?y)] over data where literal objects can
+    collide with IRIs should add an explicit
+    ``~coalesce(col(v + '__lit'), lit(False))`` filter."""
     if len(pattern) not in (3, 4):
         raise ValueError(
             f"pattern #{idx} must be (s, p, o) or (s, p, o, g): {pattern!r}"
@@ -805,16 +814,18 @@ def select(
     ``group_by``).  ``order_by``: column name or list.  LIMIT plans as
     a global top-k when combined with ORDER BY (TakeOrderedAndProject
     — no full sort at scale)."""
+    if optional and bind_meta:
+        # hoisted above plan construction (ADVICE r6): fail before the
+        # bgp_optional join tree is built, not after
+        raise ValueError(
+            "select: bind_meta with OPTIONAL groups is not supported "
+            "(optional NULLs have no term metadata); filter on the "
+            "required part or run bgp_match separately"
+        )
     if optional:
         b = bgp_optional(
             triples, patterns, optional, set_semantics=set_semantics
         )
-        if bind_meta:
-            raise ValueError(
-                "select: bind_meta with OPTIONAL groups is not supported "
-                "(optional NULLs have no term metadata); filter on the "
-                "required part or run bgp_match separately"
-            )
     else:
         b = bgp_match(
             triples, patterns,

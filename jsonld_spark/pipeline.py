@@ -202,13 +202,14 @@ class KGPipeline:
         )
 
     def errors(
-        self, pages: DataFrame, skip_scriptless: bool = True
+        self, pages: DataFrame, skip_scriptless: bool = False
     ) -> DataFrame:
-        """Pass ``skip_scriptless=False`` for byte-identical
-        observability (the pre-filter otherwise drops oversized
-        scriptless pages before their 'document too large' row — see
-        extract); the observability view must be able to follow its own
-        escape hatch."""
+        """Error-row observability view.  Defaults to
+        ``skip_scriptless=False`` (unlike extract/triples): the
+        pre-filter would drop oversized scriptless pages before their
+        'document too large' row, and the error view is cold-path —
+        byte-identical observability matters more there than the
+        pre-filter win (ADVICE r6)."""
         return (
             self.extract(pages, skip_scriptless=skip_scriptless)
             .filter(F.col("error").isNotNull())
