@@ -63,6 +63,19 @@ _DUCK_SHINGLES = (
     "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
 )
 
+# Self-contained shingle expression with the token array LET-BOUND via
+# the ``transform(array(e), toks -> ...)[0]`` idiom.  SHINGLES_EXPR
+# references ``toks`` five times (three inside the per-shingle lambda);
+# when ``toks`` is a projected COLUMN, Catalyst's predicate pushdown
+# substitutes the alias into any downstream filter unconditionally,
+# yielding a predicate that re-runs split(trim(text)) PER TOKEN
+# REFERENCE PER SHINGLE — measured 10× wall blowup on the minhash
+# banding path (plan-verified: the substituted predicate contained
+# split(trim(text)) inside the shingle lambda).  As a lambda-bound
+# value the token array is evaluated exactly once no matter where the
+# optimizer moves the expression.
+SHINGLES_LB_EXPR = f"transform(array({TOKENS_EXPR}), toks -> {SHINGLES_EXPR})[0]"
+
 
 # --- exact dedup -------------------------------------------------------------
 
@@ -265,18 +278,25 @@ FROM documents ORDER BY doc_id
 
 def minhash_signature(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """K=16 minhash signature over word-3-gram shingles.  Higher-order
-    functions only — at 100 TB this is a pure map stage (no shuffle)."""
+    functions only — at 100 TB this is a pure map stage (no shuffle).
+
+    The shingle-hash array is LET-BOUND via the ``transform(array(e),
+    hs -> ...)`` idiom: CollapseProject inlines a referenced column
+    into every use and interpreted higher-order functions get no
+    common-subexpression elimination, so the previous column-chained
+    form recomputed the whole tokens→shingles→h32 chain once per
+    permutation (16×) — measured 10× wall blowup on the banding path.
+    As a lambda-bound value it is evaluated exactly once per row."""
     hashes = f"transform(shingles, s -> pmod({_spark_h32('s')}, {MINHASH_P}))"
     sig_items = ", ".join(
         f"array_min(transform(hs, x -> pmod({a} * x + {b}, {MINHASH_P})))"
         for a, b in MINHASH_AB
     )
-    return (
-        docs.select(id_col, F.expr(TOKENS_EXPR).alias("toks"))
-        .select(id_col, F.expr(SHINGLES_EXPR).alias("shingles"))
-        .select(id_col, F.expr(hashes).alias("hs"))
-        .select(id_col, F.expr(f"array({sig_items})").alias("sig"))
+    sig = (
+        f"transform(array({SHINGLES_LB_EXPR}), shingles -> "
+        f"transform(array({hashes}), hs -> array({sig_items}))[0])[0]"
     )
+    return docs.select(id_col, F.expr(sig).alias("sig"))
 
 
 def _duck_sig_items() -> str:
@@ -341,26 +361,28 @@ def minhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     doc would otherwise hash into the single md5('') bucket — billions
     of rows on one band key, a quadratic hot key in the candidate
     self-join.  Short docs are not near-dup candidates by definition."""
-    sig = minhash_signature(docs, id_col=id_col).filter(
-        F.col("sig")[0].isNotNull()
-    )
+    sig = minhash_signature(docs, id_col=id_col)
     n_bands = MINHASH_K // LSH_BAND_ROWS
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", b * LSH_BAND_ROWS + r + 1).cast("string")
-                            for r in range(LSH_BAND_ROWS)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(n_bands)
-        ]
+    # sig is let-bound (sg) so element_at never inlines the signature
+    # expression into the 16 band elements, and the no-shingle guard
+    # lives INSIDE the lambda as an empty band array (explode emits no
+    # rows) — a separate .filter(sig[0] is not null) predicate would be
+    # alias-substituted into the full token→shingle→hash chain by
+    # predicate pushdown (the 10× blowup documented on
+    # SHINGLES_LB_EXPR).
+    band_items = ", ".join(
+        "struct({b} as band_id, md5(concat_ws(',', {cols})) as band_hash)".format(
+            b=b,
+            cols=", ".join(
+                f"cast(element_at(sg, {b * LSH_BAND_ROWS + r + 1}) as string)"
+                for r in range(LSH_BAND_ROWS)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    bands = F.expr(
+        f"transform(array(sig), sg -> case when element_at(sg, 1) is null "
+        f"then array() else array({band_items}) end)[0]"
     )
     return (
         sig.select(id_col, F.explode(bands).alias("band"))
@@ -475,10 +497,11 @@ def jaccard_pairs(
 
     # the shingle explode + first aggregation otherwise run serial on a
     # one-row-group small input (see parallelize_small_input)
-    sh = (
-        parallelize_small_input(docs.select("doc_id", "text"))
-        .select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
-        .select("doc_id", F.explode(F.array_distinct(F.expr(SHINGLES_EXPR))).alias("sh"))
+    # SHINGLES_LB_EXPR: self-contained let-bound shingles — immune to
+    # the alias-substitution re-tokenization hazard (see its comment)
+    sh = parallelize_small_input(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(SHINGLES_LB_EXPR))).alias("sh"),
     )
     if max_df is not None:
         posts = (
