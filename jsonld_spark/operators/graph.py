@@ -106,11 +106,15 @@ def connected_components(
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     sym = sym.repartition("a").checkpoint()
 
+    # no init checkpoint: round 0 consumes labels twice (message join +
+    # union) under ONE action, so the distinct's exchange is computed
+    # once and runtime-reused; the round-0 checkpoint then truncates the
+    # lineage anyway, and the fused probe below never re-reads this
+    # frame — the init checkpoint was one whole job of pure overhead
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .checkpoint()
     )
 
     for it in range(max_iter):
